@@ -1,0 +1,111 @@
+"""Daily payments mart (gold layer) — the flagship pipeline.
+
+Re-expresses ``aggregate_payments`` from the reference
+(``/root/reference/src/pos_core/etl/marts/payments_daily.py:314-496``):
+bucket map → per-day revenue pivot over 9 fixed buckets → tips → ticket
+count-distinct → eliminated-ticket count-distinct → pct → holiday flag.
+
+Scale design: the reference builds four separate aggregates and joins
+them (pandas pivot_table + 3 merges). Here the whole mart is ONE
+``groupBy(sucursal, operating_date)`` with conditional aggregates — a
+single shuffle, map-side partial aggregation, no joins between fact-sized
+intermediates. The pivot universe is fixed (``PAYMENT_BUCKETS``), so the
+schema is static and the conditional-sum form is exactly what Catalyst
+would compile an explicit ``pivot(values=...)`` into. The holiday
+dimension joins broadcast (tiny at any scale). At 100 TB the only
+shuffle is the mart's own grain — the minimum possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.buckets import (
+    PAYMENT_BUCKETS,
+    bucket_for_payment_method,
+)
+from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+TIP_TOLERANCE = 0.05  # reference: payments_daily.py:389
+
+
+def build_payments_daily(fact: DataFrame, holidays: DataFrame) -> DataFrame:
+    """fact_payments_ticket → mart_payments_daily (grain: sucursal × fecha).
+
+    ``fact`` columns: sucursal, operating_date, order_index,
+    payment_method, ticket_total, ticket_tip, elimination_present.
+    ``holidays`` columns: fecha (date).
+    """
+    bucket = bucket_for_payment_method(F.col("payment_method"))
+
+    def ingreso(b: str) -> Column:
+        return hround(
+            F.coalesce(F.sum(F.when(bucket == b, F.col("ticket_total"))), F.lit(0.0)), 2
+        ).alias(f"ingreso_{b}")
+
+    daily = (
+        fact.groupBy(F.col("sucursal"), F.col("operating_date").alias("fecha"))
+        .agg(
+            *[ingreso(b) for b in PAYMENT_BUCKETS],
+            hround(F.sum("ticket_tip"), 2).alias("propinas"),
+            F.countDistinct("order_index").alias("num_tickets"),
+            F.countDistinct(
+                F.when(F.col("elimination_present"), F.col("order_index"))
+            ).alias("tickets_with_eliminations"),
+        )
+        .withColumn(
+            "pct_tickets_with_eliminations",
+            hround(
+                100.0 * F.col("tickets_with_eliminations") / F.col("num_tickets"), 2
+            ),
+        )
+    )
+
+    flagged = daily.join(
+        F.broadcast(holidays.select(F.col("fecha").alias("_h_fecha"))),
+        daily.fecha == F.col("_h_fecha"),
+        "left",
+    ).select(
+        "sucursal",
+        "fecha",
+        *[f"ingreso_{b}" for b in PAYMENT_BUCKETS],
+        "propinas",
+        "num_tickets",
+        "tickets_with_eliminations",
+        "pct_tickets_with_eliminations",
+        F.col("_h_fecha").isNotNull().alias("is_national_holiday"),
+    )
+    return flagged
+
+
+def tip_sanity_violations(fact: DataFrame) -> DataFrame:
+    """The pipeline-failing tip gate (``payments_daily.py:369-396``).
+
+    Per (sucursal, operating_date): |Σ ticket_tip − max(total_day_tips)|
+    must be ≤ 0.05 when the fact carries the day-level repeated column.
+    Returns the violating groups; callers raise when non-empty.
+    """
+    if "total_day_tips" not in fact.columns:
+        return fact.sparkSession.createDataFrame(
+            [], "sucursal string, operating_date date, diff double"
+        )
+    return (
+        fact.groupBy("sucursal", "operating_date")
+        .agg(
+            F.sum("ticket_tip").alias("actual"),
+            F.max("total_day_tips").alias("expected"),
+        )
+        .withColumn("diff", F.abs(F.col("actual") - F.col("expected")))
+        .where(F.col("diff") > TIP_TOLERANCE)
+        .select("sucursal", "operating_date", "diff")
+    )
+
+
+def assert_tip_sanity(fact: DataFrame) -> None:
+    n = tip_sanity_violations(fact).limit(1).count()
+    if n:
+        raise ValueError(
+            "tip sanity gate failed: sum(ticket_tip) != max(total_day_tips) "
+            f"beyond {TIP_TOLERANCE} tolerance for at least one (sucursal, day)"
+        )

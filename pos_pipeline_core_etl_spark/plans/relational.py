@@ -1,0 +1,559 @@
+"""Core relational operator queries (SURVEY §2.2-§2.8 coverage).
+
+Each entry pairs a Spark DataFrame plan with its ANSI-SQL oracle (run by
+the driver under DuckDB on the same parquet). Aliases match on both
+sides; money aggregates are rounded with the shared cross-engine helper
+(``functions.rounding``) so value-hashes agree bit-for-bit.
+
+Scale notes per query are in the docstrings — the guiding rules:
+filters/projections push to the parquet scan, small dims broadcast,
+aggregations are single-shuffle with map-side partials, and nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
+from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# scan / filter / project
+
+
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown probe: predicate + column pruning reach the parquet scan.
+
+    ``explain("formatted")`` shows PushedFilters for all three predicates
+    and a ReadSchema of exactly 6 columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_quantity").between(10, 40)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            hround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        )
+    )
+
+
+SCAN_FILTER_PROJECT_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       {hround_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_returnflag IN ('A', 'R')
+  AND l_quantity BETWEEN 10 AND 40
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation (TPC-H Q1 shape — the bench headline)
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: one shuffle on a 6-group key, all aggs map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            hround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            hround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            hround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            hround(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            hround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            hround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+AGG_PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {hround_sql("SUM(l_quantity)", 2)} AS sum_qty,
+       {hround_sql("SUM(l_extendedprice)", 2)} AS sum_base_price,
+       {hround_sql("SUM(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+       {hround_sql("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+       {hround_sql("AVG(l_quantity)", 4)} AS avg_qty,
+       {hround_sql("AVG(l_extendedprice)", 4)} AS avg_price,
+       {hround_sql("AVG(l_discount)", 4)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region: fact joins only broadcast-able dims — zero
+    shuffle on the fact until the final 5-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            hround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+JOIN_BROADCAST_DIMS_SQL = f"""
+SELECT r.r_name,
+       {hround_sql("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def join_left_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + existence flag with null→False coalesce — the
+    eliminated-payments join shape (payments_cleaner.py:598-651)."""
+    orders = load_table(spark, sf_dir, "orders")
+    flagged = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rk"))
+        .distinct()
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.rk, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("rk").isNotNull().alias("has_returns"),
+        )
+    )
+
+
+JOIN_LEFT_FLAG_SQL = """
+SELECT o.o_orderkey, o.o_orderstatus, (r.rk IS NOT NULL) AS has_returns
+FROM orders o
+LEFT JOIN (SELECT DISTINCT l_orderkey AS rk FROM lineitem WHERE l_returnflag = 'R') r
+  ON o.o_orderkey = r.rk
+"""
+
+
+def join_validity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2-style range join: point-in-interval lookup against a tiny
+    validity-windowed dimension (branches.py:60-126 analog). The dim is
+    broadcast, so the range predicate never shuffles the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    eras = spark.createDataFrame(
+        [
+            ("ERA1", "1992-01-01", "1994-12-31"),
+            ("ERA2", "1995-01-01", "1996-12-31"),
+            ("ERA3", "1997-01-01", None),
+        ],
+        "era string, valid_from string, valid_to string",
+    ).select(
+        "era",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    d = F.col("o_orderdate").cast("date")
+    joined = orders.join(
+        F.broadcast(eras),
+        (d >= eras.valid_from) & (eras.valid_to.isNull() | (d <= eras.valid_to)),
+        "left",
+    )
+    return joined.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        hround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+JOIN_VALIDITY_WINDOW_SQL = f"""
+WITH eras(era, valid_from, valid_to) AS (
+  VALUES ('ERA1', DATE '1992-01-01', DATE '1994-12-31'),
+         ('ERA2', DATE '1995-01-01', DATE '1996-12-31'),
+         ('ERA3', DATE '1997-01-01', NULL)
+)
+SELECT e.era, COUNT(*) AS n_orders, {hround_sql("SUM(o.o_totalprice)", 2)} AS total
+FROM orders o
+LEFT JOIN eras e
+  ON CAST(o.o_orderdate AS DATE) >= e.valid_from
+ AND (e.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) <= e.valid_to)
+GROUP BY e.era
+"""
+
+
+# ---------------------------------------------------------------------------
+# count-distinct family
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain, filtered, and conditional count-distincts per group
+    (payments_daily.py:426-451 analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_customers_finished"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+AGG_COUNT_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS n_customers_finished,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / duplicate detection
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: per customer keep the highest-value order
+    (tie-break lowest key). The reference's ``drop_duplicates`` is
+    order-dependent (SURVEY §7.4.3); a rank window makes it exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+"""
+
+
+def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grain-violation probe: keys appearing more than once
+    (qa_payments.py:470-505 analog over (custkey, orderdate))."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+DUPLICATE_DETECTION_SQL = """
+SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K with a total tie-break → deterministic result set.
+    Spark plans this as TakeOrderedAndProject (no full sort shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority via rank window (common OLAP pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT o_orderpriority, ROW_NUMBER() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+       o_orderkey, o_totalprice
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations
+
+
+def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1995 but not 1996 — left_anti join (the
+    reference's set-minus on keys, sales_by_group.py:540 analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.join(y96, "o_custkey", "left_anti")
+
+
+SET_EXCEPT_KEYS_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with differing column order + missing-column null fill
+    (pandas concat alignment semantics, SURVEY §2.8)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("closed").alias("bucket")
+    )
+    b = orders.where(F.col("o_orderstatus") == "O").select(
+        F.lit("open").alias("bucket"), "o_orderkey"
+    )
+    return a.unionByName(
+        b.withColumn("o_totalprice", F.lit(None).cast("double")),
+        allowMissingColumns=True,
+    )
+
+
+UNION_BY_NAME_SQL = """
+SELECT o_orderkey, o_totalprice, 'closed' AS bucket
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, 'open' AS bucket
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() over a FIXED value universe — static schema, so
+    Catalyst compiles it to one pass of conditional aggregates (no extra
+    distinct-values job, which at 100 TB would be a full scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+        .na.fill(0.0, ["F", "O", "P"])
+    )
+    return piv.select(
+        "o_orderpriority",
+        hround(F.col("F"), 2).alias("total_f"),
+        hround(F.col("O"), 2).alias("total_o"),
+        hround(F.col("P"), 2).alias("total_p"),
+    )
+
+
+PIVOT_STATUS_BY_PRIORITY_SQL = f"""
+SELECT o_orderpriority,
+       {hround_sql("COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0)", 2)} AS total_f,
+       {hround_sql("COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0)", 2)} AS total_o,
+       {hround_sql("COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0)", 2)} AS total_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long via stack() (the reference's melt, sales_by_group.py:305-325)."""
+    wide = agg_pricing_summary(spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price"
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "stack(3, 'sum_qty', sum_qty, 'sum_base_price', sum_base_price, "
+        "'sum_disc_price', sum_disc_price) AS (measure, value)",
+    )
+
+
+UNPIVOT_MEASURES_SQL = f"""
+WITH wide AS (
+  SELECT l_returnflag, l_linestatus,
+         {hround_sql("SUM(l_quantity)", 2)} AS sum_qty,
+         {hround_sql("SUM(l_extendedprice)", 2)} AS sum_base_price,
+         {hround_sql("SUM(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price FROM wide
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_disc_price', sum_disc_price FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollups
+
+
+def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month truncation + re-aggregation (qa_payments.py:744-774 analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_orderpriority",
+            F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("year_month"),
+        )
+        .agg(
+            hround(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+MONTHLY_ROLLUP_SQL = f"""
+SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS year_month,
+       {hround_sql("SUM(o_totalprice)", 2)} AS total, COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def grand_totals_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit TOTAL labels (marts/transfers.py:237-239
+    TOTAL row/col analog) — one pass instead of agg + union."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority")
+        .agg(hround(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("TOTAL")).alias("o_orderpriority"),
+            "total",
+        )
+    )
+
+
+GRAND_TOTALS_ROLLUP_SQL = f"""
+SELECT COALESCE(o_orderpriority, 'TOTAL') AS o_orderpriority,
+       {hround_sql("SUM(o_totalprice)", 2)} AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# horizontal (row-wise) sums
+
+
+def horizontal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Σ across measure columns (qa_payments.py:172-185 analog)
+    — pure column arithmetic, stays in codegen."""
+    piv = pivot_status_by_priority(spark, sf_dir)
+    return piv.withColumn(
+        "grand_total",
+        hround(F.col("total_f") + F.col("total_o") + F.col("total_p"), 2),
+    )
+
+
+HORIZONTAL_SUM_SQL = f"""
+WITH piv AS ({PIVOT_STATUS_BY_PRIORITY_SQL})
+SELECT *, {hround_sql("total_f + total_o + total_p", 2)} AS grand_total FROM piv
+"""
+
+
+# ---------------------------------------------------------------------------
+# value mode (most-frequent with deterministic tie-break)
+
+
+def value_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent return flag per line status — the sucursal-fallback
+    mode computation (payments_cleaner.py:221-249), tie-broken by value
+    for determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_linestatus", "l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_linestatus").orderBy(F.col("n").desc(), F.col("l_returnflag").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_linestatus", F.col("l_returnflag").alias("mode_flag"), "n")
+    )
+
+
+VALUE_MODE_SQL = """
+SELECT l_linestatus, l_returnflag AS mode_flag, COUNT(*) AS n
+FROM lineitem
+GROUP BY l_linestatus, l_returnflag
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_linestatus ORDER BY COUNT(*) DESC, l_returnflag ASC) = 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
+    "agg_pricing_summary": (agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
+    "join_broadcast_dims": (join_broadcast_dims, JOIN_BROADCAST_DIMS_SQL),
+    "join_left_flag": (join_left_flag, JOIN_LEFT_FLAG_SQL),
+    "join_validity_window": (join_validity_window, JOIN_VALIDITY_WINDOW_SQL),
+    "agg_count_distinct": (agg_count_distinct, AGG_COUNT_DISTINCT_SQL),
+    "dedup_keep_first": (dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
+    "duplicate_detection": (duplicate_detection, DUPLICATE_DETECTION_SQL),
+    "topk_orders": (topk_orders, TOPK_ORDERS_SQL),
+    "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
+    "set_except_keys": (set_except_keys, SET_EXCEPT_KEYS_SQL),
+    "union_by_name": (union_by_name, UNION_BY_NAME_SQL),
+    "pivot_status_by_priority": (pivot_status_by_priority, PIVOT_STATUS_BY_PRIORITY_SQL),
+    "unpivot_measures": (unpivot_measures, UNPIVOT_MEASURES_SQL),
+    "monthly_rollup": (monthly_rollup, MONTHLY_ROLLUP_SQL),
+    "grand_totals_rollup": (grand_totals_rollup, GRAND_TOTALS_ROLLUP_SQL),
+    "horizontal_sum": (horizontal_sum, HORIZONTAL_SUM_SQL),
+    "value_mode": (value_mode, VALUE_MODE_SQL),
+}

@@ -1,0 +1,1 @@
+from pos_pipeline_core_etl_spark.sources.tables import TABLES, load_table, register_views  # noqa: F401
