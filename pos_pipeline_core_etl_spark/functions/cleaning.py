@@ -173,3 +173,9 @@ def normalize_spanish_name(col: Column) -> Column:
     c = F.lower(c)
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+# functions above are shipped to executors (pandas UDF) — serialize by value
+from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -1,0 +1,144 @@
+"""Sales marts: by-ticket (dual pivot) and by-group (category rollup).
+
+Reference parity:
+- ``aggregate_by_ticket`` (``/root/reference/src/pos_core/etl/marts/
+  sales_by_ticket.py:115-463``): per-ticket sums per category group,
+  pivoted to ``{GROUP}_subtotal`` / ``{GROUP}_total`` columns, plus
+  ticket metadata (first/max/min) and a horizontal ``total_ticket_cost``.
+- ``build_category_pivot`` (``sales_by_group.py:179-425``): melt the
+  wide per-group columns → map to ``Grupo_Nuevo`` via a category map
+  with an "EXTRAS y MISC" default → sum by (category, sucursal) → pivot.
+
+Scale design choices vs the reference:
+- The ticket mart is ONE ``groupBy(ticket-key)`` with conditional
+  aggregates over a FIXED group universe — a single shuffle; no
+  pivot-then-join-metadata dance, no data-dependent schema.
+- The reference's nondeterministic ``first()`` metadata agg
+  (sales_by_ticket.py:366-370, SURVEY §7.4.3) is replaced by explicit
+  ``min``/``max`` so results are order-independent.
+- The by-group mart aggregates the FACT directly: melting the wide
+  ticket mart (25 columns × tickets rows, mostly zeros) and re-summing
+  is algebraically identical to summing the fact by (category, branch),
+  but the direct form shuffles ~25× less data. The melt operator itself
+  is still available (see ``plans.relational.unpivot_measures``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+# Fixed group universe for the synthetic fact (TPC-H brands are exactly
+# Brand#MN, M,N ∈ 1..5 at every scale factor).
+SALES_GROUPS = tuple(f"Brand#{m}{n}" for m in range(1, 6) for n in range(1, 6))
+
+# category map (reference CATEGORY_MAP analog, sales_by_group.py:112-162)
+# with the "EXTRAS y MISC" default for unmapped groups (:242-247)
+CATEGORY_MAP = {
+    "Brand#1": "PAN DULCE",
+    "Brand#2": "PAN SALADO",
+    "Brand#3": "CAFE Y BEBIDAS",
+    "Brand#4": "REPOSTERIA",
+}
+DEFAULT_CATEGORY = "EXTRAS y MISC"
+
+# fixed mart row order (ROW_ORDER analog, sales_by_group.py:98-109)
+ROW_ORDER = (
+    "PAN DULCE",
+    "PAN SALADO",
+    "CAFE Y BEBIDAS",
+    "REPOSTERIA",
+    "EXTRAS y MISC",
+)
+
+
+def sanitize_group_name(group: str) -> str:
+    """group → UPPER_SNAKE column token (sales_by_ticket.py:97-111)."""
+    token = re.sub(r"[^0-9A-Za-z]+", "_", group).strip("_").upper()
+    return token or "UNKNOWN"
+
+
+def category_for_group(col: Column) -> Column:
+    """Prefix-rule category map with EXTRAS-y-MISC default."""
+    expr: Column | None = None
+    for prefix, cat in CATEGORY_MAP.items():
+        cond = col.startswith(prefix)
+        expr = F.when(cond, F.lit(cat)) if expr is None else expr.when(cond, F.lit(cat))
+    assert expr is not None
+    return expr.otherwise(F.lit(DEFAULT_CATEGORY))
+
+
+def category_for_group_sql(column_sql: str) -> str:
+    whens = "\n".join(
+        f"WHEN {column_sql} LIKE '{prefix}%' THEN '{cat}'"
+        for prefix, cat in CATEGORY_MAP.items()
+    )
+    return f"CASE {whens} ELSE '{DEFAULT_CATEGORY}' END"
+
+
+def build_sales_by_ticket(fact: DataFrame) -> DataFrame:
+    """fact_sales_item_line → mart_sales_by_ticket (grain: ticket).
+
+    One shuffle on the ticket key; per-group subtotal/total columns are
+    conditional sums over the fixed universe, zero-filled like the
+    reference's ``fill_value=0`` pivots.
+    """
+
+    def cell(group: str, src: str, suffix: str) -> Column:
+        name = f"{sanitize_group_name(group)}_{suffix}"
+        return hround(
+            F.coalesce(F.sum(F.when(F.col("group") == group, F.col(src))), F.lit(0.0)),
+            2,
+        ).alias(name)
+
+    return (
+        fact.groupBy("sucursal", "operating_date", "order_id")
+        .agg(
+            *[cell(g, "subtotal_item", "subtotal") for g in SALES_GROUPS],
+            *[cell(g, "total_item", "total") for g in SALES_GROUPS],
+            F.min("captured_time").alias("captured_time"),
+            F.max("captured_time").alias("closing_time"),
+            F.count(F.lit(1)).alias("n_lines"),
+            hround(F.sum("total_item"), 2).alias("total_ticket_cost"),
+        )
+    )
+
+
+def build_sales_by_group(fact: DataFrame) -> DataFrame:
+    """fact_sales_item_line → mart_sales_by_group (category × branch pivot).
+
+    Aggregates the fact directly (see module docstring for the
+    melt-equivalence argument); branch universe is fixed (A/N/R), so the
+    pivot is a static conditional-sum pass. ``orden`` carries the fixed
+    ROW_ORDER for presentation parity.
+    """
+    cat = category_for_group(F.col("group"))
+    order_expr: Column | None = None
+    for i, name in enumerate(ROW_ORDER):
+        cond = F.lit(name) == cat
+        order_expr = (
+            F.when(cond, F.lit(i)) if order_expr is None else order_expr.when(cond, F.lit(i))
+        )
+    assert order_expr is not None
+
+    return (
+        fact.withColumn("grupo_nuevo", cat)
+        .withColumn("orden", order_expr.otherwise(F.lit(99)))
+        .groupBy("grupo_nuevo", "orden")
+        .agg(
+            *[
+                hround(
+                    F.coalesce(
+                        F.sum(F.when(F.col("sucursal") == s, F.col("subtotal_item"))),
+                        F.lit(0.0),
+                    ),
+                    2,
+                ).alias(f"suc_{s}")
+                for s in ("A", "N", "R")
+            ]
+        )
+    )

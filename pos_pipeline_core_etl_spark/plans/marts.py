@@ -66,6 +66,127 @@ LEFT JOIN hol h ON d.fecha = h.fecha
 PAYMENTS_DAILY_MART_SQL = _payments_daily_oracle()
 
 
+# ---------------------------------------------------------------------------
+# sales marts
+
+
+def sales_by_ticket_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_sales_item_line → mart_sales_by_ticket (dual per-group pivot)."""
+    from pos_pipeline_core_etl_spark.operators.sales import build_sales_by_ticket
+
+    return build_sales_by_ticket(pos_adapter.fact_sales_item_line(spark, sf_dir))
+
+
+def _sales_by_ticket_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.sales import SALES_GROUPS, sanitize_group_name
+
+    cells = []
+    for suffix, src in (("subtotal", "subtotal_item"), ("total", "total_item")):
+        for g in SALES_GROUPS:
+            name = f"{sanitize_group_name(g)}_{suffix}"
+            expr = hround_sql(
+                f"COALESCE(SUM(CASE WHEN \"group\" = '{g}' THEN {src} END), 0)", 2
+            )
+            cells.append(f'  {expr} AS "{name}"')
+    cell_sql = ",\n".join(cells)
+    return f"""
+WITH fact AS ({pos_adapter.FACT_SALES_SQL})
+SELECT sucursal, operating_date, order_id,
+{cell_sql},
+  MIN(captured_time) AS captured_time,
+  MAX(captured_time) AS closing_time,
+  COUNT(*) AS n_lines,
+  {hround_sql("SUM(total_item)", 2)} AS total_ticket_cost
+FROM fact
+GROUP BY sucursal, operating_date, order_id
+"""
+
+
+SALES_BY_TICKET_MART_SQL = _sales_by_ticket_oracle()
+
+
+def sales_by_group_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_sales_item_line → mart_sales_by_group (category × branch)."""
+    from pos_pipeline_core_etl_spark.operators.sales import build_sales_by_group
+
+    return build_sales_by_group(pos_adapter.fact_sales_item_line(spark, sf_dir))
+
+
+def _sales_by_group_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.sales import (
+        ROW_ORDER,
+        category_for_group_sql,
+    )
+
+    cat = category_for_group_sql('"group"')
+    orden_whens = "\n".join(
+        f"WHEN {cat} = '{name}' THEN {i}" for i, name in enumerate(ROW_ORDER)
+    )
+    suc_cells = ",\n".join(
+        "  "
+        + hround_sql(
+            f"COALESCE(SUM(CASE WHEN sucursal = '{s}' THEN subtotal_item END), 0)", 2
+        )
+        + f' AS "suc_{s}"'
+        for s in ("A", "N", "R")
+    )
+    return f"""
+WITH fact AS ({pos_adapter.FACT_SALES_SQL})
+SELECT {cat} AS grupo_nuevo,
+       CASE {orden_whens} ELSE 99 END AS orden,
+{suc_cells}
+FROM fact
+GROUP BY 1, 2
+"""
+
+
+SALES_BY_GROUP_MART_SQL = _sales_by_group_oracle()
+
+
+# ---------------------------------------------------------------------------
+# transfers mart
+
+
+def transfers_cube_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_transfers_line → category × branch money cube with TOTALs."""
+    from pos_pipeline_core_etl_spark.operators.transfers import build_transfers_cube
+
+    return build_transfers_cube(pos_adapter.fact_transfers_line(spark, sf_dir))
+
+
+TRANSFERS_CUBE_MART_SQL = f"""
+WITH fact AS ({pos_adapter.FACT_TRANSFERS_SQL})
+SELECT COALESCE(departamento, 'TOTAL') AS categoria,
+       COALESCE(sucursal_destino, 'TOTAL') AS sucursal_destino,
+       {hround_sql("SUM(costo)", 2)} AS monto,
+       COUNT(*) AS n_lines
+FROM fact
+GROUP BY CUBE (departamento, sucursal_destino)
+"""
+
+
+# ---------------------------------------------------------------------------
+# silver facts exposed as queries (exercise the adapter joins/cleaning)
+
+
+def fact_payments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pos_adapter.fact_payments_ticket(spark, sf_dir)
+
+
+def fact_sales_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pos_adapter.fact_sales_item_line(spark, sf_dir)
+
+
+def fact_transfers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pos_adapter.fact_transfers_line(spark, sf_dir)
+
+
 QUERIES: dict[str, tuple] = {
     "payments_daily_mart": (payments_daily_mart, PAYMENTS_DAILY_MART_SQL),
+    "sales_by_ticket_mart": (sales_by_ticket_mart, SALES_BY_TICKET_MART_SQL),
+    "sales_by_group_mart": (sales_by_group_mart, SALES_BY_GROUP_MART_SQL),
+    "transfers_cube_mart": (transfers_cube_mart, TRANSFERS_CUBE_MART_SQL),
+    "fact_payments_ticket": (fact_payments_query, pos_adapter.FACT_PAYMENTS_SQL),
+    "fact_sales_item_line": (fact_sales_query, pos_adapter.FACT_SALES_SQL),
+    "fact_transfers_line": (fact_transfers_query, pos_adapter.FACT_TRANSFERS_SQL),
 }

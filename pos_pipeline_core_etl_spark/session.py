@@ -41,6 +41,9 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
+        # the synthetic events table stores TIMESTAMP(NANOS); read as long
+        # and convert in the catalog (sources.tables) — Spark has no nanos type
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # local mode: one JVM; keep UI off for headless runs
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
