@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each scale-designed and each with an exact integer-
+arithmetic formulation so the DuckDB oracle reproduces results
+bit-for-bit:
+
+- **exact**: hash-groupBy on the document fingerprint (one shuffle on
+  the md5 key; at 100 TB this is the cheapest possible dedup).
+- **MinHash + LSH**: shingle → k minhashes → band buckets → candidate
+  pairs only within equal band keys → exact Jaccard verify. The
+  candidate join shuffles on the (band, key) pair, never on doc × doc;
+  signatures are 64-bit modular arithmetic over md5-derived shingle ids
+  (engine-independent, no floats).
+- **SimHash**: per-bit signed token-hash sums → compact int signature;
+  near-dup = small Hamming distance.
+- **n-gram Jaccard**: exact pairwise similarity, for verification and
+  small candidate sets (the LSH path generates candidates at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.operators.text import TOKEN_SPLIT_RE
+
+# MinHash parameters: k hash functions in b bands × r rows (k = b*r)
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+HASH_MOD = 4294967311  # prime > 2^32 so (a*x+b) wraps and hash funcs decorrelate
+SHINGLE_SIZE = 3
+
+
+def _hash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p.
+
+    Derived from fixed odd multipliers — no RNG, so Spark and the SQL
+    oracle share them via code generation.
+    """
+    return [(2 * i + 1, 7919 * (i + 1)) for i in range(k)]
+
+
+def shingles_col(text: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    t = F.split(F.trim(F.lower(text)), TOKEN_SPLIT_RE)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+    )
+
+
+def shingles_sql(text_sql: str, n: int = SHINGLE_SIZE) -> str:
+    """DuckDB twin of :func:`shingles_col` (1-based list indexing).
+
+    The token array is bound to ``t`` via a single-element
+    ``list_transform`` so the expression stays self-contained (usable
+    inline without a FROM-clause alias).
+    """
+    toks = f"regexp_split_to_array(trim(lower({text_sql})), '\\s+')"
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    inner = (
+        f"list_distinct(CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {gram}) "
+        f"ELSE [array_to_string(t, ' ')] END)"
+    )
+    return f"list_transform([{toks}], t -> {inner})[1]"
+
+
+def shingle_id(sh: Column) -> Column:
+    """Stable 32-bit integer id of a shingle: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+
+
+SHINGLE_ID_SQL = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: canonical id + member count per content
+    fingerprint. One shuffle on the hash key."""
+    from pos_pipeline_core_etl_spark.operators.text import fingerprint
+
+    fp = fingerprint(docs, text_col)
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → k minhash values (exploded-shingle groupBy, k min-aggs)."""
+    exploded = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
+    ).withColumn("x", shingle_id(F.col("sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params())
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
+    """Signature → (band, bucket_key) rows; equal keys = candidate pair."""
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh_{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        key = F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+        bands.append(
+            sigs.select(
+                "doc_id", F.lit(band).alias("band"), key.alias("bucket_key")
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    buckets = lsh_band_buckets(minhash_signatures(docs, text_col))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard over a bounded doc subset.
+
+    The all-pairs form is O(n²) by construction — at scale the LSH path
+    supplies candidates and this computes the verify step only.
+    """
+    base = docs
+    if max_doc_id is not None:
+        base = base.where(F.col("doc_id") < max_doc_id)
+    sh = base.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter / union
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hround(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct lowercase tokens (pure integer math)."""
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE))
+        ).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    sigs = simhash(docs, text_col)
+    if max_doc_id is not None:
+        sigs = sigs.where(F.col("doc_id") < max_doc_id)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,100 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The Spark-side machinery is real and tested: typed ``binary`` payload
+columns, Arrow-batched ``mapInPandas`` feature extraction with an
+explicit output schema, partition-friendly batch shapes. The actual
+media decode is STUBBED — the container has no image/audio libraries —
+behind ``_try_decode_image``: if a real decoder (PIL) is importable it
+is used, otherwise deterministic pseudo-features derived from the bytes
+stand in, keeping every downstream contract (schema, null-handling,
+batch iteration) identical to a production deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, first_byte long, fake_width long, "
+    "fake_height long, decoder string"
+)
+
+
+def _try_decode_image(payload: bytes) -> dict:
+    """Decode stub: real decoder if available, else deterministic fake."""
+    try:  # pragma: no cover - PIL absent in this container
+        from PIL import Image  # noqa: F401
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "fake_width": im.width,
+                "fake_height": im.height,
+                "decoder": "pil",
+            }
+    except ImportError:
+        pass
+    except Exception:
+        # undecodable bytes under a real decoder → explicit failure row
+        return {"fake_width": -1, "fake_height": -1, "decoder": "error"}
+    # deterministic fake: features are pure functions of the payload so
+    # the DuckDB oracle can reproduce them
+    n = len(payload)
+    first = payload[0] if n else 0
+    return {
+        "fake_width": n % 640,
+        "fake_height": (first * 7) % 480,
+        "decoder": "stub",
+    }
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload) if payload is not None else b""
+            d = _try_decode_image(payload)
+            feats.append(
+                {
+                    "doc_id": doc_id,
+                    "n_bytes": len(payload),
+                    "first_byte": payload[0] if payload else 0,
+                    **d,
+                }
+            )
+        yield pd.DataFrame(
+            feats,
+            columns=[
+                "doc_id",
+                "n_bytes",
+                "first_byte",
+                "fake_width",
+                "fake_height",
+                "decoder",
+            ],
+        )
+
+
+def extract_features(binary_docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → typed feature rows via mapInPandas.
+
+    Arrow-batched: each task processes whole record batches, the decode
+    loop is per-row only inside a batch (exactly how a real image decode
+    behaves — the codec is the cost, not the loop).
+    """
+    return binary_docs.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+
+
+def documents_as_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as an opaque media payload."""
+    return docs.select("doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload"))
+
+
+# mapInPandas callables ship to executors — serialize by value
+from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

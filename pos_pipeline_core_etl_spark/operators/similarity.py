@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force top-k neighbors for a query set. The
+  query side broadcasts; the corpus never shuffles. All vector math is
+  JVM higher-order functions (``zip_with`` + ``aggregate``) — no UDF.
+  Cost is O(|queries| × |corpus|): correct as a baseline and as the
+  verify stage of an ANN pipeline.
+- ``lsh_bucket_topk``: random-hyperplane LSH — deterministic
+  hyperplanes (integer-mixed, engine-reproducible), sign-bit bucket
+  key, then top-k within bucket. The bucket equi-join replaces the
+  cross product, which is the 100 TB scale path (same shape as an IVF
+  coarse quantizer with hyperplane cells).
+
+Similarities are rounded BEFORE ranking so rank order is identical in
+any engine computing the same rounded values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+N_PLANES = 8
+PLANE_MIX = 2654435761  # Knuth multiplicative constant
+PLANE_MOD = 2**32
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = l2norm(a), l2norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(None).cast("double")).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (vec_id < n_queries)."""
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    queries = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    sims = (
+        corpus.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            hround(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "cos_sim")
+    )
+
+
+def plane_component(plane: int, comp: Column | int, dim: int = 64) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    v = ((mix · (plane·dim + comp + 1)) mod 2³²) / 2³¹ − 1 — pure
+    integer mixing then one exact float division, identical in SQL.
+    """
+    idx = F.lit(plane * dim) + comp + 1
+    mixed = (F.lit(PLANE_MIX) * idx) % F.lit(PLANE_MOD)
+    return mixed / F.lit(float(2**31)) - 1.0
+
+
+def lsh_bucket(vec: Column, dim: int = 64, n_planes: int = N_PLANES) -> Column:
+    """Sign-bit bucket id from n deterministic hyperplanes."""
+    bucket = None
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x * plane_component(p, i, dim),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket(_as_double(F.col(vec_col))).alias("bucket"),
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: top-k cosine within the query's LSH bucket (equi-join, no
+    cross product — the shuffle key is the bucket id)."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("bucket", lsh_bucket(F.col("vec")))
+    queries = base.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = base.select(
+        F.col("vid").alias("cand_id"), F.col("vec").alias("cvec"), "bucket"
+    )
+    sims = (
+        cands.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            hround(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "cos_sim")
+    )

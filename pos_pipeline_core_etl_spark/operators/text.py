@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure JVM column expressions (split/filter/aggregate higher-order
+functions) — no Python in the hot path, so these run at scan speed over
+100 TB of documents:
+
+- ``token_counts``: whitespace tokens + a BPE-ish regex token count.
+- ``quality_score``: length/punctuation/stopword-ratio features and a
+  composite score.
+- ``lang_id``: n-gram/stopword-hit language scoring with deterministic
+  arg-max.
+- ``fingerprint``: order-insensitive document fingerprint (md5 of the
+  sorted distinct token set) — the exact-dedup key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+TOKEN_SPLIT_RE = r"\s+"
+# word / number / single punctuation — a BPE-ish pre-tokenizer
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# language → marker-word set (tiny deterministic heuristic; real systems
+# plug a model UDF here, the plumbing is identical)
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = tokens_col(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens_ws"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)).alias("n_tokens_bpe"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def _count_in_set(tokens: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(arr, F.lower(x))))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features + composite quality score."""
+    t = tokens_col(F.col(text_col))
+    n_chars = F.length(text_col)
+    n_words = F.size(t)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    n_stop = _count_in_set(t, STOPWORDS)
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars)
+    stop_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(n_stop / n_words)
+    avg_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        (n_chars - (n_words - 1)) / n_words
+    )
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        hround(punct_ratio, 6).alias("punct_ratio"),
+        hround(stop_ratio, 6).alias("stopword_ratio"),
+        hround(avg_word_len, 6).alias("avg_word_len"),
+        hround(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-hit language scoring.
+
+    Arg-max over per-language marker counts; ties break alphabetically
+    (stable across engines). Unmatched text falls to the first language
+    alphabetically with count 0 — callers treat score 0 as 'und'.
+    """
+    t = tokens_col(F.col(text_col))
+    scored = docs.select(
+        "doc_id",
+        *[
+            _count_in_set(t, words).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_MARKERS.items())
+        ],
+    )
+    best: Column = F.lit(None)
+    # reverse alphabetical fold so earlier languages win ties
+    langs = sorted(LANG_MARKERS)
+    best_score = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred: Column | None = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best_score
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    assert pred is not None
+    return scored.select(
+        "doc_id",
+        *[f"score_{lang}" for lang in langs],
+        F.when(best_score == 0, F.lit("und")).otherwise(pred).alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 over the sorted distinct lowercase token set (exact-dedup key)."""
+    t = F.array_sort(F.array_distinct(tokens_col(F.lower(F.col(text_col)))))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(t, " ")).alias("fp"),
+        F.size(t).alias("n_distinct_tokens"),
+    )

@@ -1,0 +1,424 @@
+"""LLM-training-data pipeline queries (dedup / similarity / text /
+multimodal) with DuckDB oracles.
+
+Every oracle reproduces the Spark computation exactly: integer hashing
+is md5-hex-prefix based (identical in both engines), vector math uses
+left-fold accumulation in both (``F.aggregate`` ↔ ``list_reduce``),
+and similarities are rounded before ranking so order ties are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
+from pos_pipeline_core_etl_spark.operators import dedup, multimodal, similarity, text
+from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.token_counts(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+TEXT_TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{text.BPE_ISH_RE}')) AS n_tokens_bpe,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.quality_score(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "stopword_ratio",
+        "avg_word_len",
+        "quality",
+    )
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> list_contains([{stop_list}], lower(x)))) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_words,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE n_stop / n_words END AS stop_ratio,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE (n_chars - (n_words - 1)) / n_words END AS avg_word_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_words,
+       {hround_sql("punct_ratio", 6)} AS punct_ratio,
+       {hround_sql("stop_ratio", 6)} AS stopword_ratio,
+       {hround_sql("avg_word_len", 6)} AS avg_word_len,
+       {hround_sql(
+           "LEAST(n_words / 100.0, 1.0) * 0.4"
+           " + (1 - LEAST(punct_ratio * 5, 1.0)) * 0.3"
+           " + LEAST(stop_ratio * 4, 1.0) * 0.3", 6)} AS quality
+FROM r
+"""
+
+
+TEXT_QUALITY_SQL = _quality_oracle()
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.lang_id(load_table(spark, sf_dir, "documents"))
+    langs = sorted(text.LANG_MARKERS)
+    return df.select(
+        "doc_id",
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in langs],
+        "lang_pred",
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_cells = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        score_cells.append(
+            rf"""len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> list_contains([{words}], lower(x)))) AS score_{lang}"""
+        )
+    cells = ",\n       ".join(score_cells)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred_whens = "\n".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+       {cells}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       CASE WHEN {best} = 0 THEN 'und' ELSE CASE {pred_whens} END END AS lang_pred
+FROM s
+"""
+
+
+TEXT_LANG_ID_SQL = _lang_id_oracle()
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.fingerprint(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "fp", F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens")
+    )
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(
+         list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+         ' ')) AS fp,
+       len(list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))))
+         AS n_distinct_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_DOCS_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+)
+SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM fp GROUP BY fp
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_doc_id=100
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    sh = dedup.shingles_sql("text")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {hround_sql(
+           "len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))",
+           6)} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {hround_sql(
+           "len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))",
+           6)} >= 0.5
+"""
+
+
+DEDUP_NGRAM_JACCARD_SQL = _ngram_jaccard_oracle()
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    sh = dedup.shingles_sql("text")
+    xid = dedup.SHINGLE_ID_SQL.format(s="u.s")
+    sig_cells = ",\n  ".join(
+        f"MIN(({a} * x + {b}) % {dedup.HASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup._hash_params())
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh_{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({key}) AS bucket_key FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+x AS (
+  SELECT sh.doc_id, {xid} AS x
+  FROM sh, LATERAL (SELECT unnest(sh.s) AS s) u
+),
+sig AS (
+  SELECT doc_id,
+  {sig_cells}
+  FROM x GROUP BY doc_id
+),
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket_key = b.bucket_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_oracle()
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, max_doc_id=100
+    )
+    return df.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_oracle() -> str:
+    bit_cells = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(dedup.SIMHASH_BITS)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT d.doc_id, u.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(list_distinct(
+         regexp_split_to_array(trim(lower(d.text)), '\s+'))) AS tok) u
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+  {bit_cells}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits WHERE doc_id < 100
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    d = _DOT.format(a=a, b=b)
+    return f"CASE WHEN {na} = 0 OR {nb} = 0 THEN NULL ELSE {d} / ({na} * {nb}) END"
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _cosine_topk_oracle() -> str:
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, b.vec_id AS cand_id,
+         {hround_sql(_cos_sql("q.qv", "b.v"), 6)} AS cos_sim
+  FROM base b JOIN q ON b.vec_id != q.query_id
+)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, cand_id ASC) AS rnk,
+       cand_id, cos_sim
+FROM sims
+QUALIFY rnk <= 5
+"""
+
+
+SIM_COSINE_TOPK_SQL = _cosine_topk_oracle()
+
+
+def sim_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = similarity.lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"))
+    return df.select("query_id", F.col("rnk").cast("long").alias("rnk"), "cand_id", "cos_sim")
+
+
+def _plane_proj_sql(vec: str, plane: int, dim: int = 64) -> str:
+    comp = (
+        f"((({similarity.PLANE_MIX} * ({plane * dim} + i)) % {similarity.PLANE_MOD})"
+        f" / {float(2**31)} - 1.0)"
+    )
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {vec}[i] * {comp}), (x, y) -> x + y)"
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_proj_sql('v', p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(similarity.N_PLANES)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM bucketed WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, b.vec_id AS cand_id,
+         {hround_sql(_cos_sql("q.qv", "b.v"), 6)} AS cos_sim
+  FROM bucketed b
+  JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.query_id
+)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, cand_id ASC) AS rnk,
+       cand_id, cos_sim
+FROM sims
+QUALIFY rnk <= 3
+"""
+
+
+SIM_LSH_BUCKET_TOPK_SQL = _lsh_topk_oracle()
+
+
+def sim_lsh_buckets_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _lsh_histogram_oracle() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_proj_sql('v', p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(similarity.N_PLANES)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST({bucket} AS BIGINT) AS bucket, COUNT(*) AS n_vectors
+FROM base GROUP BY 1
+"""
+
+
+SIM_LSH_BUCKETS_HISTOGRAM_SQL = _lsh_histogram_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary payload plumbing, stubbed decode)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.documents_as_binary(docs))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS BIGINT) AS fake_height,
+       'stub' AS decoder
+FROM documents
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_token_counts": (text_token_counts, TEXT_TOKEN_COUNTS_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "sim_lsh_bucket_topk": (sim_lsh_bucket_topk, SIM_LSH_BUCKET_TOPK_SQL),
+    "sim_lsh_buckets_histogram": (
+        sim_lsh_buckets_histogram,
+        SIM_LSH_BUCKETS_HISTOGRAM_SQL,
+    ),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+}
