@@ -1,0 +1,102 @@
+"""Structured Streaming over the events table (SURVEY §2.10 extension).
+
+The reference has no streaming — its incremental batch model (interval
+subtraction + stage metadata) maps to idempotent re-runs. This module
+adds the streaming ingestion mode the rebuild offers on top: tumbling-
+window aggregation with a watermark for late data, plus gap-based
+sessionization. The batch twins of both queries live in
+``plans.streaming_queries`` and are oracle-checked; the streaming
+versions are asserted equal to the batch results in tests (file source
++ ``availableNow`` drains the table deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+WINDOW = "5 minutes"
+WATERMARK = "10 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def tumbling_counts_batch(events: DataFrame) -> DataFrame:
+    """5-minute tumbling window × event_type counts + value sums."""
+    return (
+        events.groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), hround(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), hround(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    The streaming file source requires a DIRECTORY; the testdata ships a
+    single file, so it is symlinked into a temp dir (testdata itself is
+    read-only). Schema is pinned — streaming sources never infer.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stream_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str = "events_stream_out") -> DataFrame:
+    """Drain the events table through a real streaming query (watermark +
+    tumbling window) into a memory sink; returns the final result."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), hround(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,125 @@
+"""Forecast model + orchestration tests (reference test strategy §5:
+synthetic fixtures, shape + invariant assertions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.forecasting.api import (
+    ForecastConfig,
+    run_payments_forecast,
+)
+from pos_pipeline_core_etl_spark.forecasting.deposit import build_deposit_schedule
+from pos_pipeline_core_etl_spark.forecasting.models import (
+    LogLinearSeasonalModel,
+    NaiveLastWeekModel,
+)
+
+
+def _series(n=40, start="2024-01-01"):
+    idx = pd.date_range(start, periods=n, freq="D")
+    return pd.Series([100.0 + (i % 7) * 10 for i in range(n)], index=idx)
+
+
+def test_naive_lastweek_picks_last_same_weekday():
+    m = NaiveLastWeekModel()
+    s = _series()
+    trained = m.train(s)
+    pred = m.forecast(trained, 7)
+    assert len(pred) == 7
+    for d, v in pred.items():
+        assert v == s.loc[d - pd.Timedelta(days=7)]
+
+
+def test_naive_lastweek_skips_zero_days():
+    s = _series()
+    s.iloc[-7:] = 0.0  # last week unobserved
+    m = NaiveLastWeekModel()
+    pred = m.forecast(m.train(s), 7)
+    for d, v in pred.items():
+        assert v == s.loc[d - pd.Timedelta(days=14)]
+
+
+def test_loglinear_learns_weekly_pattern():
+    m = LogLinearSeasonalModel()
+    s = _series(70)
+    pred = m.forecast(m.train(s), 14)
+    assert len(pred) == 14
+    assert (pred >= 0).all()
+    # weekly structure: same weekday → near-equal predictions
+    assert abs(pred.iloc[0] - pred.iloc[7]) < 5.0
+
+
+def test_min_observations_enforced():
+    with pytest.raises(ValueError):
+        NaiveLastWeekModel().train(_series(10))
+    with pytest.raises(ValueError):
+        LogLinearSeasonalModel().train(_series(10))
+
+
+@pytest.fixture()
+def mart_fixture(spark):
+    rows = []
+    start = dt.date(2024, 1, 1)
+    for suc in ("A", "B"):
+        for i in range(45):
+            d = start + dt.timedelta(days=i)
+            base = 100.0 if suc == "A" else 200.0
+            rows.append((suc, d, base + (i % 7) * 10, 50.0, 25.0))
+    return spark.createDataFrame(
+        rows,
+        "sucursal string, fecha date, ingreso_efectivo double, "
+        "ingreso_credito double, ingreso_debito double",
+    )
+
+
+def test_run_payments_forecast_shape(spark, mart_fixture):
+    cfg = ForecastConfig(horizon_days=7, metrics=("ingreso_efectivo", "ingreso_total"))
+    res = run_payments_forecast(mart_fixture, cfg)
+    fc = res.forecast.collect()
+    assert {r["sucursal"] for r in fc} == {"A", "B"}
+    assert {r["metric"] for r in fc} == {"ingreso_efectivo", "ingreso_total"}
+    per_group = {}
+    for r in fc:
+        per_group.setdefault((r["sucursal"], r["metric"]), []).append(r)
+    assert all(len(v) == 7 for v in per_group.values())
+    assert all(r["valor"] >= 0 for r in fc)
+    assert res.metadata["model"] == "LogLinearSeasonalModel"
+
+
+def test_forecast_skips_thin_series(spark):
+    rows = [("A", dt.date(2024, 1, 1 + i), 100.0, 1.0, 1.0) for i in range(10)]
+    mart = spark.createDataFrame(
+        rows,
+        "sucursal string, fecha date, ingreso_efectivo double, "
+        "ingreso_credito double, ingreso_debito double",
+    )
+    res = run_payments_forecast(mart, ForecastConfig(metrics=("ingreso_efectivo",)))
+    assert res.forecast.count() == 0
+
+
+def test_deposit_schedule_calendar(spark):
+    # one ISO week Mon 2024-01-01 .. Sun 2024-01-07
+    rows = [
+        ("A", dt.date(2024, 1, 1 + i), 100.0 * (i + 1), 10.0, 5.0) for i in range(7)
+    ]
+    mart = spark.createDataFrame(
+        rows,
+        "sucursal string, fecha date, ingreso_efectivo double, "
+        "ingreso_credito double, ingreso_debito double",
+    )
+    dep = {r["fecha_deposito"]: r for r in build_deposit_schedule(mart).collect()}
+    # cash: Mon+Tue → Wed 01-03; Wed+Thu → Fri 01-05; Fri+Sat+Sun → Mon 01-08
+    assert dep[dt.date(2024, 1, 3)]["efectivo"] == 100.0 + 200.0
+    assert dep[dt.date(2024, 1, 5)]["efectivo"] == 300.0 + 400.0
+    assert dep[dt.date(2024, 1, 8)]["efectivo"] == 500.0 + 600.0 + 700.0
+    # cards: Mon-Thu → next day; Fri+Sat+Sun → Mon
+    assert dep[dt.date(2024, 1, 2)]["tarjetas"] == 15.0
+    assert dep[dt.date(2024, 1, 8)]["tarjetas"] == 45.0
+    # no cash lands Tue or Thu
+    assert dep[dt.date(2024, 1, 2)]["efectivo"] == 0.0
+    assert dep[dt.date(2024, 1, 4)]["efectivo"] == 0.0
