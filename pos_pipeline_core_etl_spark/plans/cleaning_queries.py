@@ -269,8 +269,75 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# composed silver cleaner (bronze→silver end-to-end)
+
+
+def silver_clean_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw string-typed payments rows (mixed date formats, formatted
+    numbers, NBSP noise, eliminated-set sidecar) → typed silver fact via
+    the one-plan cleaner (operators.cleaners.clean_payments)."""
+    from pos_pipeline_core_etl_spark.operators.cleaners import clean_payments
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    date_str = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format(d, "dd/MM/yyyy"))
+        .otherwise(F.date_format(d, "MM/dd/yyyy"))
+    )
+    method = F.element_at(
+        F.array(*[F.lit(m) for m in pos_adapter.PAYMENT_METHODS]),
+        (F.col("o_orderkey") % 9 + 1).cast("int"),
+    )
+    raw = orders.select(
+        F.lit("Kavia").alias("sucursal"),
+        date_str.alias("operating_date"),
+        F.col("o_orderkey").cast("string").alias("order_index"),
+        F.concat(F.lit(" "), method, F.lit("  ")).alias("payment_method"),
+        F.format_number(F.col("o_totalprice"), 2).alias("ticket_total"),
+        F.format_number(F.col("o_totalprice") * 0.1, 4).alias("ticket_tip"),
+    )
+    eliminated = (
+        orders.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 17 == 0))
+        .select(
+            date_str.alias("operating_date"),
+            F.col("o_orderkey").cast("string").alias("order_index"),
+        )
+    )
+    return clean_payments(raw, eliminated)
+
+
+def _silver_clean_payments_oracle() -> str:
+    from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
+
+    parsed_date = """
+  CASE
+    WHEN o_orderkey % 3 = 2 AND EXTRACT(day FROM o_orderdate) <= 12
+      THEN make_date(CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                     CAST(EXTRACT(day FROM o_orderdate) AS INT),
+                     CAST(EXTRACT(month FROM o_orderdate) AS INT))
+    ELSE CAST(o_orderdate AS DATE)
+  END"""
+    method = pos_adapter._method_case_sql("o_orderkey")
+    return f"""
+SELECT 'Kavia' AS sucursal,
+       {parsed_date} AS operating_date,
+       o_orderkey AS order_index,
+       {method} AS payment_method,
+       o_totalprice AS ticket_total,
+       {hround_sql("o_totalprice * 0.1", 4)} AS ticket_tip,
+       (o_orderstatus = 'F' AND o_orderkey % 17 = 0) AS elimination_present
+FROM orders
+"""
+
+
+SILVER_CLEAN_PAYMENTS_SQL = _silver_clean_payments_oracle()
+
+
 QUERIES: dict[str, tuple] = {
     "fn_clean_strings": (fn_clean_strings, FN_CLEAN_STRINGS_SQL),
+    "silver_clean_payments": (silver_clean_payments, SILVER_CLEAN_PAYMENTS_SQL),
     "fn_to_float_locale": (fn_to_float_locale, FN_TO_FLOAT_LOCALE_SQL),
     "fn_to_float_expr": (fn_to_float_expr, FN_TO_FLOAT_LOCALE_SQL),
     "fn_to_date_multi": (fn_to_date_multi, FN_TO_DATE_MULTI_SQL),

@@ -1,0 +1,157 @@
+"""Driver-side ingestion parsing: Excel grids, headers, HTTP client plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pos_pipeline_core_etl_spark.functions.names import (
+    normalize_for_match,
+    slugify,
+    to_snake,
+    uniquify,
+)
+from pos_pipeline_core_etl_spark.sources.excel import (
+    PAYMENTS_HEADER_MAP,
+    PAYMENTS_POSITIONAL,
+    detect_header_row,
+    detect_header_row_scored,
+    find_sheet_case_insensitive,
+    normalize_headers,
+    parse_sheet,
+)
+from pos_pipeline_core_etl_spark.sources.http_client import (
+    chunked_download_plan,
+    content_disposition_filename,
+    get_csrf_from_html,
+    make_session,
+    require_csrf_token,
+)
+
+D = dt.date
+
+
+class TestNames:
+    def test_to_snake(self):
+        assert to_snake("Fecha de Operación") == "fecha_de_operacion"
+        assert to_snake("Total + Propina") == "total_propina"
+
+    def test_uniquify(self):
+        assert uniquify(["a", "b", "a", "a"]) == ["a", "b", "a_2", "a_3"]
+
+    def test_slugify(self):
+        assert slugify("Sucursal Ñoño #3") == "sucursal-nono-3"
+
+    def test_normalize_for_match(self):
+        assert normalize_for_match("  Número   de  PDV ") == "numero de pdv"
+
+
+class TestExcelParsing:
+    def test_find_sheet(self):
+        names = ["Hoja1", "Detalle por Forma de Pago", "Resumen"]
+        assert find_sheet_case_insensitive(names, "detalle por forma de pago") == names[1]
+        assert find_sheet_case_insensitive(names, "forma de pago") == names[1]
+        with pytest.raises(KeyError):
+            find_sheet_case_insensitive(names, "nope")
+
+    def _raw_grid(self):
+        return pd.DataFrame(
+            [
+                ["Reporte", None, None, None, None, None],
+                ["Sucursal: Kavia", None, None, None, None, None],
+                [
+                    "Forma de pago",
+                    "Fecha de Operación",
+                    "Orden",
+                    "Propina",
+                    "Propina",
+                    "Total",
+                ],
+                ["Efectivo", "2024-01-01", "1", "50.0", "5.0", "100.0"],
+                ["Tarjeta Crédito", "2024-01-01", "2", "50.0", "7.5", "200.0"],
+                [None, None, None, None, None, None],
+            ]
+        )
+
+    def test_detect_header_row(self):
+        assert detect_header_row(self._raw_grid(), ["Forma de pago"]) == 2
+        with pytest.raises(ValueError):
+            detect_header_row(self._raw_grid(), ["Día"])
+
+    def test_detect_header_row_scored(self):
+        assert (
+            detect_header_row_scored(self._raw_grid(), ["orden", "total", "propina"])
+            == 2
+        )
+
+    def test_positional_propina_split(self):
+        headers = normalize_headers(
+            ["Forma de pago", "Fecha de Operación", "Orden", "Propina", "Propina", "Total"],
+            PAYMENTS_HEADER_MAP,
+            PAYMENTS_POSITIONAL,
+        )
+        assert headers == [
+            "payment_method",
+            "operating_date",
+            "order_index",
+            "total_day_tips",
+            "ticket_tip",
+            "ticket_total",
+        ]
+
+    def test_parse_sheet_end_to_end(self):
+        body = parse_sheet(
+            self._raw_grid(),
+            ["Forma de pago"],
+            PAYMENTS_HEADER_MAP,
+            PAYMENTS_POSITIONAL,
+        )
+        assert list(body.columns) == [
+            "payment_method",
+            "operating_date",
+            "order_index",
+            "total_day_tips",
+            "ticket_tip",
+            "ticket_total",
+        ]
+        assert len(body) == 2  # footer all-null row dropped
+        assert body.iloc[0]["payment_method"] == "Efectivo"
+
+
+class TestHttpClient:
+    def test_csrf_extraction(self):
+        html = '<form><input type="hidden" name="csrf_token" value="abc123"></form>'
+        assert get_csrf_from_html(html) == "abc123"
+        meta = '<meta name="csrf-token" content="xyz">'
+        assert get_csrf_from_html(meta) == "xyz"
+        assert get_csrf_from_html("<html></html>") is None
+        with pytest.raises(ValueError):
+            require_csrf_token("<html></html>")
+
+    def test_content_disposition(self):
+        assert (
+            content_disposition_filename('attachment; filename="Payments_2024.xlsx"')
+            == "Payments_2024.xlsx"
+        )
+        assert content_disposition_filename(None) is None
+
+    def test_session_is_configured(self):
+        s = make_session(timeout=5, retries=2)
+        adapter = s.get_adapter("https://example.com")
+        assert adapter.max_retries.total == 2
+        assert 429 in adapter.max_retries.status_forcelist
+
+    def test_chunked_download_plan(self):
+        plan = chunked_download_plan(
+            request=(D(2024, 1, 1), D(2024, 12, 31)),
+            validity_windows=[(D(2023, 6, 1), D(2024, 6, 30))],
+            already_downloaded=[(D(2024, 2, 1), D(2024, 2, 29))],
+            chunk_size_days=60,
+        )
+        # window clamps to Jan-Jun; Feb already covered → Jan + Mar-Jun
+        assert plan[0] == (D(2024, 1, 1), D(2024, 1, 31))
+        assert plan[1][0] == D(2024, 3, 1)
+        assert plan[-1][1] == D(2024, 6, 30)
+        assert all((e - s).days < 60 for s, e in plan)
