@@ -1,0 +1,163 @@
+"""Order-times-style analytics + remaining small operators.
+
+Covers the reference's order-times domain shape (per-category latency /
+value distributions) and the residual SURVEY §2.2/§2.7 items: null-row
+dropping, sorted distinct values, bounded samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
+from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+
+def order_times_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type value distribution: exact median / p90 / extremes.
+
+    Exact percentiles (``F.percentile``) shuffle once per group like any
+    agg; at 100 TB swap to ``approx_percentile`` for one-pass sketches —
+    same call shape, documented tradeoff.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(F.min("value"), 2).alias("v_min"),
+        hround(F.percentile("value", 0.5), 4).alias("v_median"),
+        hround(F.percentile("value", 0.9), 4).alias("v_p90"),
+        hround(F.max("value"), 2).alias("v_max"),
+        hround(F.avg("value"), 4).alias("v_avg"),
+    )
+
+
+ORDER_TIMES_SUMMARY_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {hround_sql("MIN(value)", 2)} AS v_min,
+       {hround_sql("quantile_cont(value, 0.5)", 4)} AS v_median,
+       {hround_sql("quantile_cont(value, 0.9)", 4)} AS v_p90,
+       {hround_sql("MAX(value)", 2)} AS v_max,
+       {hround_sql("AVG(value)", 4)} AS v_avg
+FROM events
+GROUP BY event_type
+"""
+
+
+def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats (order-times latency analog):
+    lag window → gap seconds → per-user summary."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.withColumn(
+        "gap_sec",
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w),
+    ).where(F.col("gap_sec").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        hround(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+        hround(F.max("gap_sec"), 4).alias("max_gap_sec"),
+    )
+
+
+USER_ACTIVITY_GAPS_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - LAG(epoch(ts), 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS gap_sec
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       {hround_sql("AVG(gap_sec)", 4)} AS avg_gap_sec,
+       {hround_sql("MAX(gap_sec)", 4)} AS max_gap_sec
+FROM g WHERE gap_sec IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def drop_null_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """na.drop semantics (payments_cleaner.py:470): synthesize sparse
+    nulls, drop rows where ALL measure columns are null."""
+    orders = load_table(spark, sf_dir, "orders")
+    sparse = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_totalprice")).alias("a"),
+        F.when(F.col("o_orderkey") % 4 == 1, F.col("o_totalprice")).alias("b"),
+    )
+    return sparse.na.drop(how="all", subset=["a", "b"])
+
+
+DROP_NULL_ROWS_SQL = """
+WITH sparse AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice END AS a,
+         CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice END AS b
+  FROM orders
+)
+SELECT * FROM sparse WHERE a IS NOT NULL OR b IS NOT NULL
+"""
+
+
+def sorted_distinct_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted unique dates (sales_by_ticket.py:234 analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .orderBy("d")
+    )
+
+
+SORTED_DISTINCT_DATES_SQL = """
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders ORDER BY d
+"""
+
+
+def bounded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bounded sample (qa sample_months analog): hash-based
+    selection is reproducible across engines, unlike rand(seed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100 < 5
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+BOUNDED_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 5
+"""
+
+
+def branch_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring matching + exclusion set
+    (transfers/core.py:133-140, CEDIS exclusion analog)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.where(
+        F.lower(F.col("n_name")).contains("an")
+        & ~F.col("n_name").isin("JAPAN", "JORDAN")
+    ).select("n_nationkey", "n_name")
+
+
+BRANCH_SUBSTRING_FILTER_SQL = """
+SELECT n_nationkey, n_name
+FROM nation
+WHERE lower(n_name) LIKE '%an%' AND n_name NOT IN ('JAPAN', 'JORDAN')
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "order_times_summary": (order_times_summary, ORDER_TIMES_SUMMARY_SQL),
+    "user_activity_gaps": (user_activity_gaps, USER_ACTIVITY_GAPS_SQL),
+    "drop_null_rows": (drop_null_rows, DROP_NULL_ROWS_SQL),
+    "sorted_distinct_dates": (sorted_distinct_dates, SORTED_DISTINCT_DATES_SQL),
+    "bounded_sample": (bounded_sample, BOUNDED_SAMPLE_SQL),
+    "branch_substring_filter": (branch_substring_filter, BRANCH_SUBSTRING_FILTER_SQL),
+}

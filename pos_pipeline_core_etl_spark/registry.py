@@ -54,6 +54,12 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
         modules.append(streaming_queries)
     except ImportError:
         pass
+    try:
+        from pos_pipeline_core_etl_spark.plans import analytics
+
+        modules.append(analytics)
+    except ImportError:
+        pass
 
     for mod in modules:
         for name, entry in mod.QUERIES.items():
