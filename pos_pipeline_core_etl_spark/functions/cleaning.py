@@ -58,12 +58,22 @@ def neutralize(col: Column) -> Column:
 _CURRENCY_RE = re.compile(r"[^\d,.\-()]")
 
 
+_PLAIN_FLOAT_RE = re.compile(r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?")
+
+
 def _parse_locale_number(s: object) -> float | None:
     if s is None:
         return None
     text = str(s).strip()
     if not text:
         return None
+    # canonical machine representations (incl. scientific notation) parse
+    # directly; the locale heuristics below are for human-formatted cells
+    if _PLAIN_FLOAT_RE.fullmatch(text):
+        try:
+            return float(text)
+        except ValueError:  # pragma: no cover - fullmatch guarantees parse
+            return None
     neg = False
     if text.startswith("(") and text.endswith(")"):
         neg = True

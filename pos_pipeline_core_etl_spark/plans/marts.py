@@ -24,7 +24,7 @@ def payments_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-shuffle conditional-aggregate plan (see operators.payments).
     """
     fact = pos_adapter.fact_payments_ticket(spark, sf_dir)
-    hol = pos_adapter.holidays(spark, sf_dir)
+    hol = pos_adapter.holidays_from_fact(fact)
     return build_payments_daily(fact, hol)
 
 

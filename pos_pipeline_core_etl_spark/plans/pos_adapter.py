@@ -119,6 +119,18 @@ WHERE EXTRACT(day FROM o_orderdate) = 1
 """
 
 
+def holidays_from_fact(fact: DataFrame) -> DataFrame:
+    """Same holiday set derived from the payments fact itself — avoids a
+    second scan of orders when the fact is already being built (every
+    order row survives the customer/nation inner joins, so the date sets
+    are identical to :func:`holidays`)."""
+    return (
+        fact.select(F.col("operating_date").alias("fecha"))
+        .where(F.dayofmonth("fecha") == 1)
+        .distinct()
+    )
+
+
 def fact_sales_item_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POS sales item-line fact from lineitem × part (grain: item line).
 

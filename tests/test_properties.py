@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the pure algebraic cores —
+beyond the reference's test strategy (SURVEY §5 notes it has none)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pos_pipeline_core_etl_spark.functions.cleaning import _parse_locale_number
+from pos_pipeline_core_etl_spark.operators.intervals import (
+    iter_chunks,
+    merge_intervals,
+    subtract_intervals,
+)
+
+DATES = st.dates(min_value=dt.date(2020, 1, 1), max_value=dt.date(2026, 12, 31))
+
+
+@st.composite
+def intervals(draw):
+    a = draw(DATES)
+    b = draw(DATES)
+    return (min(a, b), max(a, b))
+
+
+@given(st.lists(intervals(), max_size=8))
+@settings(max_examples=200)
+def test_merge_is_idempotent_and_sorted(ivs):
+    merged = merge_intervals(ivs)
+    assert merge_intervals(merged) == merged
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert s1 <= e1 and s2 <= e2
+        assert s2 > e1 + dt.timedelta(days=1)  # gaps strictly > 1 day
+
+
+@given(intervals(), st.lists(intervals(), max_size=6))
+@settings(max_examples=200)
+def test_gaps_plus_covered_tile_target(target, covered):
+    gaps = subtract_intervals(target, covered)
+    # gaps lie inside target and don't overlap covered
+    for g_start, g_end in gaps:
+        assert target[0] <= g_start <= g_end <= target[1]
+        for c_start, c_end in covered:
+            assert g_end < c_start or g_start > c_end
+    # every day of target is in a gap xor covered
+    day = target[0]
+    while day <= target[1]:
+        in_gap = any(s <= day <= e for s, e in gaps)
+        in_cov = any(s <= day <= e for s, e in covered)
+        assert in_gap != in_cov
+        day += dt.timedelta(days=max(1, (target[1] - target[0]).days // 20))
+
+
+@given(intervals(), st.integers(min_value=1, max_value=400))
+@settings(max_examples=100)
+def test_chunks_tile_exactly(iv, max_days):
+    chunks = list(iter_chunks(iv[0], iv[1], max_days=max_days))
+    assert chunks[0][0] == iv[0] and chunks[-1][1] == iv[1]
+    for (s, e) in chunks:
+        assert 1 <= (e - s).days + 1 <= max_days
+    for (_, e1), (s2, _) in zip(chunks, chunks[1:]):
+        assert s2 == e1 + dt.timedelta(days=1)
+
+
+@given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False))
+@settings(max_examples=300)
+def test_to_float_roundtrips_plain_repr(x):
+    assert _parse_locale_number(repr(x)) == x
+
+
+@given(st.integers(min_value=-10**9, max_value=10**9), st.integers(min_value=0, max_value=99))
+@settings(max_examples=300)
+def test_to_float_parses_both_locales(whole, cents):
+    us = f"{whole:,}.{cents:02d}"
+    eu = us.replace(",", "_").replace(".", ",").replace("_", ".")
+    expected = float(f"{whole}.{cents:02d}") if whole >= 0 else -(abs(whole) + cents / 100)
+    assert _parse_locale_number(us) == expected
+    assert _parse_locale_number(eu) == expected
