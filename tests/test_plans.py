@@ -1,0 +1,109 @@
+"""Physical-plan regression tests — the scale properties the engine
+promises (pushdown, broadcast joins, no Expand, static pivot schemas)
+must survive refactors, not just hold once.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pos_pipeline_core_etl_spark.plans.marts import (
+    payments_daily_mart,
+    sales_by_ticket_mart,
+    transfers_cube_mart,
+)
+from pos_pipeline_core_etl_spark.plans.relational import (
+    join_broadcast_dims,
+    scan_filter_project,
+)
+from pos_pipeline_core_etl_spark.schemas import (
+    FACT_PAYMENTS_TICKET,
+    FACT_SALES_ITEM_LINE,
+    FACT_TRANSFERS_LINE,
+    ContractViolation,
+    enforce_contract,
+)
+from pos_pipeline_core_etl_spark.plans import pos_adapter
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    """Formatted explain (full PushedFilters/ReadSchema; AQE shows the
+    plan twice — use only for substring presence checks)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def _plan(df) -> str:
+    """Executed-plan tree (one copy; node names reliable, arg lists may
+    truncate — use for counting operators)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanProperties:
+    def test_scan_pushes_filters_and_prunes_columns(self, spark):
+        df = scan_filter_project(spark, SF_DIR)
+        plan = _formatted(df)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "In(l_returnflag" in plan
+        # projection pruning: untouched wide columns never read
+        read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+        assert "l_comment" not in read_schema and "l_suppkey" not in read_schema
+
+    def test_mart_uses_broadcast_joins_only(self, spark):
+        plan = _plan(payments_daily_mart(spark, SF_DIR))
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_mart_has_no_expand(self, spark):
+        # two-level agg replaced dual countDistinct (Expand = 3× shuffle)
+        assert "Expand" not in _plan(payments_daily_mart(spark, SF_DIR))
+
+    def test_broadcast_dims_chain(self, spark):
+        plan = _plan(join_broadcast_dims(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") == 3
+        assert "SortMergeJoin" not in plan
+
+    def test_ticket_mart_single_shuffle_no_pivot_scan(self, spark):
+        # fixed group universe → no extra distinct-values job; one hash
+        # exchange for the ticket-grain aggregation
+        plan = _plan(sales_by_ticket_mart(spark, SF_DIR))
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    def test_transfers_cube_single_pass(self, spark):
+        plan = _plan(transfers_cube_mart(spark, SF_DIR))
+        assert "Expand" in plan  # cube's grouping sets — one pass, by design
+        assert "SortMergeJoin" not in plan
+
+
+class TestContracts:
+    def test_adapters_satisfy_contracts(self, spark):
+        enforce_contract(
+            pos_adapter.fact_payments_ticket(spark, SF_DIR), FACT_PAYMENTS_TICKET, exact=True
+        )
+        enforce_contract(
+            pos_adapter.fact_sales_item_line(spark, SF_DIR), FACT_SALES_ITEM_LINE, exact=True
+        )
+        enforce_contract(
+            pos_adapter.fact_transfers_line(spark, SF_DIR), FACT_TRANSFERS_LINE, exact=True
+        )
+
+    def test_violation_raises_before_action(self, spark):
+        df = pos_adapter.fact_payments_ticket(spark, SF_DIR).drop("ticket_tip")
+        with pytest.raises(ContractViolation, match="ticket_tip"):
+            enforce_contract(df, FACT_PAYMENTS_TICKET)
+
+    def test_type_mismatch_raises(self, spark):
+        from pyspark.sql import functions as F
+
+        df = pos_adapter.fact_payments_ticket(spark, SF_DIR).withColumn(
+            "ticket_total", F.col("ticket_total").cast("string")
+        )
+        with pytest.raises(ContractViolation, match="ticket_total"):
+            enforce_contract(df, FACT_PAYMENTS_TICKET)
