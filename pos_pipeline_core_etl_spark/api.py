@@ -26,7 +26,7 @@ from pos_pipeline_core_etl_spark.operators.transfers import build_transfers_cube
 from pos_pipeline_core_etl_spark.sources.metadata import run_stage
 
 PAYMENT_GRAINS = ("ticket", "daily")
-SALES_GRAINS = ("item", "ticket", "group")
+SALES_GRAINS = ("item", "ticket", "group", "day")
 
 
 def _range_filter(df: DataFrame, date_col: str, start: dt.date | None, end: dt.date | None) -> DataFrame:
@@ -89,6 +89,13 @@ def get_sales(
     """Sales at item / ticket / group grain (``sales/api.py:19-96``)."""
     if grain not in SALES_GRAINS:
         raise ValueError(f"grain must be one of {SALES_GRAINS}, got {grain!r}")
+    if grain == "day":
+        # reference parity: aggregate_sales(level="day") is declared but
+        # unimplemented there too (etl/sales.py:656-658, SURVEY §3.2)
+        raise NotImplementedError(
+            "sales grain 'day' is not implemented (reference parity: "
+            "etl/sales.py:656-658)"
+        )
     fact = pos_adapter.fact_sales_item_line(spark, sf_dir)
     fact = _range_filter(fact, "operating_date", start, end)
     if grain == "item":

@@ -159,7 +159,52 @@ FROM mart GROUP BY 1, 2
 """
 
 
+def qa_sample_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded month sampling with per-bucket breakdown
+    (qa_payments.py:824-966 analog). The reference seeds ``random``;
+    here selection is hash-based so it is deterministic across engines
+    AND across cluster sizes (a seeded ``rand()`` is neither)."""
+    mart = payments_daily_mart(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    ym = F.date_format("fecha", "yyyy-MM")
+    pick = (
+        F.conv(F.substring(F.md5(F.concat_ws("_", F.col("sucursal"), ym)), 1, 4), 16, 10)
+        .cast("long") % 10 == 0
+    )
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    return (
+        mart.where(pick)
+        .groupBy("sucursal", ym.alias("year_month"))
+        .agg(
+            hround(F.sum("ingreso_efectivo"), 2).alias("efectivo"),
+            hround(F.sum("ingreso_credito"), 2).alias("credito"),
+            hround(F.sum("ingreso_debito"), 2).alias("debito"),
+            F.sum("num_tickets").alias("tickets"),
+        )
+    )
+
+
+QA_SAMPLE_MONTHS_SQL = f"""
+{_MART_CTE},
+flagged AS (
+  SELECT *, strftime(fecha, '%Y-%m') AS year_month
+  FROM mart
+  WHERE CAST(('0x' || substr(md5(sucursal || '_' || strftime(fecha, '%Y-%m')), 1, 4)) AS BIGINT) % 10 = 0
+)
+SELECT sucursal, year_month,
+       {hround_sql("SUM(ingreso_efectivo)", 2)} AS efectivo,
+       {hround_sql("SUM(ingreso_credito)", 2)} AS credito,
+       {hround_sql("SUM(ingreso_debito)", 2)} AS debito,
+       CAST(SUM(num_tickets) AS BIGINT) AS tickets
+FROM flagged
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "qa_sample_months": (qa_sample_months, QA_SAMPLE_MONTHS_SQL),
     "qa_duplicates": (qa_duplicates, QA_DUPLICATES_SQL),
     "qa_nulls": (qa_nulls, QA_NULLS_SQL),
     "qa_non_negative": (qa_non_negative, QA_NON_NEGATIVE_SQL),

@@ -76,6 +76,57 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_streaming_stateful_counters(
+    spark: SparkSession, sf_dir: str, query_name: str = "events_state_out"
+) -> DataFrame:
+    """Custom stateful operator: running per-event-type totals via
+    ``applyInPandasWithState`` (the rebuild's template for stateful
+    logic Spark's built-in aggs can't express).
+
+    State per event_type = (n, total_value); each micro-batch folds its
+    rows into state and emits the updated snapshot.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "total_value": [round(total, 2)]}
+        )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n long, total_value double",
+        stateStructType="n long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends snapshots; last row per key wins
+    snap = spark.sql(f"SELECT * FROM {query_name}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str = "events_stream_out") -> DataFrame:
     """Drain the events table through a real streaming query (watermark +
     tumbling window) into a memory sink; returns the final result."""

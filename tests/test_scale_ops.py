@@ -1,0 +1,124 @@
+"""Skew salting, MERGE upsert, SCD-2, stateful streaming."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_left,
+)
+from pos_pipeline_core_etl_spark.operators.upsert import merge_upsert, scd2_apply
+
+D = dt.date
+
+
+class TestSaltedAggregate:
+    def test_matches_plain_aggregate(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plain = {
+            (r["l_returnflag"],): (r["n"], r["qty"])
+            for r in df.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+            .collect()
+        }
+        salted = {
+            (r["l_returnflag"],): (r["n"], r["qty"])
+            for r in salted_aggregate(
+                df,
+                keys=["l_returnflag"],
+                aggs={"n": ("count", "*"), "qty": ("sum", "l_quantity")},
+                salt_src=F.col("l_orderkey"),
+                n_salts=8,
+            ).collect()
+        }
+        assert set(plain) == set(salted)
+        for k in plain:
+            assert plain[k][0] == salted[k][0]
+            assert abs(plain[k][1] - salted[k][1]) < 1e-6
+
+    def test_non_algebraic_rejected(self, spark):
+        df = spark.range(10)
+        with pytest.raises(ValueError, match="non-algebraic"):
+            salted_aggregate(df, ["id"], {"x": ("avg", "id")}, F.col("id"))
+
+    def test_salted_broadcast_join_matches_plain(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey", "l_quantity"
+        )
+        sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet").select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_name"
+        )
+        plain = li.join(sup, "l_suppkey", "left")
+        salted = salted_broadcast_left(li, sup, "l_suppkey", n_salts=4)
+        assert salted.count() == plain.count()
+        assert salted.where(F.col("s_name").isNull()).count() == plain.where(
+            F.col("s_name").isNull()
+        ).count()
+
+
+class TestUpsert:
+    def _dim(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, v double",
+        )
+
+    def test_merge_upsert(self, spark):
+        updates = spark.createDataFrame(
+            [(2, "b2", 25.0), (4, "d", 40.0)], "id long, name string, v double"
+        )
+        out = {r["id"]: (r["name"], r["v"]) for r in merge_upsert(self._dim(spark), updates, ["id"]).collect()}
+        assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_scd2_closes_and_appends(self, spark):
+        dim = spark.createDataFrame(
+            [
+                (1, "a", D(2023, 1, 1), None),
+                (2, "b", D(2023, 1, 1), None),
+                (1, "a0", D(2022, 1, 1), D(2022, 12, 31)),
+            ],
+            "id long, name string, valid_from date, valid_to date",
+        )
+        changes = spark.createDataFrame(
+            [(1, "a1"), (2, "b")], "id long, name string"  # only id=1 changed
+        )
+        out = scd2_apply(dim, changes, "id", D(2024, 6, 1), ["name"])
+        rows = sorted(
+            ((r["id"], r["name"], str(r["valid_from"]), str(r["valid_to"])) for r in out.collect())
+        )
+        assert rows == sorted(
+            [
+                (1, "a0", "2022-01-01", "2022-12-31"),
+                (1, "a", "2023-01-01", "2024-05-31"),  # closed
+                (1, "a1", "2024-06-01", "None"),  # new current
+                (2, "b", "2023-01-01", "None"),  # untouched
+            ]
+        )
+
+
+class TestStatefulStreaming:
+    def test_running_counters_match_batch(self, spark):
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_stateful_counters,
+        )
+
+        result = run_streaming_stateful_counters(
+            spark, "/root/testdata/sf0.001", query_name="t_state_eq"
+        )
+        got = {r["event_type"]: (r["n"], r["total_value"]) for r in result.collect()}
+        batch = {
+            r["event_type"]: (r["n"], round(r["tv"], 2))
+            for r in load_table(spark, "/root/testdata/sf0.001", "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+            .collect()
+        }
+        assert set(got) == set(batch)
+        for k in got:
+            assert got[k][0] == batch[k][0]
+            assert abs(got[k][1] - batch[k][1]) < 0.05
