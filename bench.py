@@ -30,6 +30,12 @@ HEADLINE = (
     "scan_filter_project",
     "dedup_keep_first",
     "pivot_status_by_priority",
+    "sales_by_ticket_mart",
+    "window_rolling_mean",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "events_sessionization",
+    "text_quality",
 )
 
 

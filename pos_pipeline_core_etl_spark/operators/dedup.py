@@ -79,6 +79,17 @@ def shingle_id(sh: Column) -> Column:
 SHINGLE_ID_SQL = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
 
 
+def _ensure_parallelism(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition when the source has too few partitions for CPU-bound
+    per-row work (a single-row-group parquet file arrives as ONE task —
+    shingling + hashing would run single-threaded). At real scale the
+    input already has thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, key)
+    return df
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: canonical id + member count per content
     fingerprint. One shuffle on the hash key."""
@@ -93,6 +104,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → k minhash values (exploded-shingle groupBy, k min-aggs)."""
+    docs = _ensure_parallelism(docs)
     exploded = docs.select(
         "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
     ).withColumn("x", shingle_id(F.col("sh")))
@@ -104,25 +116,29 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
-    """Signature → (band, bucket_key) rows; equal keys = candidate pair."""
-    bands = []
+    """Signature → (band, bucket_key) rows; equal keys = candidate pair.
+
+    One explode over a literal band array — a 4-way union would
+    re-evaluate the signature aggregation once per band (and the
+    downstream self-join doubles that again)."""
+    band_structs = []
     for band in range(LSH_BANDS):
         cols = [f"mh_{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
         key = F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
-        bands.append(
-            sigs.select(
-                "doc_id", F.lit(band).alias("band"), key.alias("bucket_key")
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("bucket_key")))
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key"))
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
-    buckets = lsh_band_buckets(minhash_signatures(docs, text_col))
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    The bucket frame is persisted before the self-join — otherwise Spark
+    recomputes the shingle-explode + 16-way min aggregation for both
+    join sides (the frame is |docs|×bands rows, tiny relative to the
+    work that builds it)."""
+    buckets = lsh_band_buckets(minhash_signatures(docs, text_col)).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -180,7 +196,7 @@ SIMHASH_BITS = 16
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct lowercase tokens (pure integer math)."""
-    tokens = docs.select(
+    tokens = _ensure_parallelism(docs).select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE))

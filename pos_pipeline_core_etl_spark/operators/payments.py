@@ -118,7 +118,9 @@ def tip_sanity_violations(fact: DataFrame) -> DataFrame:
 def assert_tip_sanity(fact: DataFrame) -> None:
     n = tip_sanity_violations(fact).limit(1).count()
     if n:
-        raise ValueError(
+        from pos_pipeline_core_etl_spark.exceptions import DataQualityError
+
+        raise DataQualityError(
             "tip sanity gate failed: sum(ticket_tip) != max(total_day_tips) "
             f"beyond {TIP_TOLERANCE} tolerance for at least one (sucursal, day)"
         )

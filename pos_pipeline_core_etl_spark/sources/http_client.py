@@ -94,6 +94,33 @@ def content_disposition_filename(header: str | None) -> str | None:
     return m.group(1).strip() if m else None
 
 
+def decode_export_payload(payload, filename_header: str | None = None) -> tuple[str, bytes]:
+    """Export response → (filename, file bytes).
+
+    Accepts the two shapes the POS API returns (extraction.py:702-713):
+    a JSON object with ``fileBase64`` (+ optional ``fileName``), or a
+    direct attachment body with a Content-Disposition header.
+    """
+    import base64
+
+    from pos_pipeline_core_etl_spark.exceptions import ExtractionError
+
+    if isinstance(payload, dict):
+        if "fileBase64" not in payload:
+            raise ExtractionError(
+                f"export JSON missing 'fileBase64'; keys: {sorted(payload)}"
+            )
+        name = payload.get("fileName") or "export.xlsx"
+        try:
+            return name, base64.b64decode(payload["fileBase64"], validate=True)
+        except Exception as e:
+            raise ExtractionError(f"invalid base64 export payload: {e}") from e
+    if isinstance(payload, (bytes, bytearray)):
+        name = content_disposition_filename(filename_header) or "export.xlsx"
+        return name, bytes(payload)
+    raise ExtractionError(f"unsupported export payload type {type(payload).__name__}")
+
+
 def chunked_download_plan(
     request: Interval,
     validity_windows: Iterable[Interval],

@@ -155,3 +155,52 @@ class TestHttpClient:
         assert plan[1][0] == D(2024, 3, 1)
         assert plan[-1][1] == D(2024, 6, 30)
         assert all((e - s).days < 60 for s, e in plan)
+
+
+class TestExportPayload:
+    def test_base64_json(self):
+        import base64
+
+        from pos_pipeline_core_etl_spark.sources.http_client import decode_export_payload
+
+        name, data = decode_export_payload(
+            {"fileBase64": base64.b64encode(b"xlsx-bytes").decode(), "fileName": "r.xlsx"}
+        )
+        assert (name, data) == ("r.xlsx", b"xlsx-bytes")
+
+    def test_direct_attachment(self):
+        from pos_pipeline_core_etl_spark.sources.http_client import decode_export_payload
+
+        name, data = decode_export_payload(
+            b"raw", filename_header='attachment; filename="f.xlsx"'
+        )
+        assert (name, data) == ("f.xlsx", b"raw")
+
+    def test_missing_key_raises(self):
+        import pytest
+
+        from pos_pipeline_core_etl_spark.exceptions import ExtractionError
+        from pos_pipeline_core_etl_spark.sources.http_client import decode_export_payload
+
+        with pytest.raises(ExtractionError, match="fileBase64"):
+            decode_export_payload({"other": 1})
+        with pytest.raises(ExtractionError, match="base64"):
+            decode_export_payload({"fileBase64": "!!not-base64!!"})
+
+
+class TestDataPaths:
+    def test_layout_and_ensure(self, tmp_path):
+        from pos_pipeline_core_etl_spark.paths import DataPaths
+
+        p = DataPaths.from_root(str(tmp_path))
+        p.ensure_dirs()
+        import os
+
+        assert os.path.isdir(p.raw("payments"))
+        assert os.path.isdir(p.clean("sales"))
+        assert os.path.isdir(p.mart("transfers"))
+        assert os.path.isdir(p.meta())
+        import pytest
+
+        with pytest.raises(ValueError):
+            p.raw("bogus")
