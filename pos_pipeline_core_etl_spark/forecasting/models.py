@@ -44,9 +44,18 @@ class ForecastModel(ABC):
 
 @dataclass
 class NaiveLastWeekModel(ForecastModel):
-    """Value = most recent same-weekday observation within max_weeks."""
+    """Value = most recent same-weekday observation within max_weeks.
+
+    Implements the reference's ``HasDebugInfo`` protocol
+    (``forecasting/types.py:409-421``): after ``forecast``, ``debug_``
+    maps each forecast date to the historical source date used
+    (``naive.py:59-409`` records the same).
+    """
 
     max_weeks: int = 8
+
+    def __post_init__(self) -> None:
+        self.debug_: dict[str, str | None] = {}
 
     def train(self, series: pd.Series, **kwargs: Any) -> pd.Series:
         if len(series) < MIN_OBSERVATIONS:
@@ -58,15 +67,17 @@ class NaiveLastWeekModel(ForecastModel):
         last = series.index.max()
         out_idx = pd.date_range(last + pd.Timedelta(days=1), periods=steps, freq="D")
         values = []
+        self.debug_ = {}
         observed = series[series != 0]
         for d in out_idx:
-            val = 0.0
+            val, src = 0.0, None
             for w in range(1, self.max_weeks + 1):
                 back = d - pd.Timedelta(days=7 * w)
                 if back in observed.index:
-                    val = float(observed.loc[back])
+                    val, src = float(observed.loc[back]), str(back.date())
                     break
             values.append(val)
+            self.debug_[str(d.date())] = src
         return pd.Series(values, index=out_idx)
 
 

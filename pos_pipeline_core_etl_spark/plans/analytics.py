@@ -153,7 +153,39 @@ WHERE lower(n_name) LIKE '%an%' AND n_name NOT IN ('JAPAN', 'JORDAN')
 """
 
 
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine through the SQL API: temp views + a SQL string —
+    Catalyst produces the identical plan either way (the engine is
+    dual-surface, DataFrame and SQL)."""
+    from pos_pipeline_core_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation_name,
+               {hround_sql("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+SQL_INTERFACE_REVENUE_SQL = f"""
+SELECT n.n_name AS nation_name,
+       {hround_sql("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sql_interface_revenue": (sql_interface_revenue, SQL_INTERFACE_REVENUE_SQL),
     "order_times_summary": (order_times_summary, ORDER_TIMES_SUMMARY_SQL),
     "user_activity_gaps": (user_activity_gaps, USER_ACTIVITY_GAPS_SQL),
     "drop_null_rows": (drop_null_rows, DROP_NULL_ROWS_SQL),

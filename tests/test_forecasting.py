@@ -123,3 +123,13 @@ def test_deposit_schedule_calendar(spark):
     # no cash lands Tue or Thu
     assert dep[dt.date(2024, 1, 2)]["efectivo"] == 0.0
     assert dep[dt.date(2024, 1, 4)]["efectivo"] == 0.0
+
+
+def test_naive_debug_info_records_source_dates():
+    m = NaiveLastWeekModel()
+    s = _series()
+    pred = m.forecast(m.train(s), 7)
+    assert len(m.debug_) == 7
+    for target, src in m.debug_.items():
+        d = pd.Timestamp(target)
+        assert src == str((d - pd.Timedelta(days=7)).date())
