@@ -95,16 +95,30 @@ def build_sales_by_ticket(fact: DataFrame) -> DataFrame:
             2,
         ).alias(name)
 
-    return (
-        fact.groupBy("sucursal", "operating_date", "order_id")
-        .agg(
-            *[cell(g, "subtotal_item", "subtotal") for g in SALES_GROUPS],
-            *[cell(g, "total_item", "total") for g in SALES_GROUPS],
-            F.min("captured_time").alias("captured_time"),
-            F.max("captured_time").alias("closing_time"),
-            F.count(F.lit(1)).alias("n_lines"),
-            hround(F.sum("total_item"), 2).alias("total_ticket_cost"),
-        )
+    # min/max over the STRING time column would force SortAggregate
+    # (variable-length agg buffer → no hash aggregation → a full sort of
+    # the fact). Aggregating the numeric seconds-of-day keeps the whole
+    # mart in codegen'd HashAggregate; the string form is restored after.
+    secs = F.unix_timestamp(F.col("captured_time"), "HH:mm:ss")
+    agged = fact.groupBy("sucursal", "operating_date", "order_id").agg(
+        *[cell(g, "subtotal_item", "subtotal") for g in SALES_GROUPS],
+        *[cell(g, "total_item", "total") for g in SALES_GROUPS],
+        F.min(secs).alias("_min_secs"),
+        F.max(secs).alias("_max_secs"),
+        F.count(F.lit(1)).alias("n_lines"),
+        hround(F.sum("total_item"), 2).alias("total_ticket_cost"),
+    )
+    to_time = lambda c: F.date_format(F.timestamp_seconds(F.col(c)), "HH:mm:ss")  # noqa: E731
+    return agged.select(
+        "sucursal",
+        "operating_date",
+        "order_id",
+        *[f"{sanitize_group_name(g)}_subtotal" for g in SALES_GROUPS],
+        *[f"{sanitize_group_name(g)}_total" for g in SALES_GROUPS],
+        to_time("_min_secs").alias("captured_time"),
+        to_time("_max_secs").alias("closing_time"),
+        "n_lines",
+        "total_ticket_cost",
     )
 
 
