@@ -204,3 +204,41 @@ class TestDataPaths:
 
         with pytest.raises(ValueError):
             p.raw("bogus")
+
+
+class TestExcelToSilver:
+    def test_parsed_grid_flows_to_typed_silver(self, spark):
+        """Bronze grid → parse_sheet → createDataFrame → clean_payments:
+        the full bronze→silver path with positional headers, mixed
+        formats, and the eliminations join."""
+        import pandas as pd
+
+        from pos_pipeline_core_etl_spark.operators.cleaners import clean_payments
+        from pos_pipeline_core_etl_spark.sources.excel import (
+            PAYMENTS_HEADER_MAP,
+            PAYMENTS_POSITIONAL,
+            parse_sheet,
+        )
+
+        grid = pd.DataFrame(
+            [
+                ["Reporte", None, None, None, None, None],
+                ["Forma de pago", "Fecha de Operación", "Orden", "Propina", "Propina", "Total"],
+                ["Efectivo", "2024-01-01", "1", "12.5", "5.0", "$1,100.50"],
+                ["Tarjeta Crédito", "02/01/2024", "2", "12.5", "7.5", "(200.00)"],
+                [None, None, None, None, None, None],
+            ]
+        )
+        body = parse_sheet(grid, ["Forma de pago"], PAYMENTS_HEADER_MAP, PAYMENTS_POSITIONAL)
+        raw = spark.createDataFrame(body.astype(str))
+        elim = spark.createDataFrame([("2024-01-01", "1")], "operating_date string, order_index string")
+        silver = clean_payments(raw, elim, sucursal_hint="Kavia")
+        rows = {r["order_index"]: r for r in silver.collect()}
+        import datetime as dt
+
+        assert rows[1]["operating_date"] == dt.date(2024, 1, 1)
+        assert rows[2]["operating_date"] == dt.date(2024, 1, 2)  # dd/MM
+        assert rows[1]["ticket_total"] == 1100.50
+        assert rows[2]["ticket_total"] == -200.0  # parens negative
+        assert rows[1]["elimination_present"] is True
+        assert rows[2]["elimination_present"] is False

@@ -107,3 +107,25 @@ class TestContracts:
         )
         with pytest.raises(ContractViolation, match="ticket_total"):
             enforce_contract(df, FACT_PAYMENTS_TICKET)
+
+
+class TestPartitionPruning:
+    def test_date_partition_filter_prunes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.plans import pos_adapter
+        from pos_pipeline_core_etl_spark.sources.writers import write_partitioned
+
+        fact = pos_adapter.fact_payments_ticket(spark, SF_DIR).withColumn(
+            "ym", F.date_format("operating_date", "yyyy-MM")
+        )
+        out = str(tmp_path / "fact")
+        write_partitioned(fact, out, partition_by=("ym",))
+        back = spark.read.parquet(out).where(F.col("ym") == "1995-03")
+        plan = _formatted(back)
+        assert "PartitionFilters" in plan and "1995-03" in plan
+        import os
+
+        n_parts = len([d for d in os.listdir(out) if d.startswith("ym=")])
+        assert n_parts > 10  # layout actually partitioned
+        assert back.count() > 0
