@@ -141,6 +141,47 @@ GROUP BY r.r_name
 """
 
 
+def join_bigbig_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: lineitem ⋈ orders ⋈ customer — the two FACT-sized
+    sides co-shuffle on the join key (sort-merge / shuffled-hash chosen
+    by AQE from runtime sizes; at this SF orders still broadcasts, at
+    100 TB the same plan degrades gracefully to SMJ on l_orderkey).
+    Filters push into both scans before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit("1995-03-15")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(
+            hround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+JOIN_BIGBIG_REVENUE_SQL = f"""
+SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       {hround_sql("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_shipdate > TIMESTAMP '1995-03-15'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+"""
+
+
 def join_left_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join + existence flag with null→False coalesce — the
     eliminated-payments join shape (payments_cleaner.py:598-651)."""
@@ -541,6 +582,7 @@ QUERIES: dict[str, tuple] = {
     "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
     "agg_pricing_summary": (agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
     "join_broadcast_dims": (join_broadcast_dims, JOIN_BROADCAST_DIMS_SQL),
+    "join_bigbig_revenue": (join_bigbig_revenue, JOIN_BIGBIG_REVENUE_SQL),
     "join_left_flag": (join_left_flag, JOIN_LEFT_FLAG_SQL),
     "join_validity_window": (join_validity_window, JOIN_VALIDITY_WINDOW_SQL),
     "agg_count_distinct": (agg_count_distinct, AGG_COUNT_DISTINCT_SQL),
