@@ -17,8 +17,11 @@ any engine computing the same rounded values.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pos_pipeline_core_etl_spark.functions.rounding import hround
 
@@ -120,6 +123,105 @@ def lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "e
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    sample_max_id: int = 256,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse quantizer: Lloyd k-means on a BOUNDED sample.
+
+    Standard IVF practice — the quantizer trains on a fixed-size sample
+    (collected to the driver; size independent of corpus scale), then
+    assignment/search run distributively. Init = the first k sample
+    vectors by id; float64 numpy; fixed iteration count → deterministic.
+    """
+    sample = (
+        embeddings.where(F.col(id_col) < sample_max_id)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid — Arrow-vectorized
+    pandas UDF (one matmul per batch, centroids travel in the closure)."""
+    cents = centroids.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        d2 = (X**2).sum(1)[:, None] - 2 * X @ cents.T + (cents**2).sum(1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        nearest(F.col(vec_col)).alias("cluster"),
+    )
+
+
+def ivf_search_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    nprobe: int = 2,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """IVF search: probe the query's ``nprobe`` nearest clusters only.
+
+    Candidates join on the cluster id (equi-join — the cross product
+    shrinks by ~n_clusters/nprobe); exact cosine re-ranks within.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, k=n_clusters)
+    assigned = ivf_assign(embeddings, cents)
+
+    q_rows = assigned.where(F.col("vec_id") < n_queries).select("vec_id", "vec").collect()
+    probes = []
+    for r in q_rows:
+        qv = np.array(r["vec"], dtype=np.float64)
+        d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:nprobe]:
+            probes.append((int(r["vec_id"]), int(c)))
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+
+    cands = (
+        assigned.join(F.broadcast(probe_df), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+    )
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        hround(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "cos_sim")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -163,3 +265,9 @@ def lsh_bucket_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "rnk", "cand_id", "cos_sim")
     )
+
+
+# pandas UDF closures (ivf_assign) ship to executors — serialize by value
+from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

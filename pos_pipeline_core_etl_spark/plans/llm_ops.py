@@ -389,6 +389,12 @@ SIM_LSH_BUCKETS_HISTOGRAM_SQL = _lsh_histogram_oracle()
 # multimodal (binary payload plumbing, stubbed decode)
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN — rows-only check (numpy k-means has no
+    SQL twin); recall vs brute force is unit-tested."""
+    return similarity.ivf_search_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_binary(docs))
@@ -420,5 +426,6 @@ QUERIES: dict[str, tuple] = {
         sim_lsh_buckets_histogram,
         SIM_LSH_BUCKETS_HISTOGRAM_SQL,
     ),
+    "sim_ivf_topk": (sim_ivf_topk, None),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

@@ -12,6 +12,12 @@ from pos_pipeline_core_etl_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    spark = get_spark(
+        app_name="tests",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests",
+        },
+    )
     yield spark
     spark.stop()

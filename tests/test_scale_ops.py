@@ -122,3 +122,65 @@ class TestStatefulStreaming:
         for k in got:
             assert got[k][0] == batch[k][0]
             assert abs(got[k][1] - batch[k][1]) < 0.05
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, tmp_path):
+        """bucketBy co-location: both sides bucketed on the join key →
+        the join runs with NO shuffle exchange (the 100 TB recipe for
+        repeated fact-fact joins)."""
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_li")
+        orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+        try:
+            joined = spark.table("b_li").join(
+                spark.table("b_orders"),
+                spark.table("b_li").l_orderkey == spark.table("b_orders").o_orderkey,
+            )
+            # disable broadcast so the co-location is what avoids the shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            spark.sql("DROP TABLE IF EXISTS b_li")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+class TestIvfAnn:
+    def test_ivf_recall_vs_brute_force(self, spark):
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            cosine_topk,
+            ivf_search_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        brute = cosine_topk(emb, k=3)
+        ivf = ivf_search_topk(emb, k=3, nprobe=4)
+        truth = {}
+        for r in brute.collect():
+            truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+        got = {}
+        for r in ivf.collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        assert set(got) == set(truth)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        assert hits / total >= 0.3  # nprobe=4/16 on random 64-d vectors
+
+    def test_ivf_deterministic(self, spark):
+        from pos_pipeline_core_etl_spark.operators.similarity import ivf_search_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sorted(map(tuple, ivf_search_topk(emb).collect()))
+        b = sorted(map(tuple, ivf_search_topk(emb).collect()))
+        assert a == b
