@@ -42,6 +42,29 @@ PAYMENTS_HEADER_MAP = {
 # total, second is the per-ticket tip (payments_cleaner.py:156-191)
 PAYMENTS_POSITIONAL = {"propina": ("total_day_tips", "ticket_tip")}
 
+# Sales sheet: the Subtotal/IVA/IEPS/Total headers repeat in FOUR blocks
+# — ticket-level, item-level, courtesy/cancellation, annulment — and
+# only position distinguishes them (sales_cleaner.py:247-353).
+_SALES_BLOCKS = ("ticket", "item", "cortesia_cancel", "anulacion")
+SALES_POSITIONAL = {
+    measure: tuple(f"{measure}_{blk}" for blk in _SALES_BLOCKS)
+    for measure in ("subtotal", "iva", "ieps", "total")
+}
+SALES_HEADER_MAP = {
+    "fecha": "operating_date",
+    "orden": "order_id",
+    "grupo": "group",
+    "clave": "item_key",
+    "cantidad": "quantity",
+}
+EXPECTED_SALES_BLOCKS = len(_SALES_BLOCKS)
+
+
+def count_header_blocks(headers: list[str], measure: str = "subtotal") -> int:
+    """How many times a block measure repeats — the reference warns when
+    it isn't exactly four (sales_cleaner.py:334-340)."""
+    return sum(1 for h in headers if to_snake(str(h)) == measure)
+
 
 def find_sheet_case_insensitive(sheet_names: Sequence[str], target: str) -> str:
     """Exact-then-substring sheet lookup, case-insensitive."""

@@ -242,3 +242,44 @@ class TestExcelToSilver:
         assert rows[2]["ticket_total"] == -200.0  # parens negative
         assert rows[1]["elimination_present"] is True
         assert rows[2]["elimination_present"] is False
+
+
+class TestSalesFourBlockHeaders:
+    def test_four_block_positional_split(self):
+        from pos_pipeline_core_etl_spark.sources.excel import (
+            EXPECTED_SALES_BLOCKS,
+            SALES_HEADER_MAP,
+            SALES_POSITIONAL,
+            count_header_blocks,
+            normalize_headers,
+        )
+
+        headers = ["Fecha", "Orden", "Grupo"]
+        for _ in range(4):
+            headers += ["Subtotal", "IVA", "IEPS", "Total"]
+        out = normalize_headers(headers, SALES_HEADER_MAP, SALES_POSITIONAL)
+        assert out[:3] == ["operating_date", "order_id", "group"]
+        assert out[3:7] == ["subtotal_ticket", "iva_ticket", "ieps_ticket", "total_ticket"]
+        assert out[7:11] == ["subtotal_item", "iva_item", "ieps_item", "total_item"]
+        assert out[11:15] == [
+            "subtotal_cortesia_cancel",
+            "iva_cortesia_cancel",
+            "ieps_cortesia_cancel",
+            "total_cortesia_cancel",
+        ]
+        assert out[15:] == [
+            "subtotal_anulacion",
+            "iva_anulacion",
+            "ieps_anulacion",
+            "total_anulacion",
+        ]
+        assert count_header_blocks(headers) == EXPECTED_SALES_BLOCKS
+
+    def test_extra_block_gets_numbered_suffix(self):
+        from pos_pipeline_core_etl_spark.sources.excel import (
+            SALES_POSITIONAL,
+            normalize_headers,
+        )
+
+        out = normalize_headers(["Subtotal"] * 5, None, SALES_POSITIONAL)
+        assert out[4] == "subtotal_anulacion_5"  # beyond 4 blocks → numbered
