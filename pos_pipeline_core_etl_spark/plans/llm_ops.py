@@ -395,6 +395,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_search_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (LSH-blocked pairs + keep-min-id
+    survivorship) — see :func:`operators.similarity.embedding_neardup`."""
+    return similarity.embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+def _embedding_neardup_oracle(threshold: float = 0.2) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_proj_sql('v', p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(similarity.N_PLANES)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+sims AS (
+  SELECT r.vec_id AS dup_id, l.vec_id AS keep_cand,
+         {hround_sql(_cos_sql("l.v", "r.v"), 6)} AS cos_sim
+  FROM bucketed l JOIN bucketed r
+    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT dup_id, MIN(keep_cand) AS keep_id, MAX(cos_sim) AS best_sim,
+       COUNT(*) AS n_matches
+FROM sims WHERE cos_sim >= {threshold}
+GROUP BY dup_id
+"""
+
+
+DEDUP_EMBEDDING_COSINE_SQL = _embedding_neardup_oracle()
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_binary(docs))
@@ -420,6 +450,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "sim_lsh_bucket_topk": (sim_lsh_bucket_topk, SIM_LSH_BUCKET_TOPK_SQL),
     "sim_lsh_buckets_histogram": (

@@ -184,3 +184,47 @@ class TestIvfAnn:
         a = sorted(map(tuple, ivf_search_topk(emb).collect()))
         b = sorted(map(tuple, ivf_search_topk(emb).collect()))
         assert a == b
+
+
+class TestEmbeddingNeardup:
+    def test_blocked_matches_are_subset_of_bruteforce(self, spark):
+        """Every LSH-blocked near-dup pair must also pass the exact
+        cosine threshold on an unblocked check (no false positives),
+        and survivorship keeps the smallest partner id."""
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.functions.rounding import hround
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            _as_double,
+            cosine,
+            embedding_neardup,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = embedding_neardup(emb, threshold=0.2)
+        rows = out.collect()
+        assert len(rows) > 0
+        assert all(r["keep_id"] < r["dup_id"] for r in rows)
+        assert all(r["best_sim"] >= 0.2 for r in rows)
+
+        # exact recheck of each (keep_id, dup_id) pair without blocking
+        base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        pairs = spark.createDataFrame(
+            [(r["keep_id"], r["dup_id"]) for r in rows], "a long, b long"
+        )
+        exact = (
+            pairs.join(base.withColumnRenamed("vec_id", "a").withColumnRenamed("v", "va"), "a")
+            .join(base.withColumnRenamed("vec_id", "b").withColumnRenamed("v", "vb"), "b")
+            .select(hround(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        )
+        assert all(r["s"] >= 0.2 for r in exact.collect())
+
+    def test_single_shuffle_blocking_join(self, spark):
+        """The pair join is an equi-join on the bucket key — no cartesian
+        product in the plan."""
+        from pos_pipeline_core_etl_spark.operators.similarity import embedding_neardup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = embedding_neardup(emb)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
