@@ -50,20 +50,29 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
     """File-source stream over the events parquet.
 
     The streaming file source requires a DIRECTORY; the testdata ships a
     single file, so it is symlinked into a temp dir (testdata itself is
-    read-only). Schema is pinned — streaming sources never infer.
+    read-only). Schema is pinned — streaming sources never infer. Pass a
+    stable ``stream_dir`` when restarting from a checkpoint — the
+    checkpoint pins the source root path.
     """
     import os
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    if stream_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    else:
+        os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
     raw = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
@@ -125,6 +134,50 @@ def run_streaming_stateful_counters(
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def write_batch_idempotent(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Idempotent micro-batch writer: the target directory is a pure
+    function of ``batch_id``, and the write is ``overwrite``. foreachBatch
+    gives at-least-once delivery — a batch replayed after a failure
+    re-runs with the SAME id, overwrites its own directory, and the sink
+    converges to exactly-once. (Same contract a Delta/transactional sink
+    provides via txn version; expressed here over plain parquet.)"""
+    import os
+
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_streaming_foreach_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    stream_dir: str | None = None,
+) -> DataFrame:
+    """Drain the events stream through a ``foreachBatch`` exactly-once
+    parquet sink and read back the consolidated result.
+
+    The checkpoint tracks which source files each batch consumed, so a
+    restart with the same checkpoint processes nothing new — tested by
+    running the query twice and asserting the sink is unchanged.
+    """
+    stream = read_events_stream(spark, sf_dir, stream_dir=stream_dir)
+    enriched = stream.where(F.col("value") > 0).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda df, bid: write_batch_idempotent(df, bid, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
 
 
 def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str = "events_stream_out") -> DataFrame:

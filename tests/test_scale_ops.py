@@ -228,3 +228,56 @@ class TestEmbeddingNeardup:
         plan = embedding_neardup(emb)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_hot_key_partition(self, spark):
+        """Synthetic hot key (~90% of the fact on one join key) through a
+        sort-merge join with AQE skew handling forced on at low
+        thresholds: the final adaptive plan must mark the join skew=true
+        (the hot partition was split), and the result must equal the
+        AQE-off run."""
+        from pyspark.sql import functions as F
+
+        fact = (
+            spark.range(200_000)
+            .select(
+                F.when(F.col("id") % 10 < 9, F.lit(0))
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            )
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("grp_"), F.col("id") % 7).alias("grp")
+        )
+
+        def run():
+            joined = fact.join(dim, "k").groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+            )
+            rows = sorted(map(tuple, joined.collect()))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            return rows, plan
+
+        conf = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            rows_off, _ = run()
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            rows_aqe, plan_aqe = run()
+            assert "skew=true" in plan_aqe, plan_aqe[:2000]
+            assert rows_aqe == rows_off
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            for k in conf:
+                spark.conf.unset(k)
