@@ -53,6 +53,20 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms precomputed per VECTOR (not per pair).
+
+    Higher-order array functions are interpreted per element; computing
+    each row's norm once before the pair join instead of inside it cuts
+    the per-pair lambda work to the dot product alone (~3×). The norm
+    bits are identical (same left fold), so results match :func:`cosine`
+    exactly.
+    """
+    return F.when((na == 0) | (nb == 0), F.lit(None).cast("double")).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -65,16 +79,23 @@ def cosine_topk(
 
     corpus = embeddings.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
-    )
-    queries = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("cnorm", l2norm(F.col("cvec")))
+    queries = (
+        embeddings.where(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec"))
+        .withColumn("qnorm", l2norm(F.col("qvec")))
     )
     sims = (
         corpus.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            hround(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+            hround(
+                cosine_prenormed(
+                    F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -189,7 +210,7 @@ def ivf_search_topk(
     from pyspark.sql import Window
 
     cents = ivf_centroids(embeddings, k=n_clusters)
-    assigned = ivf_assign(embeddings, cents)
+    assigned = ivf_assign(embeddings, cents).withColumn("norm", l2norm(F.col("vec")))
 
     q_rows = assigned.where(F.col("vec_id") < n_queries).select("vec_id", "vec").collect()
     probes = []
@@ -201,7 +222,9 @@ def ivf_search_topk(
     spark = embeddings.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
     queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
     )
 
     cands = (
@@ -212,7 +235,10 @@ def ivf_search_topk(
     sims = cands.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        hround(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        hround(
+            cosine_prenormed(F.col("qvec"), F.col("vec"), F.col("qnorm"), F.col("norm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
     return (
@@ -233,17 +259,22 @@ def lsh_bucket_topk(
     cross product — the shuffle key is the bucket id)."""
     from pyspark.sql import Window
 
-    base = embeddings.select(
-        F.col(id_col).alias("vid"),
-        _as_double(F.col(vec_col)).alias("vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("vec")))
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("vec"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("vec")))
+        .withColumn("norm", l2norm(F.col("vec")))
+    )
     queries = base.where(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("bucket").alias("qbucket"),
+        F.col("norm").alias("qnorm"),
     )
     cands = base.select(
-        F.col("vid").alias("cand_id"), F.col("vec").alias("cvec"), "bucket"
+        F.col("vid").alias("cand_id"), F.col("vec").alias("cvec"), "bucket", "norm"
     )
     sims = (
         cands.join(
@@ -254,7 +285,12 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "cand_id",
-            hround(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+            hround(
+                cosine_prenormed(
+                    F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("norm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -288,20 +324,31 @@ def embedding_neardup(
     embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the
     default is set low to exercise the path with non-trivial output.
     """
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec")))
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("vec")))
+        .withColumn("norm", l2norm(F.col("vec")))
+    )
     left = base.select(
-        F.col("vid").alias("keep_cand"), F.col("vec").alias("lvec"), "bucket"
+        F.col("vid").alias("keep_cand"), F.col("vec").alias("lvec"), "bucket",
+        F.col("norm").alias("lnorm"),
     )
     right = base.select(
-        F.col("vid").alias("dup_id"), F.col("vec").alias("rvec"), "bucket"
+        F.col("vid").alias("dup_id"), F.col("vec").alias("rvec"), "bucket",
+        F.col("norm").alias("rnorm"),
     )
     pairs = left.join(right, ["bucket"]).where(F.col("keep_cand") < F.col("dup_id"))
     sims = pairs.select(
         "dup_id",
         "keep_cand",
-        hround(cosine(F.col("lvec"), F.col("rvec")), 6).alias("cos_sim"),
+        hround(
+            cosine_prenormed(
+                F.col("lvec"), F.col("rvec"), F.col("lnorm"), F.col("rnorm")
+            ),
+            6,
+        ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= F.lit(threshold))
     return sims.groupBy("dup_id").agg(
         F.min("keep_cand").alias("keep_id"),
