@@ -134,23 +134,33 @@ def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    The bucket frame is persisted before the self-join — otherwise Spark
-    recomputes the shingle-explode + 16-way min aggregation for both
-    join sides (the frame is |docs|×bands rows, tiny relative to the
-    work that builds it)."""
-    buckets = lsh_band_buckets(minhash_signatures(docs, text_col)).persist()
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    Pairs are expanded INSIDE each bucket (groupBy band+key →
+    sorted id list → upper-triangle pairs) rather than via a bucket
+    self-join: the expensive signature stage is scanned once with no
+    persist, and the whole pipeline is two shuffles (bucket groupBy +
+    pair distinct) instead of three plus a cache. Per-bucket memory is
+    O(bucket size) — LSH buckets are small by construction; a
+    pathological all-identical corpus produces quadratic PAIRS under
+    either formulation (run exact dedup first — bench does not — if
+    that is the input)."""
+    buckets = lsh_band_buckets(minhash_signatures(docs, text_col))
+    grouped = (
+        buckets.groupBy("band", "bucket_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
