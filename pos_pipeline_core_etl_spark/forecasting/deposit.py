@@ -69,6 +69,44 @@ END
 """
 
 
+def cash_flow_deposits(daily: DataFrame) -> DataFrame:
+    """Per-deposit-date efectivo / credito / debito / total.
+
+    Reference parity: ``forecasting/cash_flow.py:19-85``
+    (``calculate_cash_flow_deposits``) — the input ``daily`` frame is the
+    blend of historical days and forecast days (the caller unions them),
+    with columns (fecha, efectivo, credito, debito). Cash follows the
+    Mon/Wed/Fri calendar; each card metric lands next business day and
+    stays a separate column. One union + one groupBy — fully distributed,
+    no calendar loop.
+    """
+    cash = daily.select(
+        cash_deposit_date(F.col("fecha")).alias("fecha_deposito"),
+        "efectivo",
+        F.lit(0.0).alias("credito"),
+        F.lit(0.0).alias("debito"),
+    )
+    cards = daily.select(
+        card_deposit_date(F.col("fecha")).alias("fecha_deposito"),
+        F.lit(0.0).alias("efectivo"),
+        "credito",
+        "debito",
+    )
+    return (
+        cash.unionByName(cards)
+        .groupBy("fecha_deposito")
+        .agg(
+            hround(F.sum("efectivo"), 2).alias("efectivo"),
+            hround(F.sum("credito"), 2).alias("credito"),
+            hround(F.sum("debito"), 2).alias("debito"),
+        )
+        .withColumn(
+            "total",
+            hround(F.col("efectivo") + F.col("credito") + F.col("debito"), 2),
+        )
+    )
+
+
 def build_deposit_schedule(mart: DataFrame) -> DataFrame:
     """mart_payments_daily → per-deposit-date efectivo/tarjetas/total."""
     cash = mart.select(

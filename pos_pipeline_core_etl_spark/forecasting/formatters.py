@@ -93,3 +93,75 @@ def format_forecast_console(
                 f"total {format_money(r['total'])}"
             )
     return "\n".join(lines)
+
+
+METRIC_DISPLAY = {
+    "ingreso_efectivo": "Efectivo",
+    "ingreso_credito": "Crédito",
+    "ingreso_debito": "Débito",
+    "ingreso_total": "Total",
+}
+
+
+def format_forecast_html(
+    forecast_rows: Iterable[dict],
+    deposit_rows: Iterable[dict] = (),
+    horizon_days: int = 7,
+) -> str:
+    """Messenger-friendly HTML variant (reference
+    ``forecasting/formatters/telegram.py:13-146``): header + per-branch
+    ``<b>`` sections per metric, then company-wide daily totals and the
+    deposit section. Pure string building — no network send.
+
+    Raises ``ValueError`` on an empty forecast (reference behavior).
+    """
+    rows = list(forecast_rows)
+    if not rows:
+        raise ValueError("No forecasts to format: forecast is empty")
+
+    lines = [f"📊 <b>Forecast de Pagos - Próximos {horizon_days} Días</b>\n"]
+    branches = sorted({r["sucursal"] for r in rows})
+    metrics = sorted({r["metric"] for r in rows})
+    daily_totals: dict[str, dict] = {m: {} for m in metrics}
+
+    for branch in branches:
+        lines.append(f"<b>{branch}</b>")
+        branch_rows = [r for r in rows if r["sucursal"] == branch]
+        for metric in metrics:
+            series = sorted(
+                (r for r in branch_rows if r["metric"] == metric),
+                key=lambda r: r["fecha"],
+            )
+            if not series:
+                continue
+            display = METRIC_DISPLAY.get(metric, metric)
+            subtotal = 0.0
+            for r in series:
+                subtotal += r["valor"]
+                daily_totals[metric][r["fecha"]] = (
+                    daily_totals[metric].get(r["fecha"], 0.0) + r["valor"]
+                )
+            lines.append(f"  {display}: {format_money(subtotal)}")
+        lines.append("")
+
+    lines.append("<b>Totales por día</b>")
+    for metric in metrics:
+        if not daily_totals[metric]:
+            continue
+        display = METRIC_DISPLAY.get(metric, metric)
+        lines.append(f"<b>{display}</b>")
+        for day in sorted(daily_totals[metric]):
+            lines.append(
+                f"  {format_date_short(day)}: {format_money(daily_totals[metric][day])}"
+            )
+
+    deposits = sorted(deposit_rows, key=lambda r: r["fecha_deposito"])
+    if deposits:
+        lines.append("")
+        lines.append("💰 <b>Depósitos</b>")
+        for r in deposits:
+            lines.append(
+                f"  {format_date_short(r['fecha_deposito'])}: "
+                f"{format_money(r['total'])}"
+            )
+    return "\n".join(lines)

@@ -145,6 +145,14 @@ def to_float_expr(col: Column) -> Column:
     return F.when(is_paren, -parsed).otherwise(parsed)
 
 
+def to_int_expr(col: Column) -> Column:
+    """``round(to_float(x))`` → BIGINT, else NULL (reference
+    ``cleaning_utils.py:200-222``). Python's ``round`` is half-to-even,
+    so this is ``bround`` — NOT ``round`` (half-up) — over the locale
+    parse; DuckDB twin is ``round_even``."""
+    return F.bround(to_float_expr(col)).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # dates
 

@@ -106,6 +106,31 @@ def fn_to_float_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``to_int`` = half-even round of the locale parse (reference
+    ``cleaning_utils.py:200-222``); exercised on US/EU/parenthesised
+    renderings of prices (2-dp → rounds to nearest peso)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    us = F.format_number(F.col("l_extendedprice"), 2)
+    eu = F.translate(us, ",.", ".,")
+    neg = F.concat(F.lit("($"), us, F.lit(")"))
+    return li.select(
+        "l_orderkey",
+        cleaning.to_int_expr(us).alias("int_us"),
+        cleaning.to_int_expr(eu).alias("int_eu"),
+        cleaning.to_int_expr(neg).alias("int_neg"),
+    )
+
+
+FN_TO_INT_SQL = """
+SELECT l_orderkey,
+       CAST(round_even(l_extendedprice, 0) AS BIGINT) AS int_us,
+       CAST(round_even(l_extendedprice, 0) AS BIGINT) AS int_eu,
+       CAST(round_even(-l_extendedprice, 0) AS BIGINT) AS int_neg
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # to_date multi-format (parse-order semantics preserved)
 
@@ -340,6 +365,7 @@ QUERIES: dict[str, tuple] = {
     "silver_clean_payments": (silver_clean_payments, SILVER_CLEAN_PAYMENTS_SQL),
     "fn_to_float_locale": (fn_to_float_locale, FN_TO_FLOAT_LOCALE_SQL),
     "fn_to_float_expr": (fn_to_float_expr, FN_TO_FLOAT_LOCALE_SQL),
+    "fn_to_int": (fn_to_int, FN_TO_INT_SQL),
     "fn_to_date_multi": (fn_to_date_multi, FN_TO_DATE_MULTI_SQL),
     "fn_accent_bucket": (fn_accent_bucket, FN_ACCENT_BUCKET_SQL),
     "fn_coerce_bool": (fn_coerce_bool, FN_COERCE_BOOL_SQL),

@@ -119,6 +119,93 @@ SELECT *, {hround_sql("efectivo + tarjetas", 2)} AS total FROM agg
 """
 
 
+def deposit_cash_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cash-flow deposits over a historical + forecast blend
+    (reference ``forecasting/cash_flow.py:19-85``).
+
+    The forecast leg here is the strict t−7 naive (next 7 days per
+    branch = same weekday last week, else 0) so the whole blend stays
+    SQL-expressible; ``run_payments_forecast`` output plugs into
+    :func:`cash_flow_deposits` identically.
+    """
+    from pos_pipeline_core_etl_spark.forecasting.deposit import cash_flow_deposits
+
+    mart = payments_daily_mart(spark, sf_dir)
+    hist = mart.select(
+        "sucursal",
+        "fecha",
+        F.col("ingreso_efectivo").alias("efectivo"),
+        F.col("ingreso_credito").alias("credito"),
+        F.col("ingreso_debito").alias("debito"),
+    )
+    last = hist.groupBy("sucursal").agg(F.max("fecha").alias("last_fecha"))
+    horizon = last.select(
+        "sucursal",
+        F.explode(F.sequence(F.lit(1), F.lit(HORIZON))).alias("h"),
+        "last_fecha",
+    ).select("sucursal", F.expr("date_add(last_fecha, h)").alias("fecha"))
+    fc = horizon.join(
+        hist.select(
+            F.col("sucursal").alias("s2"),
+            F.col("fecha").alias("f2"),
+            "efectivo",
+            "credito",
+            "debito",
+        ),
+        (F.col("sucursal") == F.col("s2"))
+        & (F.col("f2") == F.date_sub(F.col("fecha"), 7)),
+        "left",
+    ).select(
+        "sucursal",
+        "fecha",
+        F.coalesce("efectivo", F.lit(0.0)).alias("efectivo"),
+        F.coalesce("credito", F.lit(0.0)).alias("credito"),
+        F.coalesce("debito", F.lit(0.0)).alias("debito"),
+    )
+    return cash_flow_deposits(hist.unionByName(fc))
+
+
+DEPOSIT_CASH_FLOW_SQL = f"""
+{_MART_CTE},
+hist AS (
+  SELECT sucursal, fecha, ingreso_efectivo AS efectivo,
+         ingreso_credito AS credito, ingreso_debito AS debito
+  FROM mart
+),
+last AS (SELECT sucursal, MAX(fecha) AS last_fecha FROM hist GROUP BY sucursal),
+horizon AS (
+  SELECT l.sucursal, l.last_fecha + CAST(u.h AS INT) AS fecha
+  FROM last l, LATERAL (SELECT unnest(generate_series(1, {HORIZON})) AS h) u
+),
+fc AS (
+  SELECT h.sucursal, h.fecha,
+         COALESCE(d.efectivo, 0.0) AS efectivo,
+         COALESCE(d.credito, 0.0) AS credito,
+         COALESCE(d.debito, 0.0) AS debito
+  FROM horizon h
+  LEFT JOIN hist d ON d.sucursal = h.sucursal AND d.fecha = h.fecha - 7
+),
+blended AS (SELECT * FROM hist UNION ALL SELECT * FROM fc),
+legs AS (
+  SELECT CAST(({_CASH}) AS DATE) AS fecha_deposito,
+         efectivo, 0.0 AS credito, 0.0 AS debito
+  FROM blended
+  UNION ALL
+  SELECT CAST(({_CARD}) AS DATE) AS fecha_deposito,
+         0.0 AS efectivo, credito, debito
+  FROM blended
+),
+agg AS (
+  SELECT fecha_deposito,
+         {hround_sql("SUM(efectivo)", 2)} AS efectivo,
+         {hround_sql("SUM(credito)", 2)} AS credito,
+         {hround_sql("SUM(debito)", 2)} AS debito
+  FROM legs GROUP BY fecha_deposito
+)
+SELECT *, {hround_sql("efectivo + credito + debito", 2)} AS total FROM agg
+"""
+
+
 def forecast_loglinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas model fitting — rows-only check (not SQL-expressible)."""
     from pos_pipeline_core_etl_spark.forecasting.api import run_payments_forecast
@@ -133,5 +220,6 @@ QUERIES: dict[str, tuple] = {
         forecast_deposit_schedule,
         FORECAST_DEPOSIT_SCHEDULE_SQL,
     ),
+    "deposit_cash_flow": (deposit_cash_flow, DEPOSIT_CASH_FLOW_SQL),
     "forecast_loglinear": (forecast_loglinear, None),
 }

@@ -84,6 +84,27 @@ class TestFormatters:
         assert "Depósitos" in out
         assert "$999.00" not in out  # other metric filtered
 
+    def test_html_listing(self):
+        import pytest
+
+        from pos_pipeline_core_etl_spark.forecasting.formatters import (
+            format_forecast_html,
+        )
+
+        fc = [
+            {"sucursal": "A", "fecha": D(2024, 1, 1), "metric": "ingreso_total", "valor": 100.0},
+            {"sucursal": "A", "fecha": D(2024, 1, 2), "metric": "ingreso_total", "valor": 200.0},
+            {"sucursal": "B", "fecha": D(2024, 1, 1), "metric": "ingreso_total", "valor": 50.0},
+        ]
+        dep = [{"fecha_deposito": D(2024, 1, 3), "efectivo": 300.0, "tarjetas": 50.0, "total": 350.0}]
+        out = format_forecast_html(fc, dep)
+        assert "<b>A</b>" in out and "<b>B</b>" in out
+        assert "Total: $300.00" in out  # branch A subtotal, display name
+        assert "$150.00" in out  # daily total across branches for Jan 1
+        assert "Depósitos" in out and "$350.00" in out
+        with pytest.raises(ValueError):
+            format_forecast_html([])
+
 
 class TestWriters:
     def test_partitioned_parquet_roundtrip(self, spark, tmp_path):
