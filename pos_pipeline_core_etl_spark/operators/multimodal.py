@@ -94,6 +94,96 @@ def documents_as_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
 
+FRAME_SCHEMA = "doc_id long, frame_index long, frame binary, n_frame_bytes long"
+
+
+def sample_frames(
+    binary_docs: DataFrame, frame_size: int = 256, every_n: int = 2
+) -> DataFrame:
+    """Video-style frame sampling: one payload row → N frame rows.
+
+    The UDTF shape of multimodal pipelines — ``mapInPandas`` may emit
+    more rows than it receives, so a single opaque video payload fans
+    out to one row per sampled frame with an explicit output schema.
+    The "codec" is stubbed (frames = fixed-size byte chunks, every
+    ``every_n``-th kept), deterministic so the DuckDB oracle reproduces
+    it; a real build swaps the chunker for pyav/ffmpeg keyframe
+    extraction and nothing else changes.
+    """
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                for i in range(0, (len(payload) + frame_size - 1) // frame_size):
+                    if i % every_n:
+                        continue
+                    frame = payload[i * frame_size : (i + 1) * frame_size]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_index": i,
+                            "frame": frame,
+                            "n_frame_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_index", "frame", "n_frame_bytes"]
+            )
+
+    return binary_docs.mapInPandas(chunk, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_width long, out_height long, n_bytes_in long, "
+    "n_bytes_out long, resizer string"
+)
+
+
+def resize_images(
+    binary_docs: DataFrame, width: int = 64, height: int = 48
+) -> DataFrame:
+    """Resize plumbing: payload in → (stub) resized payload stats out.
+
+    The stub "resize" keeps ``min(n_in, width·height/64)`` bytes — a
+    pure function of the input so the oracle can check it; a real build
+    decodes, resizes (PIL/cv2), and re-encodes inside the same batch
+    loop with the same schema.
+    """
+    budget = (width * height) // 64
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                out = payload[:budget]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "out_width": width,
+                        "out_height": height,
+                        "n_bytes_in": len(payload),
+                        "n_bytes_out": len(out),
+                        "resizer": "stub",
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "out_width",
+                    "out_height",
+                    "n_bytes_in",
+                    "n_bytes_out",
+                    "resizer",
+                ],
+            )
+
+    return binary_docs.mapInPandas(do, schema=RESIZE_SCHEMA)
+
+
 # mapInPandas callables ship to executors — serialize by value
 from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
 

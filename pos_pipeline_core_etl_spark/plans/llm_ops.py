@@ -441,6 +441,48 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (1 row → N frame rows via
+    mapInPandas); frames are hashed for the compare — text is ASCII by
+    construction so byte chunks == character chunks in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.documents_as_binary(docs))
+    return frames.select(
+        "doc_id", "frame_index", "n_frame_bytes", F.md5("frame").alias("frame_md5")
+    )
+
+
+_FS, _EVERY = 256, 2
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, u.i AS frame_index,
+         substr(text, CAST(u.i * {_FS} + 1 AS INT), {_FS}) AS frame
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+         0, CAST(ceil(length(text) / {_FS}.0) AS INT) - 1)) AS i) u
+)
+SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+       md5(frame) AS frame_md5
+FROM f WHERE frame_index % {_EVERY} = 0
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_images(multimodal.documents_as_binary(docs))
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id, CAST(64 AS BIGINT) AS out_width, CAST(48 AS BIGINT) AS out_height,
+       CAST(length(text) AS BIGINT) AS n_bytes_in,
+       CAST(least(length(text), 48) AS BIGINT) AS n_bytes_out,
+       'stub' AS resizer
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_token_counts": (text_token_counts, TEXT_TOKEN_COUNTS_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
@@ -459,4 +501,6 @@ QUERIES: dict[str, tuple] = {
     ),
     "sim_ivf_topk": (sim_ivf_topk, None),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }

@@ -281,3 +281,41 @@ class TestAqeSkewJoin:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             for k in conf:
                 spark.conf.unset(k)
+
+
+class TestMultimodalPlumbing:
+    def test_frame_sample_fans_out_and_reassembles(self, spark):
+        """1 payload row → N frame rows; kept frames are the even-indexed
+        256-byte chunks and reassemble to the original prefix bytes."""
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            documents_as_binary,
+            sample_frames,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        one = documents_as_binary(docs).where(F.col("doc_id") == 0)
+        payload = bytes(one.first()["payload"])
+        frames = sample_frames(one).orderBy("frame_index").collect()
+        assert len(frames) == (len(payload) + 255) // 256 // 2 + (
+            1 if ((len(payload) + 255) // 256) % 2 else 0
+        )
+        for r in frames:
+            i = r["frame_index"]
+            assert i % 2 == 0
+            assert bytes(r["frame"]) == payload[i * 256 : (i + 1) * 256]
+            assert r["n_frame_bytes"] == len(bytes(r["frame"]))
+
+    def test_resize_budget(self, spark):
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            documents_as_binary,
+            resize_images,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = resize_images(documents_as_binary(docs), width=64, height=48)
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        assert all(r["n_bytes_out"] == min(r["n_bytes_in"], 48) for r in rows)
+        assert all(r["resizer"] == "stub" for r in rows)
