@@ -127,6 +127,12 @@ def deposit_cash_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch = same weekday last week, else 0) so the whole blend stays
     SQL-expressible; ``run_payments_forecast`` output plugs into
     :func:`cash_flow_deposits` identically.
+
+    ``hist`` (day grain — tiny at any corpus scale) is persisted: it is
+    referenced three times (last-date agg, forecast join side, blend
+    union) with different column prunings, so the subtrees are not
+    identical and exchange reuse cannot kick in — without the persist
+    the whole mart (fact scans included) is computed three times.
     """
     from pos_pipeline_core_etl_spark.forecasting.deposit import cash_flow_deposits
 
@@ -137,7 +143,7 @@ def deposit_cash_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ingreso_efectivo").alias("efectivo"),
         F.col("ingreso_credito").alias("credito"),
         F.col("ingreso_debito").alias("debito"),
-    )
+    ).persist()
     last = hist.groupBy("sucursal").agg(F.max("fecha").alias("last_fecha"))
     horizon = last.select(
         "sucursal",
