@@ -83,6 +83,19 @@ class TestPlanProperties:
 
 
 class TestContracts:
+    def test_cash_flow_blend_materializes_mart_once(self, spark):
+        """deposit_cash_flow references the day-grain frame three times
+        with different column prunings (no exchange reuse possible) —
+        the persist must hold or the whole mart recomputes 3x."""
+        from pos_pipeline_core_etl_spark.plans.forecast_queries import (
+            deposit_cash_flow,
+        )
+
+        df = deposit_cash_flow(spark, SF_DIR)
+        df.count()
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 3
+
     def test_adapters_satisfy_contracts(self, spark):
         enforce_contract(
             pos_adapter.fact_payments_ticket(spark, SF_DIR), FACT_PAYMENTS_TICKET, exact=True
