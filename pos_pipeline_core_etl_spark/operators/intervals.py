@@ -69,3 +69,52 @@ def iter_chunks(start: dt.date, end: dt.date, max_days: int = 180) -> Iterator[I
         chunk_end = min(cursor + dt.timedelta(days=max_days - 1), end)
         yield (cursor, chunk_end)
         cursor = chunk_end + dt.timedelta(days=1)
+
+
+def bucketed_range_join(
+    fact,
+    date_col: str,
+    ranges,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    open_end_cap: str = "2005-01-01",
+):
+    """Scale path for point-in-interval joins: EQUI-join on a month
+    bucket instead of a nested-loop range predicate.
+
+    Each range row explodes into its covered month buckets (dim-side
+    fan-out only — bounded by range length / grain); the fact computes
+    its bucket as a pure column; the join is a hash equi-join on the
+    bucket followed by the exact containment filter. The fact shuffles
+    at most once on the bucket key — no BroadcastNestedLoopJoin, so this
+    survives a validity dimension too large to broadcast. Inner-join
+    semantics (every output row passed containment); recover unmatched
+    fact rows with a left_anti on the same bucket join if needed.
+
+    Open-ended ranges (NULL ``to_col``) are capped at ``open_end_cap``
+    for bucket generation only — containment still treats NULL as
+    unbounded, so the cap must be ≥ the fact's max date.
+    """
+    from pyspark.sql import functions as F
+
+    d = F.col(date_col).cast("date")
+    to_capped = F.coalesce(F.col(to_col), F.lit(open_end_cap).cast("date"))
+    exploded = ranges.select(
+        *ranges.columns,
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col(from_col)).cast("date"),
+                F.date_trunc("month", to_capped).cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("__bucket"),
+    )
+    bucketed_fact = fact.withColumn("__bucket", F.date_trunc("month", d).cast("date"))
+    return (
+        bucketed_fact.join(exploded, "__bucket")
+        .where(
+            (d >= F.col(from_col))
+            & (F.col(to_col).isNull() | (d <= F.col(to_col)))
+        )
+        .drop("__bucket")
+    )

@@ -254,6 +254,34 @@ GROUP BY e.era
 """
 
 
+def join_validity_window_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same point-in-interval lookup through the SCALE path: month-bucket
+    equi-join (``operators.intervals.bucketed_range_join``) instead of a
+    broadcast nested-loop range predicate. Every order date falls inside
+    exactly one era, so inner containment equals the left join and the
+    oracle is shared with ``join_validity_window``."""
+    from pos_pipeline_core_etl_spark.operators.intervals import bucketed_range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    eras = spark.createDataFrame(
+        [
+            ("ERA1", "1992-01-01", "1994-12-31"),
+            ("ERA2", "1995-01-01", "1996-12-31"),
+            ("ERA3", "1997-01-01", None),
+        ],
+        "era string, valid_from string, valid_to string",
+    ).select(
+        "era",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    joined = bucketed_range_join(orders, "o_orderdate", eras)
+    return joined.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        hround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # count-distinct family
 
@@ -585,6 +613,10 @@ QUERIES: dict[str, tuple] = {
     "join_bigbig_revenue": (join_bigbig_revenue, JOIN_BIGBIG_REVENUE_SQL),
     "join_left_flag": (join_left_flag, JOIN_LEFT_FLAG_SQL),
     "join_validity_window": (join_validity_window, JOIN_VALIDITY_WINDOW_SQL),
+    "join_validity_window_bucketed": (
+        join_validity_window_bucketed,
+        JOIN_VALIDITY_WINDOW_SQL,
+    ),
     "agg_count_distinct": (agg_count_distinct, AGG_COUNT_DISTINCT_SQL),
     "dedup_keep_first": (dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
     "duplicate_detection": (duplicate_detection, DUPLICATE_DETECTION_SQL),

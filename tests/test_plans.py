@@ -96,6 +96,19 @@ class TestContracts:
         plan = _plan(df)
         assert plan.count("InMemoryTableScan") >= 3
 
+    def test_bucketed_range_join_is_equi(self, spark):
+        """The scale-path validity join must plan as a hash equi-join on
+        the month bucket — never a nested-loop range join."""
+        from pos_pipeline_core_etl_spark.plans.relational import (
+            join_validity_window_bucketed,
+        )
+
+        df = join_validity_window_bucketed(spark, SF_DIR)
+        df.count()
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_adapters_satisfy_contracts(self, spark):
         enforce_contract(
             pos_adapter.fact_payments_ticket(spark, SF_DIR), FACT_PAYMENTS_TICKET, exact=True
