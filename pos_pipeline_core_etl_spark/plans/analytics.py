@@ -32,6 +32,20 @@ def order_times_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_times_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: one-pass mergeable sketches
+    (``percentile_approx``, accuracy 10000) instead of exact per-group
+    sorts. Rows-only driver check — Spark's Greenwald-Khanna sketch has
+    no DuckDB twin; closeness to the exact percentiles is unit-tested
+    (test_scale_ops::TestApproxPercentiles)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(F.percentile_approx("value", 0.5, 10000), 4).alias("v_median"),
+        hround(F.percentile_approx("value", 0.9, 10000), 4).alias("v_p90"),
+    )
+
+
 ORDER_TIMES_SUMMARY_SQL = f"""
 SELECT event_type,
        COUNT(*) AS n,
@@ -187,6 +201,7 @@ GROUP BY n.n_name
 QUERIES: dict[str, tuple] = {
     "sql_interface_revenue": (sql_interface_revenue, SQL_INTERFACE_REVENUE_SQL),
     "order_times_summary": (order_times_summary, ORDER_TIMES_SUMMARY_SQL),
+    "order_times_approx": (order_times_approx, None),
     "user_activity_gaps": (user_activity_gaps, USER_ACTIVITY_GAPS_SQL),
     "drop_null_rows": (drop_null_rows, DROP_NULL_ROWS_SQL),
     "sorted_distinct_dates": (sorted_distinct_dates, SORTED_DISTINCT_DATES_SQL),

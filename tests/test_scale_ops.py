@@ -319,3 +319,22 @@ class TestMultimodalPlumbing:
         assert len(rows) == docs.count()
         assert all(r["n_bytes_out"] == min(r["n_bytes_in"], 48) for r in rows)
         assert all(r["resizer"] == "stub" for r in rows)
+
+
+class TestApproxPercentiles:
+    def test_sketch_close_to_exact(self, spark):
+        """percentile_approx at accuracy 10000 lands within 2% relative
+        error of the exact per-group percentiles."""
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            order_times_approx,
+            order_times_summary,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        exact = {r["event_type"]: r for r in order_times_summary(spark, sf).collect()}
+        approx = {r["event_type"]: r for r in order_times_approx(spark, sf).collect()}
+        assert set(exact) == set(approx)
+        for et in exact:
+            for col in ("v_median", "v_p90"):
+                e, a = exact[et][col], approx[et][col]
+                assert abs(a - e) <= max(0.02 * abs(e), 0.05), (et, col, e, a)
