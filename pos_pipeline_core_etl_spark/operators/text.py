@@ -122,3 +122,66 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.array_join(t, " ")).alias("fp"),
         F.size(t).alias("n_distinct_tokens"),
     )
+
+
+def corpus_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token) long form: lowercase whitespace tokens, exploded.
+    The shared first stage of vocabulary / TF-IDF — one explode, no
+    Python."""
+    return docs.select(
+        "doc_id",
+        F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("token"),
+    )
+
+
+def vocabulary(docs: DataFrame, text_col: str = "text", min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary: per token, total occurrences + document
+    frequency, min-count filtered. One shuffle on the token key (the
+    single countDistinct plans as two-level agg — no Expand); at 100 TB
+    this is the canonical vocab-building job shape."""
+    toks = corpus_tokens(docs, text_col)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_total") >= min_count)
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf = ln((N+1)/(df+1))).
+
+    tf and df are two aggregations over the shared token explode; N
+    arrives via a broadcast cross join (stays in-plan — no driver
+    action). Scores are rounded BEFORE ranking and ties break on token
+    so rank order is engine-independent.
+    """
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    toks = corpus_tokens(docs, text_col)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_corpus"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            hround(
+                F.col("tf")
+                * F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "token", "score")
+    )

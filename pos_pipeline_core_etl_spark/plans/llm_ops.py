@@ -148,6 +148,48 @@ FROM documents
 # dedup
 
 
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id, lower(u.t) AS token
+  FROM documents,
+       LATERAL unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(t)
+)"""
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocabulary(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_VOCABULARY_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT token, COUNT(*) AS n_total,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks GROUP BY token HAVING COUNT(*) >= 2
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_topk(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TFIDF_TOPK_SQL = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         {hround_sql("tf.tf * ln((n.n_corpus + 1.0) / (df.df + 1.0))", 6)} AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, token ASC) AS rnk,
+       token, score
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -488,6 +530,8 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_ID_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_vocabulary": (text_vocabulary, TEXT_VOCABULARY_SQL),
+    "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_TOPK_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
