@@ -31,3 +31,113 @@ def test_registry_size_floor():
     # the driver's t2 gate iterates this — shrinking it is a regression
     assert len(registry.all_queries()) >= 70
     assert len(registry.all_oracles()) >= 69
+
+
+EXPECTED_QUERIES = frozenset(
+    {
+        # relational
+        "scan_filter_project",
+        "agg_pricing_summary",
+        "join_broadcast_dims",
+        "join_bigbig_revenue",
+        "join_left_flag",
+        "join_validity_window",
+        "join_validity_window_bucketed",
+        "agg_count_distinct",
+        "dedup_keep_first",
+        "duplicate_detection",
+        "topk_orders",
+        "topk_per_group",
+        "set_except_keys",
+        "union_by_name",
+        "pivot_status_by_priority",
+        "unpivot_measures",
+        "monthly_rollup",
+        "grand_totals_rollup",
+        "horizontal_sum",
+        "value_mode",
+        # marts
+        "payments_daily_mart",
+        "sales_by_ticket_mart",
+        "sales_by_group_mart",
+        "transfers_cube_mart",
+        "fact_payments_ticket",
+        "fact_sales_item_line",
+        "fact_transfers_line",
+        # cleaning
+        "fn_clean_strings",
+        "silver_clean_payments",
+        "fn_to_float_locale",
+        "fn_to_float_expr",
+        "fn_to_int",
+        "fn_to_date_multi",
+        "fn_accent_bucket",
+        "fn_coerce_bool",
+        "fn_safe_unit_cost",
+        "fn_json_extract",
+        # windows
+        "calendar_zero_fill",
+        "window_rolling_mean",
+        "window_lag_delta",
+        # qa
+        "qa_sample_months",
+        "qa_duplicates",
+        "qa_nulls",
+        "qa_non_negative",
+        "qa_revenue_consistency",
+        "qa_per_sucursal_ranges",
+        "qa_missing_days",
+        "qa_zscore_anomalies",
+        "qa_zero_method_flags",
+        "qa_monthly_sales",
+        # llm ops
+        "text_token_counts",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprint",
+        "text_vocabulary",
+        "text_tfidf_topk",
+        "dedup_exact_docs",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "sim_cosine_topk",
+        "sim_lsh_bucket_topk",
+        "sim_lsh_buckets_histogram",
+        "sim_ivf_topk",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        # forecasting
+        "forecast_naive_lastweek",
+        "forecast_deposit_schedule",
+        "deposit_cash_flow",
+        "forecast_loglinear",
+        # streaming batch twins
+        "events_tumbling_counts",
+        "events_sessionization",
+        # analytics
+        "sql_interface_revenue",
+        "order_times_summary",
+        "order_times_approx",
+        "user_activity_gaps",
+        "drop_null_rows",
+        "sorted_distinct_dates",
+        "bounded_sample",
+        "branch_substring_filter",
+    }
+)
+
+
+def test_registry_exact_query_set():
+    """A silent import failure must not shrink the claimed surface (ADVICE r1)."""
+    assert set(registry.all_queries()) >= EXPECTED_QUERIES
+
+
+def test_driver_window_front_loads_unchecked_queries():
+    """The driver verifies the first 50 queries per round; queries absent from
+    CORRECTNESS_r01.json must sit inside that window this round."""
+    first_50 = list(registry.all_queries())[:50]
+    for name in registry._PRIORITY[:50]:
+        assert name in first_50
