@@ -84,6 +84,9 @@ def _parse_locale_number(s: object) -> float | None:
     if text.startswith("-"):
         neg = True
         text = text[1:]
+    if "-" in text:
+        # any '-' surviving the leading-sign strip ('--5', '1-2') is garbage
+        return None
     has_dot = "." in text
     has_comma = "," in text
     try:
@@ -94,15 +97,17 @@ def _parse_locale_number(s: object) -> float | None:
             else:
                 text = text.replace(",", "")
         elif has_comma:
-            # single comma with 1-2 trailing digits → decimal, else thousands
-            idx = text.rfind(",")
-            if len(text) - idx - 1 in (1, 2) and text.count(",") == 1:
-                text = text.replace(",", ".")
-            else:
+            # strict thousands grouping (cleaning_utils.py:178-183): only
+            # 1,234[,567...] is thousands; anything else ('1234,567',
+            # '12,3456') treats the comma as the decimal separator
+            if re.fullmatch(r"\d{1,3}(?:,\d{3})+", text):
                 text = text.replace(",", "")
-        elif has_dot:
-            # single dot: decimal unless it looks like a thousands group
-            if text.count(".") > 1:
+            else:
+                text = text.replace(",", ".")
+        elif has_dot and text.count(".") > 1:
+            # multiple dots: thousands only when the grouping is strict
+            # (cleaning_utils.py:185-193); else fall through → float fails
+            if re.fullmatch(r"\d{1,3}(?:\.\d{3})+", text):
                 text = text.replace(".", "")
         value = float(text)
     except ValueError:
@@ -130,7 +135,8 @@ def to_float_expr(col: Column) -> Column:
     body = F.regexp_replace(body, r"[^\d,.\-]", "")
     eu = F.regexp_replace(F.regexp_replace(body, r"\.", ""), ",", ".")
     us = F.regexp_replace(body, ",", "")
-    # both separators present → rightmost decides; comma-only w/ 1-2 trailing digits → decimal
+    # both separators present → rightmost decides; comma-only → strict
+    # thousands grouping (cleaning_utils.py:178-183) else comma is decimal
     comma_pos = F.length(body) - F.length(F.regexp_replace(body, r"^.*,", ""))
     dot_pos = F.length(body) - F.length(F.regexp_replace(body, r"^.*\.", ""))
     has_comma = body.contains(",")
@@ -138,10 +144,13 @@ def to_float_expr(col: Column) -> Column:
     parsed = (
         F.when(has_comma & has_dot & (comma_pos > dot_pos), eu)
         .when(has_comma & has_dot, us)
-        .when(has_comma & body.rlike(r"^[^,]*,\d{1,2}$"), eu)
-        .when(has_comma, us)
+        .when(has_comma & body.rlike(r"^-?\d{1,3}(,\d{3})+$"), us)
+        .when(has_comma, eu)
+        .when(body.rlike(r"^-?\d{1,3}(\.\d{3}){2,}$"), F.regexp_replace(body, r"\.", ""))
         .otherwise(body)
-    ).cast("double")
+    ).try_cast("double")
+    # malformed bodies ('--5', '1.2.3' non-grouped) cast to NULL, matching
+    # the reference's float()-failure → None
     return F.when(is_paren, -parsed).otherwise(parsed)
 
 

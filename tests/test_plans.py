@@ -8,6 +8,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from pos_pipeline_core_etl_spark.plans.marts import (
     payments_daily_mart,
@@ -155,3 +156,48 @@ class TestPartitionPruning:
         n_parts = len([d for d in os.listdir(out) if d.startswith("ym=")])
         assert n_parts > 10  # layout actually partitioned
         assert back.count() > 0
+
+
+class TestToFloatExprParity:
+    """JVM fast path ≡ pandas path ≡ reference decision tree (ADVICE r1)."""
+
+    CASES = {
+        "1,234.56": 1234.56,
+        "1.234,56": 1234.56,
+        "(1,234.56)": -1234.56,
+        "$ 1 234,56": 1234.56,
+        "1,234": 1234.0,
+        "1,234,567": 1234567.0,
+        "1234,567": 1234.567,  # non-strict grouping → comma is decimal
+        "12,3456": 12.3456,
+        "1,23": 1.23,
+        "1.234": 1.234,  # single dot → always decimal
+        "1.234.567": 1234567.0,
+        "1.23.45": None,
+        "1,23,45": None,
+        "--5": None,  # '-' after sign strip → garbage
+        "1-2": None,
+        "-1,234.56": -1234.56,
+    }
+
+    def test_expr_matches_reference_tree(self, spark):
+        from pos_pipeline_core_etl_spark.functions import cleaning
+
+        df = spark.createDataFrame([(c,) for c in self.CASES], "raw string")
+        got = {
+            r.raw: r.v
+            for r in df.select(
+                "raw", cleaning.to_float_expr(F.col("raw")).alias("v")
+            ).collect()
+        }
+        for raw, want in self.CASES.items():
+            if want is None:
+                assert got[raw] is None, (raw, got[raw])
+            else:
+                assert got[raw] == pytest.approx(want), (raw, got[raw])
+
+    def test_expr_agrees_with_pandas_path(self, spark):
+        from pos_pipeline_core_etl_spark.functions.cleaning import _parse_locale_number
+
+        for raw in self.CASES:
+            assert _parse_locale_number(raw) == self.CASES[raw]

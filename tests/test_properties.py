@@ -78,3 +78,33 @@ def test_to_float_parses_both_locales(whole, cents):
     expected = float(f"{whole}.{cents:02d}") if whole >= 0 else -(abs(whole) + cents / 100)
     assert _parse_locale_number(us) == expected
     assert _parse_locale_number(eu) == expected
+
+
+def test_to_float_reference_parity_cases():
+    """Reference decision-tree parity (cleaning_utils.py:111-197, ADVICE r1):
+    comma-only uses STRICT thousands grouping \\d{1,3}(,\\d{3})+ — anything
+    else treats the comma as decimal; a '-' surviving the leading-sign strip
+    is garbage; multi-dot needs strict grouping too."""
+    cases = {
+        "1,234.56": 1234.56,  # US
+        "1.234,56": 1234.56,  # EU
+        "(1,234.56)": -1234.56,  # paren negative
+        "$ 1 234,56": 1234.56,  # currency + inner space
+        "1,234": 1234.0,  # strict grouping → thousands
+        "1,234,567": 1234567.0,  # strict grouping → thousands
+        "1234,567": 1234.567,  # NOT strict grouping → comma is decimal
+        "12,3456": 12.3456,  # NOT strict grouping → comma is decimal
+        "1,23": 1.23,  # short trailing group → decimal
+        "1.234": 1.234,  # single dot → always decimal
+        "1.234.567": 1234567.0,  # multi-dot strict grouping → thousands
+        "1.23.45": None,  # multi-dot non-strict → unparseable
+        "1,23,45": None,  # multi-comma non-strict → unparseable
+        "--5": None,  # double negative → garbage
+        "1-2": None,  # inner '-' → garbage
+        "-1,234.56": -1234.56,  # leading sign strip, then US
+        "": None,
+        None: None,
+    }
+    for raw, want in cases.items():
+        got = _parse_locale_number(raw)
+        assert got == want or (got is None and want is None), (raw, got, want)
