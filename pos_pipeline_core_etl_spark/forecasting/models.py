@@ -8,8 +8,10 @@ rebuild keeps the same ABC; models run INSIDE ``applyInPandas`` groups
 cluster with zero driver involvement.
 
 Models:
-- ``NaiveLastWeekModel`` (naive.py:59-409): per forecast date walk back
-  7 days at a time (≤ 8 weeks here) to the first date with data.
+- ``NaiveLastWeekModel`` (naive.py:19-180): per forecast date walk back
+  7 days at a time (≤ 52 weeks) to the first candidate ≤ last_data_date
+  that is not a holiday or holiday-adjacent; use its value as-is
+  (0.0 when the date is missing from the series).
 - ``LogLinearSeasonalModel``: log1p → OLS on [intercept, trend,
   day-of-week dummies] via numpy lstsq → expm1, clipped at 0. The
   in-container stand-in for the reference's SARIMAX grid (statsmodels
@@ -21,6 +23,7 @@ Models:
 
 from __future__ import annotations
 
+import datetime
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
 from typing import Any
@@ -42,42 +45,79 @@ class ForecastModel(ABC):
     def forecast(self, model: Any, steps: int, **kwargs: Any) -> pd.Series: ...
 
 
+def is_holiday_or_adjacent(d: pd.Timestamp, holidays: set) -> bool:
+    """d, d−1, or d+1 is a holiday (reference deposit_schedule.py:15-28)."""
+    dd = d.date() if isinstance(d, pd.Timestamp) else d
+    one = datetime.timedelta(days=1)
+    return dd in holidays or (dd - one) in holidays or (dd + one) in holidays
+
+
+def find_equivalent_historical_weekday(
+    target: pd.Timestamp,
+    last_data_date: pd.Timestamp,
+    holidays: set,
+    max_weeks_back: int = 52,
+) -> pd.Timestamp | None:
+    """First same-weekday candidate ≤ last_data_date that is not a holiday
+    or holiday-adjacent, walking back ≤ ``max_weeks_back`` weeks
+    (reference naive.py:19-57)."""
+    candidate = target - pd.Timedelta(days=7)
+    for _ in range(max_weeks_back):
+        if candidate <= last_data_date and not is_holiday_or_adjacent(
+            candidate, holidays
+        ):
+            return candidate
+        candidate = candidate - pd.Timedelta(days=7)
+    return None
+
+
 @dataclass
 class NaiveLastWeekModel(ForecastModel):
-    """Value = most recent same-weekday observation within max_weeks.
+    """Value = observation at the equivalent historical weekday.
+
+    Reference semantics (naive.py:19-180, ADVICE r1): the equivalent date
+    is chosen WITHOUT looking at the data — the first same-weekday
+    candidate that is ≤ last_data_date and not holiday/holiday-adjacent,
+    walking back ≤ 52 weeks. The series value at that date is used as-is
+    (including 0.0); a date missing from the series, or no eligible
+    candidate at all, yields 0.0.
 
     Implements the reference's ``HasDebugInfo`` protocol
     (``forecasting/types.py:409-421``): after ``forecast``, ``debug_``
-    maps each forecast date to the historical source date used
-    (``naive.py:59-409`` records the same).
+    maps each forecast date to the historical source date used.
     """
 
-    max_weeks: int = 8
+    max_weeks: int = 52
 
     def __post_init__(self) -> None:
         self.debug_: dict[str, str | None] = {}
 
-    def train(self, series: pd.Series, **kwargs: Any) -> pd.Series:
+    def train(self, series: pd.Series, holidays: set | None = None, **kwargs: Any) -> dict:
         if len(series) < MIN_OBSERVATIONS:
             raise ValueError(f"need >= {MIN_OBSERVATIONS} observations")
-        return series
+        return {"series": series, "holidays": holidays or set()}
 
-    def forecast(self, model: pd.Series, steps: int, **kwargs: Any) -> pd.Series:
-        series = model
+    def forecast(self, model: dict, steps: int, **kwargs: Any) -> pd.Series:
+        series = model["series"]
+        holidays = model["holidays"]
         last = series.index.max()
         out_idx = pd.date_range(last + pd.Timedelta(days=1), periods=steps, freq="D")
+        by_date = {
+            (i.date() if isinstance(i, pd.Timestamp) else i): v
+            for i, v in series.items()
+        }
         values = []
         self.debug_ = {}
-        observed = series[series != 0]
         for d in out_idx:
-            val, src = 0.0, None
-            for w in range(1, self.max_weeks + 1):
-                back = d - pd.Timedelta(days=7 * w)
-                if back in observed.index:
-                    val, src = float(observed.loc[back]), str(back.date())
-                    break
+            src = find_equivalent_historical_weekday(
+                d, last, holidays, max_weeks_back=self.max_weeks
+            )
+            if src is not None and src.date() in by_date:
+                val, src_str = float(by_date[src.date()]), str(src.date())
+            else:
+                val, src_str = 0.0, None
             values.append(val)
-            self.debug_[str(d.date())] = src
+            self.debug_[str(d.date())] = src_str
         return pd.Series(values, index=out_idx)
 
 

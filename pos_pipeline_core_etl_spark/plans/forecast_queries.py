@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pos_pipeline_core_etl_spark.forecasting.deposit import (
@@ -26,17 +26,35 @@ from pos_pipeline_core_etl_spark.plans.marts import PAYMENTS_DAILY_MART_SQL, pay
 _MART_CTE = f"WITH mart AS ({PAYMENTS_DAILY_MART_SQL})"
 _IT = "(" + " + ".join(qa.INGRESO_COLS) + ")"
 
-NAIVE_MAX_WEEKS = 8
+NAIVE_MAX_WEEKS = 52  # reference naive.py:22 (max_weeks_back)
 HORIZON = 7
 
 
 def forecast_naive_lastweek(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per branch: next 7 days = most recent same-weekday observed value
-    within 8 weeks (else 0). One broadcastable horizon frame + a rank
-    window — no Python, no loop."""
+    """Per branch: next 7 days = value at the *equivalent historical
+    weekday* (reference naive.py:19-180): the first same-weekday candidate
+    ≤ last observed date that is not a holiday or holiday-adjacent,
+    walking back ≤ 52 weeks. The candidate is chosen WITHOUT looking at
+    the data; a missing date yields 0.
+
+    Scale shape: candidates/horizon/holidays are dimension-sized (branches
+    × 7 × 52 rows) and broadcast; ``daily`` — the only data-sized leg —
+    is touched once by an equi-join.
+    """
     mart = payments_daily_mart(spark, sf_dir)
     daily = mart.select(
         "sucursal", "fecha", hround(qa.ingreso_total_col(), 2).alias("it")
+    )
+    # holiday set → blocked dates (holiday ± 1), reference deposit_schedule.py:15-28
+    blocked = (
+        mart.where(F.col("is_national_holiday"))
+        .select(F.col("fecha").alias("h_fecha"))
+        .distinct()
+        .select(
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"), "h_fecha"
+        )
+        .select(F.expr("date_add(h_fecha, off)").alias("b_fecha"))
+        .distinct()
     )
     last = daily.groupBy("sucursal").agg(F.max("fecha").alias("last_fecha"))
     horizon = last.select(
@@ -44,20 +62,34 @@ def forecast_naive_lastweek(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.lit(HORIZON))).alias("h"),
         "last_fecha",
     ).select(
-        "sucursal", "h", F.expr("date_add(last_fecha, h)").alias("target_fecha")
+        "sucursal", "h", "last_fecha", F.expr("date_add(last_fecha, h)").alias("target_fecha")
     )
-    cand = horizon.join(
-        daily.select(F.col("sucursal").alias("c_suc"), F.col("fecha").alias("c_fecha"), "it"),
-        (F.col("sucursal") == F.col("c_suc"))
-        & (F.dayofweek("c_fecha") == F.dayofweek("target_fecha"))
-        & (F.col("c_fecha") < F.col("target_fecha"))
-        & (F.col("c_fecha") >= F.date_sub(F.col("target_fecha"), 7 * NAIVE_MAX_WEEKS)),
-        "left",
+    cand = horizon.select(
+        "sucursal",
+        "h",
+        "target_fecha",
+        "last_fecha",
+        F.explode(F.sequence(F.lit(1), F.lit(NAIVE_MAX_WEEKS))).alias("w"),
+    ).withColumn("cand_fecha", F.expr("date_sub(target_fecha, 7 * w)"))
+    eligible = cand.where(F.col("cand_fecha") <= F.col("last_fecha")).join(
+        F.broadcast(blocked), cand.cand_fecha == blocked.b_fecha, "left_anti"
     )
-    w = Window.partitionBy("sucursal", "h").orderBy(F.col("c_fecha").desc_nulls_last())
+    # min w ⇔ max candidate date (candidates step back 7 days per week)
+    eq = eligible.groupBy("sucursal", "h", "target_fecha").agg(
+        F.max("cand_fecha").alias("src_fecha")
+    )
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        horizon.join(eq, ["sucursal", "h", "target_fecha"], "left")
+        .join(
+            daily.select(
+                F.col("sucursal").alias("d_suc"),
+                F.col("fecha").alias("d_fecha"),
+                "it",
+            ),
+            (F.col("sucursal") == F.col("d_suc"))
+            & (F.col("src_fecha") == F.col("d_fecha")),
+            "left",
+        )
         .select(
             "sucursal",
             F.col("h").cast("long").alias("h"),
@@ -70,24 +102,34 @@ def forecast_naive_lastweek(spark: SparkSession, sf_dir: str) -> DataFrame:
 FORECAST_NAIVE_LASTWEEK_SQL = f"""
 {_MART_CTE},
 daily AS (SELECT sucursal, fecha, {hround_sql(_IT, 2)} AS it FROM mart),
+blocked AS (
+  SELECT DISTINCT fecha + CAST(u.off AS INT) AS b_fecha
+  FROM (SELECT DISTINCT fecha FROM mart WHERE is_national_holiday) hol,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS off) u
+),
 last AS (SELECT sucursal, MAX(fecha) AS last_fecha FROM daily GROUP BY sucursal),
 horizon AS (
-  SELECT l.sucursal, u.h, l.last_fecha + CAST(u.h AS INT) AS target_fecha
+  SELECT l.sucursal, u.h, l.last_fecha,
+         l.last_fecha + CAST(u.h AS INT) AS target_fecha
   FROM last l, LATERAL (SELECT unnest(generate_series(1, {HORIZON})) AS h) u
 ),
-cand AS (
-  SELECT h.sucursal, h.h, h.target_fecha, d.fecha AS c_fecha, d.it,
-         ROW_NUMBER() OVER (PARTITION BY h.sucursal, h.h
-                            ORDER BY d.fecha DESC NULLS LAST) AS rn
-  FROM horizon h
-  LEFT JOIN daily d
-    ON d.sucursal = h.sucursal
-   AND dayofweek(d.fecha) = dayofweek(h.target_fecha)
-   AND d.fecha < h.target_fecha
-   AND d.fecha >= h.target_fecha - {7 * NAIVE_MAX_WEEKS}
+eligible AS (
+  SELECT hz.sucursal, hz.h, hz.target_fecha,
+         hz.target_fecha - CAST(7 * u.w AS INT) AS cand_fecha
+  FROM horizon hz, LATERAL (SELECT unnest(generate_series(1, {NAIVE_MAX_WEEKS})) AS w) u
+  WHERE hz.target_fecha - CAST(7 * u.w AS INT) <= hz.last_fecha
+    AND NOT EXISTS (SELECT 1 FROM blocked b
+                    WHERE b.b_fecha = hz.target_fecha - CAST(7 * u.w AS INT))
+),
+eq AS (
+  SELECT sucursal, h, target_fecha, MAX(cand_fecha) AS src_fecha
+  FROM eligible GROUP BY sucursal, h, target_fecha
 )
-SELECT sucursal, h, target_fecha, COALESCE(it, 0.0) AS valor
-FROM cand WHERE rn = 1
+SELECT hz.sucursal, hz.h, hz.target_fecha, COALESCE(d.it, 0.0) AS valor
+FROM horizon hz
+LEFT JOIN eq ON eq.sucursal = hz.sucursal AND eq.h = hz.h
+            AND eq.target_fecha = hz.target_fecha
+LEFT JOIN daily d ON d.sucursal = hz.sucursal AND d.fecha = eq.src_fecha
 """
 
 

@@ -35,13 +35,55 @@ def test_naive_lastweek_picks_last_same_weekday():
         assert v == s.loc[d - pd.Timedelta(days=7)]
 
 
-def test_naive_lastweek_skips_zero_days():
+def test_naive_lastweek_uses_zero_days_as_is():
+    """Reference semantics (naive.py:50, ADVICE r1): the first in-range
+    candidate wins regardless of value — zeros are NOT skipped."""
     s = _series()
-    s.iloc[-7:] = 0.0  # last week unobserved
+    s.iloc[-7:] = 0.0
     m = NaiveLastWeekModel()
     pred = m.forecast(m.train(s), 7)
-    for d, v in pred.items():
-        assert v == s.loc[d - pd.Timedelta(days=14)]
+    assert (pred == 0.0).all()
+
+
+def test_naive_lastweek_skips_holiday_adjacent():
+    """Docstring example (naive.py:40-44): holiday at t-7 → t-14 used."""
+    s = _series()
+    last = s.index.max()
+    holiday = (last + pd.Timedelta(days=1) - pd.Timedelta(days=7)).date()
+    m = NaiveLastWeekModel()
+    pred = m.forecast(m.train(s, holidays={holiday}), 3)
+    d0 = last + pd.Timedelta(days=1)
+    # day 1: t-7 is the holiday → fall to t-14; day 2: t-7 is
+    # holiday-adjacent (+1) → t-14; day 3: t-7 clean → t-7
+    assert pred.loc[d0] == s.loc[d0 - pd.Timedelta(days=14)]
+    assert pred.loc[d0 + pd.Timedelta(days=1)] == s.loc[
+        d0 + pd.Timedelta(days=1) - pd.Timedelta(days=14)
+    ]
+    assert pred.loc[d0 + pd.Timedelta(days=2)] == s.loc[
+        d0 + pd.Timedelta(days=2) - pd.Timedelta(days=7)
+    ]
+
+
+def test_naive_lastweek_candidate_must_precede_last_data_date():
+    """Steps beyond 7 have their first candidates after last_data_date;
+    those are skipped until the walk-back reaches real history."""
+    s = _series()
+    m = NaiveLastWeekModel()
+    pred = m.forecast(m.train(s), 10)
+    last = s.index.max()
+    d10 = last + pd.Timedelta(days=10)  # candidate t-7 = last+3 → skip
+    assert pred.loc[d10] == s.loc[d10 - pd.Timedelta(days=14)]
+
+
+def test_naive_lastweek_missing_source_yields_zero():
+    s = _series()
+    s = s.drop(s.index[-7])  # remove the t-7 source for forecast day 1
+    m = NaiveLastWeekModel()
+    pred = m.forecast(m.train(s), 1)
+    # candidate date still eligible (≤ last, not holiday) but absent from
+    # the series → reference falls back to 0.0
+    assert pred.iloc[0] == 0.0
+    assert m.debug_[str(pred.index[0].date())] is None
 
 
 def test_loglinear_learns_weekly_pattern():
