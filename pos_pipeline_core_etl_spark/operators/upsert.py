@@ -35,7 +35,8 @@ def scd2_apply(
 
     ``dim`` columns: key, *tracked_cols, valid_from, valid_to (null =
     current). ``changes``: key, *tracked_cols. Unchanged keys (same
-    tracked values) are left untouched.
+    tracked values) are left untouched. Keys present in ``changes`` but
+    absent from ``dim`` are appended as initial versions (ADVICE r1).
     """
     current = dim.where(F.col("valid_to").isNull())
     changed_keys = (
@@ -48,6 +49,11 @@ def scd2_apply(
         .select(F.col(f"c.{key}").alias(key))
         .distinct()
     )
+    # brand-new keys never seen in the dimension get a first version too
+    new_keys = changes.select(key).distinct().join(
+        dim.select(key).distinct(), key, "left_anti"
+    )
+    version_keys = changed_keys.unionByName(new_keys)
     closed = (
         current.join(changed_keys, key)
         .withColumn("valid_to", F.lit(effective_date - dt.timedelta(days=1)))
@@ -55,7 +61,7 @@ def scd2_apply(
     untouched_current = current.join(changed_keys, key, "left_anti")
     history = dim.where(F.col("valid_to").isNotNull())
     new_versions = (
-        changes.join(changed_keys, key)
+        changes.join(version_keys, key)
         .withColumn("valid_from", F.lit(effective_date))
         .withColumn("valid_to", F.lit(None).cast("date"))
         .select(*dim.columns)

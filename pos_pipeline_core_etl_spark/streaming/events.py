@@ -71,7 +71,13 @@ def read_events_stream(
     else:
         os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    if os.path.islink(link):
+        # a stream_dir reused across scale factors must not silently
+        # stream stale data (ADVICE r1): re-link when the target moved
+        if os.readlink(link) != src:
+            os.unlink(link)
+            os.symlink(src, link)
+    elif not os.path.exists(link):
         os.symlink(src, link)
     raw = (
         spark.readStream.schema(

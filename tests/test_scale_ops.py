@@ -99,6 +99,27 @@ class TestUpsert:
             ]
         )
 
+    def test_scd2_appends_initial_version_for_new_keys(self, spark):
+        """A key in changes but absent from dim gets a first version
+        (ADVICE r1: previously silently dropped)."""
+        dim = spark.createDataFrame(
+            [(1, "a", D(2023, 1, 1), None)],
+            "id long, name string, valid_from date, valid_to date",
+        )
+        changes = spark.createDataFrame(
+            [(1, "a"), (9, "new")], "id long, name string"
+        )
+        out = scd2_apply(dim, changes, "id", D(2024, 6, 1), ["name"])
+        rows = sorted(
+            ((r["id"], r["name"], str(r["valid_from"]), str(r["valid_to"])) for r in out.collect())
+        )
+        assert rows == sorted(
+            [
+                (1, "a", "2023-01-01", "None"),  # unchanged, untouched
+                (9, "new", "2024-06-01", "None"),  # brand-new initial version
+            ]
+        )
+
 
 class TestStatefulStreaming:
     def test_running_counters_match_batch(self, spark):

@@ -59,3 +59,18 @@ def test_foreach_batch_exactly_once(spark, tmp_path):
     # restart with the same checkpoint: source exhausted, sink unchanged
     again = run_streaming_foreach_batch(spark, sf, out, ckpt, stream_dir=src)
     assert again.count() == n_sink
+
+
+def test_stream_dir_relinks_on_sf_change(spark, tmp_path):
+    """Reusing a stream_dir across scale factors must re-point the
+    symlink at the new source, not silently stream stale data (ADVICE r1)."""
+    import os
+
+    from pos_pipeline_core_etl_spark.streaming.events import read_events_stream
+
+    d = str(tmp_path / "stream")
+    read_events_stream(spark, "/root/testdata/sf0.001", stream_dir=d)
+    link = os.path.join(d, "events.parquet")
+    assert os.readlink(link) == "/root/testdata/sf0.001/events.parquet"
+    read_events_stream(spark, "/root/testdata/sf0.01", stream_dir=d)
+    assert os.readlink(link) == "/root/testdata/sf0.01/events.parquet"
