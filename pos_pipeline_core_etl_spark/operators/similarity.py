@@ -28,6 +28,9 @@ from pos_pipeline_core_etl_spark.functions.rounding import hround
 N_PLANES = 8
 PLANE_MIX = 2654435761  # Knuth multiplicative constant
 PLANE_MOD = 2**32
+CENT_MIX = 2246822519  # xxhash PRIME32_2 — distinct stream from PLANE_MIX
+IVF_N_CLUSTERS = 16
+IVF_NPROBE = 2
 
 
 def _as_double(vec: Column) -> Column:
@@ -245,6 +248,109 @@ def ivf_search_topk(
         sims.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "rnk", "cand_id", "cos_sim")
+    )
+
+
+def centroid_component(cluster: int, comp: Column | int, dim: int = 64) -> Column:
+    """Deterministic pseudo-random centroid component in [-1, 1) — same
+    integer-mixing construction as :func:`plane_component` but on the
+    ``CENT_MIX`` stream, so the fixed coarse quantizer is reproducible in
+    any engine (the SQL oracle generates identical components)."""
+    idx = F.lit(cluster * dim) + comp + 1
+    mixed = (F.lit(CENT_MIX) * idx) % F.lit(PLANE_MOD)
+    return mixed / F.lit(float(2**31)) - 1.0
+
+
+def centroid_d2(vec: Column, cluster: int, dim: int = 64) -> Column:
+    """Squared L2 distance to fixed centroid ``cluster`` — sequential
+    left fold, bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: (x - centroid_component(cluster, i, dim))
+            * (x - centroid_component(cluster, i, dim)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_fixed_search_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_clusters: int = IVF_N_CLUSTERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a FIXED (pretrained-style) coarse quantizer.
+
+    FAISS-standard deployment shape: the quantizer is trained offline and
+    shipped as a table; here it is a deterministic integer-mixed literal
+    grid so the whole search — assignment, probe selection, candidate
+    join, re-rank — is one relational plan with an exact SQL twin (no
+    driver collect at all, unlike the sample-trained
+    :func:`ivf_search_topk` whose quantizer is checked by recall tests).
+
+    Assignment is ``least()`` over (d², cluster) structs — codegen, no
+    explode, no extra shuffle. Candidates join on cluster id (equi-join;
+    the cross product shrinks ~n_clusters/nprobe); exact cosine re-ranks.
+    """
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    d2_structs = [
+        F.struct(centroid_d2(F.col("vec"), c).alias("d"), F.lit(c).alias("c"))
+        for c in range(n_clusters)
+    ]
+    assigned = base.select(
+        "vec_id",
+        "vec",
+        F.least(*d2_structs).getField("c").alias("cluster"),
+    ).withColumn("norm", l2norm(F.col("vec")))
+
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    probe_structs = [
+        F.struct(centroid_d2(F.col("qvec"), c).alias("d"), F.lit(c).alias("c"))
+        for c in range(n_clusters)
+    ]
+    probes = queries.select(
+        "query_id",
+        F.explode(
+            F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+        ).alias("pc"),
+    ).select("query_id", F.col("pc.c").alias("cluster"))
+
+    cands = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+    )
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        hround(
+            cosine_prenormed(
+                F.col("qvec"), F.col("vec"), F.col("qnorm"), F.col("norm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col("rnk").cast("long").alias("rnk"), "cand_id", "cos_sim")
     )
 
 

@@ -19,7 +19,7 @@ def order_times_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact percentiles (``F.percentile``) shuffle once per group like any
     agg; at 100 TB swap to ``approx_percentile`` for one-pass sketches —
-    same call shape, documented tradeoff.
+    same call shape, documented tradeoff (see :func:`order_times_approx`).
     """
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
@@ -32,18 +32,51 @@ def order_times_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_REL_TOL = 0.02
+
+
 def order_times_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: one-pass mergeable sketches
     (``percentile_approx``, accuracy 10000) instead of exact per-group
-    sorts. Rows-only driver check — Spark's Greenwald-Khanna sketch has
-    no DuckDB twin; closeness to the exact percentiles is unit-tested
-    (test_scale_ops::TestApproxPercentiles)."""
+    sorts.
+
+    Spark's Greenwald-Khanna sketch has no DuckDB twin, so the HASH
+    oracle checks the tolerance CONTRACT instead (VERDICT r1): the query
+    emits the exact percentiles plus booleans asserting the sketch landed
+    within 2% relative error; the oracle reproduces the exact values and
+    expects the booleans TRUE. The sketch runs inside the executed plan —
+    a sketch regression flips the flags and fails the hash."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        hround(F.percentile_approx("value", 0.5, 10000), 4).alias("v_median"),
-        hround(F.percentile_approx("value", 0.9, 10000), 4).alias("v_p90"),
+        F.percentile("value", 0.5).alias("med_exact"),
+        F.percentile("value", 0.9).alias("p90_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("med_approx"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
     )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.lit(APPROX_PCT_REL_TOL) * F.abs(F.col(e))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        hround(F.col("med_exact"), 4).alias("v_median_exact"),
+        hround(F.col("p90_exact"), 4).alias("v_p90_exact"),
+        within("med_approx", "med_exact").alias("median_within_tol"),
+        within("p90_approx", "p90_exact").alias("p90_within_tol"),
+    )
+
+
+ORDER_TIMES_APPROX_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {hround_sql("quantile_cont(value, 0.5)", 4)} AS v_median_exact,
+       {hround_sql("quantile_cont(value, 0.9)", 4)} AS v_p90_exact,
+       TRUE AS median_within_tol,
+       TRUE AS p90_within_tol
+FROM events
+GROUP BY event_type
+"""
 
 
 ORDER_TIMES_SUMMARY_SQL = f"""
@@ -201,7 +234,7 @@ GROUP BY n.n_name
 QUERIES: dict[str, tuple] = {
     "sql_interface_revenue": (sql_interface_revenue, SQL_INTERFACE_REVENUE_SQL),
     "order_times_summary": (order_times_summary, ORDER_TIMES_SUMMARY_SQL),
-    "order_times_approx": (order_times_approx, None),
+    "order_times_approx": (order_times_approx, ORDER_TIMES_APPROX_SQL),
     "user_activity_gaps": (user_activity_gaps, USER_ACTIVITY_GAPS_SQL),
     "drop_null_rows": (drop_null_rows, DROP_NULL_ROWS_SQL),
     "sorted_distinct_dates": (sorted_distinct_dates, SORTED_DISTINCT_DATES_SQL),

@@ -5,8 +5,9 @@
   oracle-checked.
 - ``forecast_deposit_schedule``: banking-calendar deposit rollup —
   oracle-checked.
-- ``forecast_loglinear``: applyInPandas model fitting (numpy OLS per
-  branch × metric) — not SQL-expressible; rows-only check + unit tests.
+- ``forecast_loglinear``: the LogLinearSeasonal OLS fit in closed form
+  (Frisch–Waugh decomposition) — hash-oracled; the applyInPandas/numpy
+  deployment path is asserted equivalent in tests.
 """
 
 from __future__ import annotations
@@ -255,11 +256,158 @@ SELECT *, {hround_sql("efectivo + credito + debito", 2)} AS total FROM agg
 
 
 def forecast_loglinear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas model fitting — rows-only check (not SQL-expressible)."""
-    from pos_pipeline_core_etl_spark.forecasting.api import run_payments_forecast
+    """LogLinearSeasonal fit expressed in closed form (VERDICT r1 item 2).
 
-    mart = payments_daily_mart(spark, sf_dir)
-    return run_payments_forecast(mart).forecast
+    The model is OLS of log1p(valor) on [intercept, trend, day-of-week
+    dummies]. Because the dummy block saturates per-dow means, the fit
+    decomposes exactly (Frisch–Waugh): shared slope β over per-dow
+    demeaned (t, y), per-dow intercepts μ_d = ȳ_d − β·t̄_d — plain
+    group-bys and sums, identical in SQL. ``applyInPandas`` + numpy
+    remains the deployment path (``forecasting/api.py``, exercised in
+    tests incl. equivalence to this closed form); this query IS the
+    hash-oracle twin.
+
+    Steps mirror ``api.run_payments_forecast``: melt metrics → calendar
+    zero-fill per series → skip series with <30 non-zero obs → fit →
+    7-day horizon, expm1 clipped at 0.
+    """
+    return loglinear_forecast_relational(payments_daily_mart(spark, sf_dir))
+
+
+def loglinear_forecast_relational(mart: DataFrame) -> DataFrame:
+    """The closed-form fit over an arbitrary payments mart frame (see
+    :func:`forecast_loglinear`); equivalence to the numpy/applyInPandas
+    model is asserted in ``tests/test_forecasting.py``."""
+    from pos_pipeline_core_etl_spark.forecasting.api import DEFAULT_METRICS, _melt_metrics
+    from pos_pipeline_core_etl_spark.forecasting.models import MIN_OBSERVATIONS
+
+    long_df = _melt_metrics(mart, DEFAULT_METRICS)
+    bounds = long_df.groupBy("sucursal", "metric").agg(
+        F.min("fecha").alias("d0"),
+        F.max("fecha").alias("d1"),
+        F.sum(F.when(F.col("valor") != 0, 1).otherwise(0)).alias("nz"),
+    )
+    eligible = bounds.where(F.col("nz") >= MIN_OBSERVATIONS).select(
+        "sucursal", "metric", "d0", "d1"
+    )
+    cal = eligible.select(
+        "sucursal", "metric", "d0", "d1",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("fecha"),
+    )
+    feat = (
+        cal.join(long_df, ["sucursal", "metric", "fecha"], "left")
+        .select(
+            "sucursal", "metric", "d0", "d1", "fecha",
+            F.log1p(F.greatest(F.coalesce("valor", F.lit(0.0)), F.lit(0.0))).alias("y"),
+            (F.datediff("fecha", "d0") / F.lit(365.0)).alias("t"),
+            F.dayofweek("fecha").alias("dw"),
+        )
+    )
+    dowm = feat.groupBy("sucursal", "metric", "dw").agg(
+        F.avg("y").alias("ybar"), F.avg("t").alias("tbar")
+    )
+    slope = (
+        feat.join(dowm, ["sucursal", "metric", "dw"])
+        .groupBy("sucursal", "metric")
+        .agg(
+            (
+                F.sum((F.col("y") - F.col("ybar")) * (F.col("t") - F.col("tbar")))
+                / F.sum((F.col("t") - F.col("tbar")) * (F.col("t") - F.col("tbar")))
+            ).alias("beta")
+        )
+    )
+    mu = dowm.join(slope, ["sucursal", "metric"]).select(
+        "sucursal", "metric", "dw",
+        (F.col("ybar") - F.col("beta") * F.col("tbar")).alias("mu"),
+        "beta",
+    )
+    hz = eligible.select(
+        "sucursal", "metric", "d0",
+        F.explode(F.sequence(F.lit(1), F.lit(HORIZON))).alias("h"),
+        "d1",
+    ).select(
+        "sucursal", "metric", "d0",
+        F.expr("date_add(d1, h)").alias("fecha"),
+    ).withColumn("t", F.datediff("fecha", "d0") / F.lit(365.0)).withColumn(
+        "dw", F.dayofweek("fecha")
+    )
+    return hz.join(mu, ["sucursal", "metric", "dw"]).select(
+        "sucursal",
+        "metric",
+        "fecha",
+        hround(
+            F.greatest(F.expm1(F.col("mu") + F.col("beta") * F.col("t")), F.lit(0.0)),
+            4,
+        ).alias("valor"),
+    )
+
+
+def _loglinear_oracle() -> str:
+    from pos_pipeline_core_etl_spark.forecasting.api import DEFAULT_METRICS
+    from pos_pipeline_core_etl_spark.forecasting.models import MIN_OBSERVATIONS
+
+    legs = []
+    for m in DEFAULT_METRICS:
+        expr = _IT if m == "ingreso_total" else m
+        legs.append(
+            f"SELECT sucursal, fecha, '{m}' AS metric, {expr} AS valor FROM mart"
+        )
+    melt = "\n  UNION ALL\n  ".join(legs)
+    return f"""
+{_MART_CTE},
+long AS (
+  {melt}
+),
+bounds AS (
+  SELECT sucursal, metric, MIN(fecha) AS d0, MAX(fecha) AS d1,
+         COUNT(*) FILTER (WHERE valor != 0) AS nz
+  FROM long GROUP BY sucursal, metric
+),
+eligible AS (SELECT sucursal, metric, d0, d1 FROM bounds WHERE nz >= {MIN_OBSERVATIONS}),
+cal AS (
+  SELECT e.sucursal, e.metric, e.d0, e.d1, CAST(u.d AS DATE) AS fecha
+  FROM eligible e,
+       LATERAL (SELECT unnest(generate_series(CAST(e.d0 AS TIMESTAMP),
+                                              CAST(e.d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS d) u
+),
+feat AS (
+  SELECT c.sucursal, c.metric, c.d0, c.d1, c.fecha,
+         ln(1 + GREATEST(COALESCE(l.valor, 0.0), 0.0)) AS y,
+         (c.fecha - c.d0) / 365.0 AS t,
+         dayofweek(c.fecha) AS dw
+  FROM cal c LEFT JOIN long l
+    ON l.sucursal = c.sucursal AND l.metric = c.metric AND l.fecha = c.fecha
+),
+dowm AS (
+  SELECT sucursal, metric, dw, AVG(y) AS ybar, AVG(t) AS tbar
+  FROM feat GROUP BY sucursal, metric, dw
+),
+slope AS (
+  SELECT f.sucursal, f.metric,
+         SUM((f.y - m.ybar) * (f.t - m.tbar))
+           / SUM((f.t - m.tbar) * (f.t - m.tbar)) AS beta
+  FROM feat f
+  JOIN dowm m ON m.sucursal = f.sucursal AND m.metric = f.metric AND m.dw = f.dw
+  GROUP BY f.sucursal, f.metric
+),
+mu AS (
+  SELECT m.sucursal, m.metric, m.dw, m.ybar - s.beta * m.tbar AS mu, s.beta
+  FROM dowm m JOIN slope s ON s.sucursal = m.sucursal AND s.metric = m.metric
+),
+hz AS (
+  SELECT e.sucursal, e.metric, e.d0, e.d1 + CAST(u.h AS INT) AS fecha
+  FROM eligible e, LATERAL (SELECT unnest(generate_series(1, {HORIZON})) AS h) u
+)
+SELECT hz.sucursal, hz.metric, hz.fecha,
+       {hround_sql("GREATEST(exp(mu.mu + mu.beta * ((hz.fecha - hz.d0) / 365.0)) - 1, 0.0)", 4)} AS valor
+FROM hz
+JOIN mu ON mu.sucursal = hz.sucursal AND mu.metric = hz.metric
+       AND mu.dw = dayofweek(hz.fecha)
+"""
+
+
+FORECAST_LOGLINEAR_SQL = _loglinear_oracle()
 
 
 QUERIES: dict[str, tuple] = {
@@ -269,5 +417,5 @@ QUERIES: dict[str, tuple] = {
         FORECAST_DEPOSIT_SCHEDULE_SQL,
     ),
     "deposit_cash_flow": (deposit_cash_flow, DEPOSIT_CASH_FLOW_SQL),
-    "forecast_loglinear": (forecast_loglinear, None),
+    "forecast_loglinear": (forecast_loglinear, FORECAST_LOGLINEAR_SQL),
 }

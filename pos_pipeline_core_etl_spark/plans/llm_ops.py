@@ -432,9 +432,67 @@ SIM_LSH_BUCKETS_HISTOGRAM_SQL = _lsh_histogram_oracle()
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN — rows-only check (numpy k-means has no
-    SQL twin); recall vs brute force is unit-tested."""
-    return similarity.ivf_search_topk(load_table(spark, sf_dir, "embeddings"))
+    """IVF ANN against the fixed (pretrained-style) coarse quantizer —
+    fully relational, hash-oracled (VERDICT r1 item 2). The sample-
+    trained variant (:func:`operators.similarity.ivf_search_topk`) stays
+    recall-tested in ``tests/test_scale_ops.py::TestIvfAnn``."""
+    return similarity.ivf_fixed_search_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _cent_d2_sql(vec: str, cluster: str, dim: int = 64) -> str:
+    """Squared L2 distance to fixed centroid — same integer-mixed
+    component stream and left-fold order as
+    ``similarity.centroid_component`` / ``centroid_d2``."""
+    comp = (
+        f"((({similarity.CENT_MIX} * ({cluster} * {dim} + i)) % {similarity.PLANE_MOD})"
+        f" / {float(2**31)} - 1.0)"
+    )
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> ({vec}[i] - {comp}) * ({vec}[i] - {comp})), (x, y) -> x + y)"
+    )
+
+
+def _ivf_fixed_oracle(
+    k: int = 3, n_queries: int = 10, nprobe: int = 2, n_clusters: int = 16
+) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cl AS (SELECT unnest(generate_series(0, {n_clusters - 1})) AS c),
+assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT b.vec_id, b.v, cl.c AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cent_d2_sql('b.v', 'cl.c')} ASC, cl.c ASC) AS rn
+    FROM base b, cl
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, cl.c AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cent_d2_sql('q.qv', 'cl.c')} ASC, cl.c ASC) AS pr
+    FROM q, cl
+  ) WHERE pr <= {nprobe}
+),
+sims AS (
+  SELECT q.query_id, a.vec_id AS cand_id,
+         {hround_sql(_cos_sql("q.qv", "a.v"), 6)} AS cos_sim
+  FROM assigned a
+  JOIN probes p ON a.cluster = p.cluster
+  JOIN q ON q.query_id = p.query_id AND a.vec_id != q.query_id
+)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, cand_id ASC) AS rnk,
+       cand_id, cos_sim
+FROM sims
+QUALIFY rnk <= {k}
+"""
+
+
+SIM_IVF_TOPK_SQL = _ivf_fixed_oracle()
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,7 +601,7 @@ QUERIES: dict[str, tuple] = {
         sim_lsh_buckets_histogram,
         SIM_LSH_BUCKETS_HISTOGRAM_SQL,
     ),
-    "sim_ivf_topk": (sim_ivf_topk, None),
+    "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),

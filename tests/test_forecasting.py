@@ -175,3 +175,24 @@ def test_naive_debug_info_records_source_dates():
     for target, src in m.debug_.items():
         d = pd.Timestamp(target)
         assert src == str((d - pd.Timedelta(days=7)).date())
+
+
+def test_loglinear_closed_form_equals_numpy_model(spark, mart_fixture):
+    """The relational Frisch-Waugh fit must reproduce the applyInPandas
+    numpy lstsq fit exactly (same column space -> same OLS solution)."""
+    from pos_pipeline_core_etl_spark.plans.forecast_queries import (
+        loglinear_forecast_relational,
+    )
+
+    cfg = ForecastConfig(horizon_days=7)
+    udf_fc = {
+        (r["sucursal"], r["metric"], r["fecha"]): r["valor"]
+        for r in run_payments_forecast(mart_fixture, cfg).forecast.collect()
+    }
+    rel_fc = {
+        (r["sucursal"], r["metric"], r["fecha"]): r["valor"]
+        for r in loglinear_forecast_relational(mart_fixture).collect()
+    }
+    assert set(udf_fc) == set(rel_fc)
+    for k, v in udf_fc.items():
+        assert rel_fc[k] == pytest.approx(v, rel=1e-6, abs=1e-4), k
