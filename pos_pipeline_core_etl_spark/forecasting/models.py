@@ -153,31 +153,163 @@ class LogLinearSeasonalModel(ForecastModel):
         return pd.Series(pred, index=idx)
 
 
+class _HannanRissanenFit:
+    """Pure-numpy SARIMA estimation via the Hannan–Rissanen two-stage
+    method (long-AR residual proxy → OLS with AR/MA/seasonal lags) under
+    a conditional-sum-of-squares Gaussian AIC.
+
+    Public-knowledge fallback backend so the reference's 144-point grid
+    (arima.py:118-141) is executable where statsmodels is unavailable:
+    the grid mechanics — per-order fit, min-AIC pick, log-space forecast
+    with expm1-clip — run for real; the per-order coefficients are the
+    HR/CSS approximation of the SARIMAX MLE, not numerically identical
+    to it.
+    """
+
+    def __init__(self, y: pd.Series, order, seasonal_order):
+        p, d, q = order
+        P, D, Q, m = seasonal_order
+        self._index_last = y.index[-1]
+        values = np.asarray(y, dtype=float)
+
+        # differencing chain (1-B)^d (1-B^m)^D, histories kept to invert
+        self._reg_tails: list[float] = []
+        w = values
+        for _ in range(d):
+            self._reg_tails.append(w[-1])
+            w = np.diff(w)
+        self._seas_histories: list[np.ndarray] = []
+        for _ in range(D):
+            self._seas_histories.append(w.copy())
+            w = w[m:] - w[:-m]
+        self._w_hist = w.copy()
+        self._m = m
+        self._order = (p, d, q)
+        self._seasonal = (P, D, Q)
+
+        ar_lags = list(range(1, p + 1)) + [m * j for j in range(1, P + 1)]
+        ma_lags = list(range(1, q + 1)) + [m * j for j in range(1, Q + 1)]
+        self._ar_lags, self._ma_lags = ar_lags, ma_lags
+        k = len(ar_lags) + len(ma_lags)
+        start = max([0, *ar_lags, *ma_lags])
+        n_eff = len(w) - start
+        if n_eff < k + 5:
+            raise ValueError("series too short for this order after differencing")
+
+        # stage 1: long-AR residuals as the innovation proxy
+        if ma_lags:
+            L = min(max(10, 2 * (p + q + m * (P + Q))), max(1, (len(w) - 1) // 2))
+            eps = self._long_ar_residuals(w, L)
+        else:
+            eps = np.zeros_like(w)
+
+        # stage 2: OLS of w_t on its AR lags and residual MA lags
+        if k:
+            X = np.empty((n_eff, k))
+            for j, lag in enumerate(ar_lags):
+                X[:, j] = w[start - lag : len(w) - lag]
+            for j, lag in enumerate(ma_lags):
+                X[:, len(ar_lags) + j] = eps[start - lag : len(w) - lag]
+            target = w[start:]
+            beta, *_ = np.linalg.lstsq(X, target, rcond=None)
+            resid = target - X @ beta
+        else:
+            beta = np.zeros(0)
+            resid = w[start:]
+        self._beta = beta
+        rss = float(resid @ resid)
+        sigma2 = max(rss / n_eff, 1e-300)
+        self.aic = n_eff * np.log(sigma2) + 2 * (k + 1)
+
+        # keep in-sample innovations aligned with w for the MA recursion
+        self._eps_hist = np.zeros_like(w)
+        self._eps_hist[start:] = resid
+
+    @staticmethod
+    def _long_ar_residuals(w: np.ndarray, L: int) -> np.ndarray:
+        X = np.empty((len(w) - L, L))
+        for j in range(1, L + 1):
+            X[:, j - 1] = w[L - j : len(w) - j]
+        phi, *_ = np.linalg.lstsq(X, w[L:], rcond=None)
+        eps = np.zeros_like(w)
+        eps[L:] = w[L:] - X @ phi
+        return eps
+
+    def forecast(self, steps: int) -> pd.Series:
+        p, d, q = self._order
+        P, D, Q = self._seasonal
+        m = self._m
+        w = list(self._w_hist)
+        eps = list(self._eps_hist)
+        n_ar = len(self._ar_lags)
+        for _ in range(steps):
+            t = len(w)
+            val = 0.0
+            for j, lag in enumerate(self._ar_lags):
+                val += self._beta[j] * (w[t - lag] if t - lag >= 0 else 0.0)
+            for j, lag in enumerate(self._ma_lags):
+                src = t - lag
+                val += self._beta[n_ar + j] * (eps[src] if 0 <= src < len(self._eps_hist) else 0.0)
+            w.append(val)
+            eps.append(0.0)
+        fut = np.array(w[len(self._w_hist):])
+
+        # invert seasonal differencing (innermost first)
+        for hist in reversed(self._seas_histories):
+            buf = list(hist)
+            for v in fut:
+                buf.append(v + buf[-m])
+            fut = np.array(buf[len(hist):])
+        # invert regular differencing
+        for tail in reversed(self._reg_tails):
+            fut = tail + np.cumsum(fut)
+        idx = pd.date_range(
+            self._index_last + pd.Timedelta(days=1), periods=steps, freq="D"
+        )
+        return pd.Series(fut, index=idx)
+
+
 @dataclass
 class LogARIMAModel(ForecastModel):
-    """Reference SARIMAX grid (arima.py:40-46): p(0-2) d(0-1) q(0-2) ×
-    P,D,Q(0-1), m=7, min-AIC. Requires statsmodels."""
+    """Reference SARIMAX grid (arima.py:40-141): p(0-2) d(0-1) q(0-2) ×
+    P,D,Q(0-1), m=7, min-AIC pick, log1p/expm1 transform, forecasts
+    clipped at 0. Backend: statsmodels SARIMAX
+    (``enforce_stationarity=False, enforce_invertibility=False``, as the
+    reference) when installed, else the pure-numpy Hannan–Rissanen CSS
+    estimator (:class:`_HannanRissanenFit`) so the grid is executable in
+    this environment."""
 
     max_p: int = 2
     max_d: int = 1
     max_q: int = 2
 
-    def _sarimax(self):
+    @staticmethod
+    def _sarimax_cls():
         try:
             from statsmodels.tsa.statespace.sarimax import SARIMAX
-        except ImportError as e:  # pragma: no cover - dep absent here
-            raise ImportError(
-                "LogARIMAModel requires statsmodels (not installed in this "
-                "environment); use LogLinearSeasonalModel or "
-                "NaiveLastWeekModel instead"
-            ) from e
+        except ImportError:
+            return None
         return SARIMAX
 
-    def train(self, series: pd.Series, **kwargs: Any) -> Any:  # pragma: no cover
-        SARIMAX = self._sarimax()
+    def _fit_one(self, y: pd.Series, order, seasonal_order):
+        SARIMAX = self._sarimax_cls()
+        if SARIMAX is not None:  # pragma: no cover - statsmodels absent here
+            return SARIMAX(
+                y,
+                order=order,
+                seasonal_order=seasonal_order,
+                enforce_stationarity=False,
+                enforce_invertibility=False,
+            ).fit(disp=False)
+        return _HannanRissanenFit(y, order, seasonal_order)
+
+    def train(self, series: pd.Series, **kwargs: Any) -> Any:
         if len(series) < MIN_OBSERVATIONS:
             raise ValueError(f"need >= {MIN_OBSERVATIONS} observations")
-        y = np.log1p(series.clip(lower=0))
+        clean = (
+            series.astype(float).replace([np.inf, -np.inf], np.nan).fillna(0.0)
+        )
+        y = np.log1p(clean.clip(lower=0))
         best, best_aic = None, np.inf
         for p in range(self.max_p + 1):
             for d in range(self.max_d + 1):
@@ -186,20 +318,18 @@ class LogARIMAModel(ForecastModel):
                         for D in (0, 1):
                             for Q in (0, 1):
                                 try:
-                                    fit = SARIMAX(
-                                        y,
-                                        order=(p, d, q),
-                                        seasonal_order=(P, D, Q, SEASONAL_PERIOD),
-                                    ).fit(disp=False)
+                                    fit = self._fit_one(
+                                        y, (p, d, q), (P, D, Q, SEASONAL_PERIOD)
+                                    )
                                 except Exception:
                                     continue
                                 if fit.aic < best_aic:
                                     best, best_aic = fit, fit.aic
         if best is None:
-            raise ValueError("no SARIMAX configuration converged")
+            raise ValueError("no SARIMA configuration converged")
         return best
 
-    def forecast(self, model: Any, steps: int, **kwargs: Any) -> pd.Series:  # pragma: no cover
+    def forecast(self, model: Any, steps: int, **kwargs: Any) -> pd.Series:
         pred = model.forecast(steps)
         return np.expm1(pred).clip(lower=0)
 

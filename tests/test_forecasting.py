@@ -196,3 +196,57 @@ def test_loglinear_closed_form_equals_numpy_model(spark, mart_fixture):
     assert set(udf_fc) == set(rel_fc)
     for k, v in udf_fc.items():
         assert rel_fc[k] == pytest.approx(v, rel=1e-6, abs=1e-4), k
+
+
+class TestLogARIMA:
+    """LogARIMAModel executes end-to-end (VERDICT r1 item 3) on the
+    numpy Hannan-Rissanen backend (statsmodels absent in this env)."""
+
+    def _weekly_series(self, n=90):
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        vals = [100.0 + 40.0 * (i % 7 == 5) + 20.0 * (i % 7 == 6) + 0.3 * i for i in range(n)]
+        return pd.Series(vals, index=idx)
+
+    def test_grid_fits_and_forecasts(self):
+        from pos_pipeline_core_etl_spark.forecasting.models import LogARIMAModel
+
+        m = LogARIMAModel()
+        s = self._weekly_series()
+        fitted = m.train(s)
+        assert fitted.aic < float("inf")
+        pred = m.forecast(fitted, 7)
+        assert len(pred) == 7
+        assert pred.index[0] == s.index[-1] + pd.Timedelta(days=1)
+        assert (pred >= 0).all() and pred.notna().all()
+        # the weekly structure must survive into the forecast
+        assert max(pred) > min(pred)
+
+    def test_min_observations(self):
+        from pos_pipeline_core_etl_spark.forecasting.models import LogARIMAModel
+
+        with pytest.raises(ValueError):
+            LogARIMAModel().train(self._weekly_series(10))
+
+    def test_hr_fit_inverts_differencing(self):
+        """(0,1,0)(0,1,0,7) on an exact trend+weekly series: double
+        differencing annihilates it, so the forecast extrapolates the
+        pattern exactly."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        idx = pd.date_range("2024-01-01", periods=70, freq="D")
+        base = [10.0 + 2.0 * i + 5.0 * (i % 7) for i in range(70)]
+        y = pd.Series(base, index=idx)
+        fit = _HannanRissanenFit(y, (0, 1, 0), (0, 1, 0, 7))
+        pred = fit.forecast(14)
+        expected = [10.0 + 2.0 * i + 5.0 * (i % 7) for i in range(70, 84)]
+        assert pred.to_numpy() == pytest.approx(expected, rel=1e-9)
+
+    def test_zero_and_nan_handling(self):
+        from pos_pipeline_core_etl_spark.forecasting.models import LogARIMAModel
+
+        s = self._weekly_series(60)
+        s.iloc[::9] = 0.0
+        s.iloc[3] = float("nan")
+        fitted = LogARIMAModel().train(s)
+        pred = LogARIMAModel().forecast(fitted, 7)
+        assert (pred >= 0).all() and pred.notna().all()
