@@ -88,6 +88,30 @@ def detect_header_row(raw: pd.DataFrame, sentinels: Sequence[str], scan: int = H
     raise ValueError(f"no header row with sentinels {sentinels!r} in first {scan} rows")
 
 
+def parse_sucursal_from_top(raw: pd.DataFrame) -> str | None:
+    """Branch name from the sheet's metadata corner (sales_cleaner.py:127-146).
+
+    POS reports carry branch metadata near the top (typically around C3):
+    probe the first 6×6 cells for a ``Sucursal: <name>`` pattern. This is
+    the primary resolution; the value-mode fallback
+    (``plans/relational.py::value_mode``) applies when absent.
+    """
+    import re
+
+    from pos_pipeline_core_etl_spark.functions.cleaning import _INVISIBLES
+
+    head = raw.iloc[:6, :6]
+    cells = []
+    for _, row in head.iterrows():
+        for v in row.tolist():
+            s = "" if v is None or (isinstance(v, float) and v != v) else str(v)
+            s = re.sub(_INVISIBLES, " ", s)
+            cells.append(re.sub(r"\s+", " ", s).strip())
+    flat = " | ".join(cells)
+    m = re.search(r"Sucursal\s*:\s*([A-Za-z0-9\-\._\s]+)", flat, re.IGNORECASE)
+    return m.group(1).strip() if m else None
+
+
 def detect_header_row_scored(raw: pd.DataFrame, known_tokens: Sequence[str], scan: int = HEADER_PROBE_ROWS) -> int:
     """Best-scoring row against a known-token set (transfers variant)."""
     lows = {t.lower() for t in known_tokens}

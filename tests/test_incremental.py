@@ -124,3 +124,113 @@ class TestApiFacade:
         # second call reuses the materialized stage (no rebuild)
         df2 = get_payments(spark, SF_DIR, grain="ticket", warehouse_dir=wh)
         assert df2.count() == n1
+
+
+class TestRawTreeDiscovery:
+    """Reference utils.py:250-405 parity: chunk-dir primary, filename
+    fallback, per-code merge, clean-tree scan."""
+
+    def _mk(self, root, *parts, name):
+        d = root
+        for p in parts:
+            d = d / p
+        d.mkdir(parents=True, exist_ok=True)
+        (d / name).write_bytes(b"")
+        return d / name
+
+    def test_discovers_and_merges_per_code(self, tmp_path):
+        from pos_pipeline_core_etl_spark.sources.discovery import (
+            discover_existing_intervals,
+        )
+
+        root = tmp_path / "payments"
+        self._mk(root, "Kavia", "6161", "2023-01-01_2023-01-31",
+                 name="Payments_kavia_2023-01-01_2023-01-31.xlsx")
+        # touching interval -> merges
+        self._mk(root, "Kavia", "6161", "2023-02-01_2023-03-15",
+                 name="Payments_kavia_2023-02-01_2023-03-15.xlsx")
+        # disjoint interval, same code
+        self._mk(root, "Kavia", "6161", "2023-06-01_2023-06-30",
+                 name="Payments_kavia_2023-06-01_2023-06-30.xlsx")
+        # other code
+        self._mk(root, "Pulqueria", "7001", "2023-01-15_2023-02-10",
+                 name="Payments_pulq_2023-01-15_2023-02-10.xlsx")
+        got = discover_existing_intervals(root)
+        assert got == {
+            "6161": [
+                (dt.date(2023, 1, 1), dt.date(2023, 3, 15)),
+                (dt.date(2023, 6, 1), dt.date(2023, 6, 30)),
+            ],
+            "7001": [(dt.date(2023, 1, 15), dt.date(2023, 2, 10))],
+        }
+
+    def test_filename_fallback_when_chunk_dir_malformed(self, tmp_path):
+        from pos_pipeline_core_etl_spark.sources.discovery import (
+            discover_existing_intervals,
+        )
+
+        root = tmp_path / "payments"
+        self._mk(root, "Kavia", "6161", "misc",
+                 name="Payments_kavia_2023-04-01_2023-04-30.xlsx")
+        # neither chunk dir nor filename parse -> skipped
+        self._mk(root, "Kavia", "6161", "misc", name="Payments_notes.xlsx")
+        got = discover_existing_intervals(root)
+        assert got == {"6161": [(dt.date(2023, 4, 1), dt.date(2023, 4, 30))]}
+
+    def test_missing_root_returns_empty(self, tmp_path):
+        from pos_pipeline_core_etl_spark.sources.discovery import (
+            discover_existing_clean_intervals,
+            discover_existing_intervals,
+        )
+
+        assert discover_existing_intervals(tmp_path / "nope") == {}
+        assert discover_existing_clean_intervals(tmp_path / "nope") == []
+
+    def test_clean_tree_merges_across_codes(self, tmp_path):
+        from pos_pipeline_core_etl_spark.sources.discovery import (
+            discover_existing_clean_intervals,
+        )
+
+        root = tmp_path / "clean"
+        self._mk(root, "batch", name="forma_pago_kavia_2023-01-01_2023-02-28.csv")
+        self._mk(root, "batch", name="forma_pago_pulq_2023-03-01_2023-03-31.csv")
+        self._mk(root, "batch", name="otherfile.csv")  # no match -> skipped
+        got = discover_existing_clean_intervals(root)
+        assert got == [(dt.date(2023, 1, 1), dt.date(2023, 3, 31))]
+
+    def test_get_raw_file_date_range(self, tmp_path):
+        from pos_pipeline_core_etl_spark.sources.discovery import (
+            get_raw_file_date_range,
+        )
+
+        p = self._mk(tmp_path, "6161", "2023-01-01_2023-01-31",
+                     name="Payments_k_2022-01-01_2022-01-31.xlsx")
+        # chunk dir wins over filename
+        assert get_raw_file_date_range(p) == (dt.date(2023, 1, 1), dt.date(2023, 1, 31))
+        p2 = self._mk(tmp_path, "6161", "junk",
+                      name="Payments_k_2022-01-01_2022-01-31.xlsx")
+        assert get_raw_file_date_range(p2) == (dt.date(2022, 1, 1), dt.date(2022, 1, 31))
+        p3 = self._mk(tmp_path, "6161", "junk", name="whatever.xlsx")
+        assert get_raw_file_date_range(p3) is None
+
+    def test_discovery_feeds_download_plan(self, tmp_path):
+        """Integration: discovered coverage removes already-fetched spans
+        from the chunk plan (the reference's incremental loop)."""
+        from pos_pipeline_core_etl_spark.sources.discovery import (
+            discover_existing_intervals,
+        )
+        from pos_pipeline_core_etl_spark.sources.http_client import (
+            chunked_download_plan,
+        )
+
+        root = tmp_path / "payments"
+        self._mk(root, "Kavia", "6161", "2023-01-01_2023-03-31",
+                 name="Payments_kavia_2023-01-01_2023-03-31.xlsx")
+        covered = discover_existing_intervals(root)["6161"]
+        plan = chunked_download_plan(
+            request=(dt.date(2023, 1, 1), dt.date(2023, 5, 31)),
+            validity_windows=[(dt.date(2022, 1, 1), dt.date(2024, 1, 1))],
+            already_downloaded=covered,
+            chunk_size_days=180,
+        )
+        assert plan == [(dt.date(2023, 4, 1), dt.date(2023, 5, 31))]
