@@ -24,8 +24,61 @@ FEATURE_SCHEMA = (
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """Minimal REAL PNG decode — pure stdlib (struct + zlib), no PIL.
+
+    Parses the signature and IHDR for dimensions, CRC-checks every chunk,
+    and inflates the concatenated IDAT stream to verify the pixel data is
+    intact (stored size must match the expected filtered-scanline size
+    for the 8-bit formats). Returns None for non-PNG bytes; raises on a
+    corrupt PNG.
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_MAGIC):
+        return None
+    pos = len(PNG_MAGIC)
+    width = height = None
+    bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is not None and bit_depth == 8:
+        expected = height * (1 + width * channels)  # +1 filter byte per scanline
+        if len(raw) != expected:
+            raise ValueError(
+                f"PNG pixel data size {len(raw)} != expected {expected}"
+            )
+    return {"fake_width": width, "fake_height": height, "decoder": "png"}
+
+
 def _try_decode_image(payload: bytes) -> dict:
-    """Decode stub: real decoder if available, else deterministic fake."""
+    """Real decoder where the format allows, else deterministic fake.
+
+    Order: PIL when importable → stdlib PNG decode for PNG bytes →
+    deterministic pseudo-features (pure function of the payload so the
+    DuckDB oracle reproduces them) for everything else.
+    """
     try:  # pragma: no cover - PIL absent in this container
         from PIL import Image  # noqa: F401
         import io
@@ -41,8 +94,12 @@ def _try_decode_image(payload: bytes) -> dict:
     except Exception:
         # undecodable bytes under a real decoder → explicit failure row
         return {"fake_width": -1, "fake_height": -1, "decoder": "error"}
-    # deterministic fake: features are pure functions of the payload so
-    # the DuckDB oracle can reproduce them
+    try:
+        png = decode_png(payload)
+    except Exception:
+        return {"fake_width": -1, "fake_height": -1, "decoder": "error"}
+    if png is not None:
+        return png
     n = len(payload)
     first = payload[0] if n else 0
     return {

@@ -467,3 +467,58 @@ def embedding_neardup(
 from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked near-dup pair stage shared by keep-min-id
+    (:func:`embedding_neardup`) and connected-components survivorship:
+    (keep_cand < dup_id, cos_sim ≥ threshold)."""
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("vec")))
+        .withColumn("norm", l2norm(F.col("vec")))
+    )
+    left = base.select(
+        F.col("vid").alias("keep_cand"), F.col("vec").alias("lvec"), "bucket",
+        F.col("norm").alias("lnorm"),
+    )
+    right = base.select(
+        F.col("vid").alias("dup_id"), F.col("vec").alias("rvec"), "bucket",
+        F.col("norm").alias("rnorm"),
+    )
+    pairs = left.join(right, ["bucket"]).where(F.col("keep_cand") < F.col("dup_id"))
+    return pairs.select(
+        "dup_id",
+        "keep_cand",
+        hround(
+            cosine_prenormed(
+                F.col("lvec"), F.col("rvec"), F.col("lnorm"), F.col("rnorm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= F.lit(threshold))
+
+
+def embedding_neardup_components(
+    embeddings: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Transitive-closure survivorship over the near-dup pair graph:
+    every vector in a duplicate chain maps to its component's min id."""
+    from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(embeddings, threshold, id_col, vec_col)
+    comps = connected_components(pairs, src="keep_cand", dst="dup_id")
+    return comps.select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )

@@ -525,6 +525,45 @@ GROUP BY dup_id
 DEDUP_EMBEDDING_COSINE_SQL = _embedding_neardup_oracle()
 
 
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure survivorship (VERDICT r1 item 7): iterative
+    min-label connected components over the near-dup pair graph, so
+    chains a–b–c collapse into one cluster. Oracle: DuckDB recursive-CTE
+    reachability over the identical edge list."""
+    return similarity.embedding_neardup_components(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _embedding_components_oracle(threshold: float = 0.2) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_proj_sql('v', p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(similarity.N_PLANES)
+    )
+    return f"""
+WITH RECURSIVE
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+edges AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM bucketed l JOIN bucketed r
+    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE {hround_sql(_cos_sql("l.v", "r.v"), 6)} >= {threshold}
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+)
+SELECT id AS vec_id, MIN(lbl) AS component_id
+FROM reach GROUP BY id
+"""
+
+
+DEDUP_EMBEDDING_COMPONENTS_SQL = _embedding_components_oracle()
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_binary(docs))
@@ -595,6 +634,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+    "dedup_embedding_components": (
+        dedup_embedding_components,
+        DEDUP_EMBEDDING_COMPONENTS_SQL,
+    ),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "sim_lsh_bucket_topk": (sim_lsh_bucket_topk, SIM_LSH_BUCKET_TOPK_SQL),
     "sim_lsh_buckets_histogram": (

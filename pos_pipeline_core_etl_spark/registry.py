@@ -34,6 +34,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_components",
     "sim_cosine_topk",
     "sim_lsh_bucket_topk",
     "sim_lsh_buckets_histogram",

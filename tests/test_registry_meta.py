@@ -102,6 +102,7 @@ EXPECTED_QUERIES = frozenset(
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_embedding_components",
         "sim_cosine_topk",
         "sim_lsh_bucket_topk",
         "sim_lsh_buckets_histogram",
