@@ -39,11 +39,83 @@ HEADLINE = (
 )
 
 
+def _scale_path_queries():
+    """Skew/bucketing scale paths over the full bench fixtures (not just
+    unit-test volumes): the salted two-phase aggregation and the
+    bucketed co-located join measured on the same lineitem the headline
+    queries read."""
+    from pyspark.sql import functions as F
+
+    from pos_pipeline_core_etl_spark.operators.skew import salted_aggregate
+    from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+    def salted_agg_lineitem(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        return salted_aggregate(
+            li,
+            keys=["l_returnflag", "l_linestatus"],
+            aggs={
+                "n": ("count", "*"),
+                "sum_qty": ("sum", "l_quantity"),
+                "sum_price": ("sum", "l_extendedprice"),
+                "max_disc": ("max", "l_discount"),
+            },
+            salt_src=F.col("l_orderkey"),
+            n_salts=16,
+        )
+
+    def bucketed_join_lineitem(spark, sf_dir):
+        # tables are written bucketed on the join key during setup; the
+        # timed join then runs with NO shuffle exchange (broadcast off to
+        # prove the co-location, as a fact-fact join at 100 TB would)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            li = spark.table("bench_li_bucketed")
+            orders = spark.table("bench_orders_bucketed")
+            return (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.sum("l_quantity").alias("qty"))
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    return {
+        "salted_agg_lineitem": salted_agg_lineitem,
+        "bucketed_join_lineitem": bucketed_join_lineitem,
+    }
+
+
+def _setup_bucketed_tables(spark, sf_dir: str) -> None:
+    """One-time (per warehouse) bucketed-table write for the co-located
+    join bench — setup cost, excluded from timings like the JVM warmup."""
+    from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    existing = {t.name for t in spark.catalog.listTables()}
+    if "bench_li_bucketed" not in existing:
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("bench_li_bucketed")
+    if "bench_orders_bucketed" not in existing:
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable("bench_orders_bucketed")
+
+
 def main() -> None:
     from pos_pipeline_core_etl_spark import registry
 
     spark = get_spark(app_name="bench")
     queries = registry.all_queries()
+    queries.update(_scale_path_queries())
+    _setup_bucketed_tables(spark, SF_DIR)
 
     # Warmup (excluded from timings): run every headline query once at
     # the smallest SF so the JVM, parquet footers, and — dominant at
@@ -53,14 +125,16 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for name in HEADLINE:
+    timed = (*HEADLINE, "salted_agg_lineitem", "bucketed_join_lineitem")
+    for name in timed:
         try:
-            queries[name](spark, warm_dir).count()
+            # the bucketed join reads fixed tables — warm it there
+            queries[name](spark, SF_DIR if name == "bucketed_join_lineitem" else warm_dir).count()
         except Exception:
             pass  # warmup is best-effort; the timed run will surface errors
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in timed:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
