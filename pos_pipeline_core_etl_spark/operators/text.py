@@ -185,3 +185,120 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame
         .where(F.col("rnk") <= k)
         .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "token", "score")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark_max_id: int = 50,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the fraction of its
+    distinct n-gram shingles that appear in ANY benchmark document
+    (docs with doc_id < ``benchmark_max_id`` stand in for the benchmark
+    set). The standard guard against test-set leakage into training data.
+
+    Scale shape: the benchmark gram set is benchmark-sized (broadcast);
+    the corpus explodes once and aggregates once on doc_id — one
+    data-sized shuffle, no doc × doc work.
+    """
+    from pos_pipeline_core_etl_spark.operators.dedup import shingles_col
+
+    corpus = docs.where(F.col("doc_id") >= benchmark_max_id).select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("gram")
+    )
+    bench = (
+        docs.where(F.col("doc_id") < benchmark_max_id)
+        .select(F.explode(shingles_col(F.col(text_col))).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = corpus.join(F.broadcast(bench), "gram", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.col("hit")).alias("n_contaminated"),
+    )
+    contamination = hround(F.col("n_contaminated") / F.col("n_grams"), 6)
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        contamination.alias("contamination"),
+        (contamination >= F.lit(threshold)).alias("flagged"),
+    )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals — duplicate-token,
+    duplicate-bigram and top-token fractions, all JVM array expressions
+    (per-row cost bounded by document length; no shuffle at all)."""
+    t = tokens_col(F.lower(F.trim(F.col(text_col))))
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_tokens - 1),
+        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+    )
+    n_bi = F.size(bigrams)
+    n_bi_distinct = F.size(F.array_distinct(bigrams))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    frac = lambda num, den: F.when(den <= 0, F.lit(0.0)).otherwise(num / den)  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        hround(frac(n_tokens - n_distinct, n_tokens), 6).alias("dup_token_frac"),
+        hround(frac(n_bi - n_bi_distinct, n_bi), 6).alias("dup_bigram_frac"),
+        hround(frac(top_count, n_tokens), 6).alias("top_token_frac"),
+    )
+
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9][0-9\\- ]{6,}[0-9]"
+PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction fingerprint (emails / phones / IPv4).
+
+    The synthetic corpus carries no PII, so the query itself injects
+    deterministic PII-shaped suffixes into a doc_id-keyed subset (the
+    identical expression runs in the SQL oracle) — the detectors are
+    exercised for real, not vacuously zero. Redaction is asserted via
+    the md5 of the email-scrubbed text.
+    """
+    injected = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col(text_col),
+                F.lit(" contact-"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col(text_col),
+                F.lit(" call +1 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col(text_col))
+    )
+    n_emails = F.regexp_count(injected, F.lit(PII_EMAIL_RE))
+    n_phones = F.regexp_count(injected, F.lit(PII_PHONE_RE))
+    n_ips = F.regexp_count(injected, F.lit(PII_IP_RE))
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        F.md5(F.regexp_replace(injected, PII_EMAIL_RE, "<EMAIL>")).alias("redacted_md5"),
+    )

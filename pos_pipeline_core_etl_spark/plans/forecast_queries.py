@@ -42,13 +42,21 @@ def forecast_naive_lastweek(spark: SparkSession, sf_dir: str) -> DataFrame:
     × 7 × 52 rows) and broadcast; ``daily`` — the only data-sized leg —
     is touched once by an equi-join.
     """
-    mart = payments_daily_mart(spark, sf_dir)
-    daily = mart.select(
-        "sucursal", "fecha", hround(qa.ingreso_total_col(), 2).alias("it")
-    )
+    # day-grain frame (tiny at any corpus scale) persisted: it feeds four
+    # different subtrees (daily values, holiday set, last-date agg, value
+    # lookup) whose prunings differ, so exchange reuse can't kick in —
+    # without the persist the whole mart (fact scans included) recomputes
+    # per subtree (same rationale as deposit_cash_flow below)
+    base = payments_daily_mart(spark, sf_dir).select(
+        "sucursal",
+        "fecha",
+        hround(qa.ingreso_total_col(), 2).alias("it"),
+        "is_national_holiday",
+    ).persist()
+    daily = base.select("sucursal", "fecha", "it")
     # holiday set → blocked dates (holiday ± 1), reference deposit_schedule.py:15-28
     blocked = (
-        mart.where(F.col("is_national_holiday"))
+        base.where(F.col("is_national_holiday"))
         .select(F.col("fecha").alias("h_fecha"))
         .distinct()
         .select(
@@ -281,7 +289,10 @@ def loglinear_forecast_relational(mart: DataFrame) -> DataFrame:
     from pos_pipeline_core_etl_spark.forecasting.api import DEFAULT_METRICS, _melt_metrics
     from pos_pipeline_core_etl_spark.forecasting.models import MIN_OBSERVATIONS
 
-    long_df = _melt_metrics(mart, DEFAULT_METRICS)
+    # melted day-grain series (branches × metrics × days — dimension-
+    # sized) persisted: referenced by bounds, the calendar join, and the
+    # fit subtrees with different prunings (see forecast_naive_lastweek)
+    long_df = _melt_metrics(mart, DEFAULT_METRICS).persist()
     bounds = long_df.groupBy("sucursal", "metric").agg(
         F.min("fecha").alias("d0"),
         F.max("fecha").alias("d1"),
@@ -302,6 +313,7 @@ def loglinear_forecast_relational(mart: DataFrame) -> DataFrame:
             (F.datediff("fecha", "d0") / F.lit(365.0)).alias("t"),
             F.dayofweek("fecha").alias("dw"),
         )
+        .persist()  # read twice: per-dow means and the slope numerator
     )
     dowm = feat.groupBy("sucursal", "metric", "dw").agg(
         F.avg("y").alias("ybar"), F.avg("t").alias("tbar")

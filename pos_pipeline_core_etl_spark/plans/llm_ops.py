@@ -190,6 +190,108 @@ QUALIFY rnk <= 5
 """
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination (test-set-leakage guard)."""
+    return text.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def _decontaminate_oracle(benchmark_max_id: int = 50, threshold: float = 0.5) -> str:
+    sh = dedup.shingles_sql("text")
+    contamination = hround_sql("COUNT(hit) / COUNT(*)", 6)
+    return f"""
+WITH c AS (
+  SELECT doc_id, u.g AS gram
+  FROM documents, LATERAL unnest({sh}) AS u(g)
+  WHERE doc_id >= {benchmark_max_id}
+),
+b AS (
+  SELECT DISTINCT u.g AS gram, 1 AS hit
+  FROM documents, LATERAL unnest({sh}) AS u(g)
+  WHERE doc_id < {benchmark_max_id}
+),
+j AS (SELECT c.doc_id, b.hit FROM c LEFT JOIN b USING (gram))
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(hit) AS n_contaminated,
+       {contamination} AS contamination,
+       {contamination} >= {threshold} AS flagged
+FROM j GROUP BY doc_id
+"""
+
+
+TEXT_DECONTAMINATE_SQL = _decontaminate_oracle()
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals."""
+    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def _repetition_oracle() -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    bi = "list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])"
+    top = "list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x))))"
+
+    def frac(num: str, den: str) -> str:
+        return f"CASE WHEN {den} <= 0 THEN 0.0 ELSE ({num}) / ({den}) END"
+
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct,
+         len({bi}) AS n_bi,
+         len(list_distinct({bi})) AS n_bi_distinct,
+         {top} AS top_count
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {hround_sql(frac("n_tokens - n_distinct", "n_tokens"), 6)} AS dup_token_frac,
+       {hround_sql(frac("n_bi - n_bi_distinct", "n_bi"), 6)} AS dup_bigram_frac,
+       {hround_sql(frac("top_count", "n_tokens"), 6)} AS top_token_frac
+FROM m
+"""
+
+
+TEXT_REPETITION_SQL = _repetition_oracle()
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction fingerprint (see operators/text.py)."""
+    return text.pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    injected = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' contact-' || CAST(doc_id AS VARCHAR) || '@example.com' "
+        "WHEN doc_id % 11 = 0 THEN text || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "ELSE text END"
+    )
+    return f"""
+WITH inj AS (SELECT doc_id, {injected} AS s FROM documents),
+m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(s, '{text.PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(s, '{text.PII_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(s, '{text.PII_IP_RE}')) AS n_ips,
+         md5(regexp_replace(s, '{text.PII_EMAIL_RE}', '<EMAIL>', 'g')) AS redacted_md5
+  FROM inj
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       (n_emails + n_phones + n_ips) > 0 AS has_pii,
+       redacted_md5
+FROM m
+"""
+
+
+TEXT_PII_SCAN_SQL = _pii_oracle()
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -629,6 +731,9 @@ QUERIES: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_vocabulary": (text_vocabulary, TEXT_VOCABULARY_SQL),
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_TOPK_SQL),
+    "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "text_pii_scan": (text_pii_scan, TEXT_PII_SCAN_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),

@@ -29,6 +29,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_vocabulary",
     "text_tfidf_topk",
+    "text_decontaminate",
+    "text_repetition",
+    "text_pii_scan",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -97,6 +97,9 @@ EXPECTED_QUERIES = frozenset(
         "text_fingerprint",
         "text_vocabulary",
         "text_tfidf_topk",
+        "text_decontaminate",
+        "text_repetition",
+        "text_pii_scan",
         "dedup_exact_docs",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
