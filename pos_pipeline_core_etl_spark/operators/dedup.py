@@ -297,34 +297,34 @@ def connected_components(
     Scale shape: each iteration is one hash-shuffle join on the edge key
     plus a min-agg — no driver materialization; convergence needs
     O(graph diameter) rounds (near-dup clusters are shallow; ``max_iters``
-    bounds pathology). ``localCheckpoint`` truncates the growing lineage
-    each round, keeping plans O(1); the per-round convergence probe is a
-    cheap anti-equality join.
+    bounds pathology). The symmetrized edge list is checkpointed ONCE so
+    the (possibly expensive) upstream pair computation never re-runs
+    inside the loop; per-round ``localCheckpoint`` keeps the label plan
+    O(1). Convergence probe: min-propagation is monotone decreasing, so
+    the label sum strictly decreases until the fixed point — one cheap
+    agg on the fresh checkpoint instead of a join.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "component_id", F.col("id")
     )
+    prev_sum: int | None = None
     for _ in range(max_iters):
         msgs = sym.join(labels, sym.a == labels.id).select(
             F.col("b").alias("id"), "component_id"
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        label_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
