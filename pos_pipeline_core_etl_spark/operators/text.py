@@ -302,3 +302,33 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
         F.md5(F.regexp_replace(injected, PII_EMAIL_RE, "<EMAIL>")).alias("redacted_md5"),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram-LM quality proxy: per document, the mean negative log
+    probability of its tokens under the corpus unigram distribution with
+    add-one smoothing — the cheap stand-in for KenLM perplexity filters.
+
+    p(tok) = (count(tok) + 1) / (N + V).  Two canonical shuffles (token
+    key, then doc key); N and V ride along via a broadcast cross join —
+    everything stays in-plan.
+    """
+    toks = corpus_tokens(docs, text_col)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("v_vocab")
+    )
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c") + 1.0) / (F.col("n_corpus") + F.col("v_vocab")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        hround(F.avg("nll"), 6).alias("mean_neg_logprob"),
+    )

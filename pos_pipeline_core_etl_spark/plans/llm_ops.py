@@ -378,6 +378,59 @@ JOIN bands b ON a.band = b.band AND a.bucket_key = b.bucket_key
 DEDUP_MINHASH_LSH_SQL = _minhash_oracle()
 
 
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph —
+    document-side transitive-closure survivorship (the embedding-side
+    twin is ``dedup_embedding_components``)."""
+    pairs = dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )
+
+
+def _minhash_components_oracle() -> str:
+    # reuse the candidate-pair oracle as the edge list, then recursive
+    # reachability (same construction as the embedding components)
+    edges = _minhash_oracle().strip().rstrip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({edges}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+)
+SELECT id AS doc_id, MIN(lbl) AS component_id
+FROM reach GROUP BY id
+"""
+
+
+DEDUP_MINHASH_COMPONENTS_SQL = _minhash_components_oracle()
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (mean token negative log-probability)."""
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = f"""
+WITH {_TOKS_CTE},
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+totals AS (SELECT SUM(c) AS n_corpus, COUNT(*) AS v_vocab FROM counts)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       {hround_sql("AVG(-ln((c + 1.0) / (n_corpus + v_vocab)))", 6)} AS mean_neg_logprob
+FROM toks t
+JOIN counts USING (token)
+CROSS JOIN totals
+GROUP BY t.doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dedup.simhash_near_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3, max_doc_id=100
@@ -737,6 +790,11 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_minhash_components": (
+        dedup_minhash_components,
+        DEDUP_MINHASH_COMPONENTS_SQL,
+    ),
+    "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_embedding_components": (

@@ -100,9 +100,11 @@ EXPECTED_QUERIES = frozenset(
         "text_decontaminate",
         "text_repetition",
         "text_pii_scan",
+        "text_unigram_logprob",
         "dedup_exact_docs",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
+        "dedup_minhash_components",
         "dedup_simhash",
         "dedup_embedding_cosine",
         "dedup_embedding_components",
