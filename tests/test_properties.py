@@ -108,3 +108,38 @@ def test_to_float_reference_parity_cases():
     for raw, want in cases.items():
         got = _parse_locale_number(raw)
         assert got == want or (got is None and want is None), (raw, got, want)
+
+
+@given(
+    edges_py=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_match_union_find(spark, edges_py):
+    """Spark label propagation ≡ classic union-find on random graphs.
+    Union-by-min keeps every root the component minimum, which is exactly
+    the min-label fixed point the Spark loop converges to."""
+    from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+    edges_py = [(a, b) for a, b in edges_py if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+    got = {r["id"]: r["component_id"] for r in connected_components(df).collect()}
+    assert got == expected
