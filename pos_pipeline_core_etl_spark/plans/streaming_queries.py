@@ -64,3 +64,19 @@ QUERIES: dict[str, tuple] = {
     "events_tumbling_counts": (events_tumbling_counts, EVENTS_TUMBLING_COUNTS_SQL),
     "events_sessionization": (events_sessionization, EVENTS_SESSIONIZATION_SQL),
 }
+
+
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dropDuplicatesWithinWatermark dedup."""
+    from pos_pipeline_core_etl_spark.streaming.events import dedup_batch
+
+    return dedup_batch(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_DEDUP_SQL = f"""
+SELECT DISTINCT event_id, event_type, {hround_sql("value", 2)} AS value
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+"""
+
+
+QUERIES["events_dedup"] = (events_dedup, EVENTS_DEDUP_SQL)

@@ -55,6 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- never driver-checked: streaming batch twins ----------------------
     "events_tumbling_counts",
     "events_sessionization",
+    "events_dedup",
     # -- never driver-checked: analytics ----------------------------------
     "sql_interface_revenue",
     "order_times_summary",

@@ -210,3 +210,43 @@ def run_streaming_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: 
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the streaming dedup: double the input, keep one row
+    per event_id. Duplicates are injected deterministically (a full
+    self-union) so the operator has real work to do — the events fixture
+    itself is unique per id."""
+    doubled = events.unionByName(events)
+    return (
+        doubled.select(
+            "event_id", "event_type", hround(F.col("value"), 2).alias("value")
+        )
+        .distinct()
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, query_name: str = "events_dedup_out"
+) -> DataFrame:
+    """Exactly-once event dedup on a stream: watermark +
+    ``dropDuplicatesWithinWatermark`` over an id key — the streaming
+    ingestion guard against at-least-once sources. The duplicate rows
+    come from a deterministic self-union of the stream (same micro-batch),
+    mirroring :func:`dedup_batch`."""
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.unionByName(stream)
+    deduped = (
+        doubled.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", hround(F.col("value"), 2).alias("value"))
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

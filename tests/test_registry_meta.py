@@ -123,6 +123,7 @@ EXPECTED_QUERIES = frozenset(
         # streaming batch twins
         "events_tumbling_counts",
         "events_sessionization",
+        "events_dedup",
         # analytics
         "sql_interface_revenue",
         "order_times_summary",

@@ -74,3 +74,24 @@ def test_stream_dir_relinks_on_sf_change(spark, tmp_path):
     assert os.readlink(link) == "/root/testdata/sf0.001/events.parquet"
     read_events_stream(spark, "/root/testdata/sf0.01", stream_dir=d)
     assert os.readlink(link) == "/root/testdata/sf0.01/events.parquet"
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """dropDuplicatesWithinWatermark over a duplicate-injected stream ≡
+    batch distinct (the at-least-once ingestion guard, §2.10)."""
+    from pos_pipeline_core_etl_spark.sources.tables import load_table
+    from pos_pipeline_core_etl_spark.streaming.events import (
+        dedup_batch,
+        run_streaming_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_id"], r["event_type"], r["value"])
+        for r in run_streaming_dedup(spark, sf, query_name="t_dedup_eq").collect()
+    }
+    want = {
+        (r["event_id"], r["event_type"], r["value"])
+        for r in dedup_batch(load_table(spark, sf, "events")).collect()
+    }
+    assert got == want and len(got) > 0
