@@ -93,20 +93,28 @@ def _setup_bucketed_tables(spark, sf_dir: str) -> None:
     join bench — setup cost, excluded from timings like the JVM warmup."""
     from pos_pipeline_core_etl_spark.sources.tables import load_table
 
+    import shutil
+
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    existing = {t.name for t in spark.catalog.listTables()}
-    if "bench_li_bucketed" not in existing:
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity"
-        ).write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy(
-            "l_orderkey"
-        ).saveAsTable("bench_li_bucketed")
-    if "bench_orders_bucketed" not in existing:
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority"
-        ).write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy(
-            "o_orderkey"
-        ).saveAsTable("bench_orders_bucketed")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    specs = {
+        "bench_li_bucketed": ("lineitem", ("l_orderkey", "l_quantity"), "l_orderkey"),
+        "bench_orders_bucketed": (
+            "orders",
+            ("o_orderkey", "o_orderpriority"),
+            "o_orderkey",
+        ),
+    }
+    for table, (src, cols, key) in specs.items():
+        # a stale warehouse dir without a catalog entry (fresh session,
+        # previous run's files) makes saveAsTable fail — clear both
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+        load_table(spark, sf_dir, src).select(*cols).write.bucketBy(
+            16, key
+        ).sortBy(key).saveAsTable(table)
 
 
 def main() -> None:
