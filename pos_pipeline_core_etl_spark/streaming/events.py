@@ -250,3 +250,72 @@ def run_streaming_dedup(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def purchase_view_join_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the stream-stream join: each purchase matched to the
+    same user's view events in the preceding 10 minutes."""
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        hround(F.col("value"), 2).alias("purchase_value"),
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "view_id", "p_user", "purchase_value")
+
+
+def run_streaming_purchase_view_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "events_ssjoin_out"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (the attribution-join shape):
+    purchases × the same user's views within the preceding 10 minutes.
+    Both sides carry watermarks so state for out-of-range rows is
+    reclaimed; the time-range predicate bounds the buffered interval.
+    ``availableNow`` drains the file source; the result is asserted equal
+    to :func:`purchase_view_join_batch` in tests.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            hround(F.col("value"), 2).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "view_id", "p_user", "purchase_value")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -95,3 +95,26 @@ def test_streaming_dedup_matches_batch(spark):
         for r in dedup_batch(load_table(spark, sf, "events")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream attribution join (purchases × preceding
+    views per user) ≡ the batch range join over the drained source."""
+    from pos_pipeline_core_etl_spark.sources.tables import load_table
+    from pos_pipeline_core_etl_spark.streaming.events import (
+        purchase_view_join_batch,
+        run_streaming_purchase_view_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["purchase_id"], r["view_id"], r["p_user"], r["purchase_value"])
+        for r in run_streaming_purchase_view_join(
+            spark, sf, query_name="t_ssjoin_eq"
+        ).collect()
+    }
+    want = {
+        (r["purchase_id"], r["view_id"], r["p_user"], r["purchase_value"])
+        for r in purchase_view_join_batch(load_table(spark, sf, "events")).collect()
+    }
+    assert got == want and len(got) > 0
