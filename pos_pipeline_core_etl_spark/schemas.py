@@ -97,3 +97,23 @@ def require_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     if missing:
         raise ContractViolation(f"missing required columns: {missing}")
     return df
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline input contracts: the documents / embeddings tables every
+# dedup / similarity / text operator consumes. Enforced at plan time so a
+# mis-shaped corpus fails before a 100 TB scan starts.
+
+DOCUMENTS_INPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+EMBEDDINGS_INPUT = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)

@@ -201,3 +201,23 @@ class TestToFloatExprParity:
 
         for raw in self.CASES:
             assert _parse_locale_number(raw) == self.CASES[raw]
+
+
+class TestLlmInputContracts:
+    def test_fixture_tables_satisfy_contracts(self, spark):
+        from pos_pipeline_core_etl_spark import schemas
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        schemas.enforce_contract(load_table(spark, sf, "documents"), schemas.DOCUMENTS_INPUT)
+        schemas.enforce_contract(load_table(spark, sf, "embeddings"), schemas.EMBEDDINGS_INPUT)
+
+    def test_mis_shaped_corpus_fails_at_plan_time(self, spark):
+        from pos_pipeline_core_etl_spark import schemas
+
+        bad = spark.createDataFrame([(1, 2.0)], "doc_id long, text double")
+        with pytest.raises(schemas.ContractViolation, match="type mismatches"):
+            schemas.enforce_contract(bad, schemas.DOCUMENTS_INPUT)
+        bad2 = spark.createDataFrame([(1,)], "vec_id long")
+        with pytest.raises(schemas.ContractViolation, match="missing"):
+            schemas.enforce_contract(bad2, schemas.EMBEDDINGS_INPUT)
