@@ -26,7 +26,7 @@ n = smoke.count()
 print(f"SMOKE entry(): {n} rows, schema ok in {time.time()-t0:.1f}s")
 assert n >= 0
 
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
