@@ -241,3 +241,39 @@ QUERIES: dict[str, tuple] = {
     "bounded_sample": (bounded_sample, BOUNDED_SAMPLE_SQL),
     "branch_substring_filter": (branch_substring_filter, BRANCH_SUBSTRING_FILTER_SQL),
 }
+
+
+def events_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path: HyperLogLog++ sketches
+    (``approx_count_distinct``, rsd 1%) instead of exact per-group
+    count-distinct. Same oracle pattern as :func:`order_times_approx`:
+    the query emits the exact cardinalities plus a boolean asserting the
+    sketch landed within 2%; a sketch regression flips the flag and
+    fails the hash."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users_exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("users_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "users_exact",
+        (
+            F.abs(F.col("users_approx") - F.col("users_exact"))
+            <= F.lit(APPROX_PCT_REL_TOL) * F.col("users_exact")
+        ).alias("users_within_tol"),
+    )
+
+
+EVENTS_CARDINALITY_SKETCH_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS users_exact,
+       TRUE AS users_within_tol
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["events_cardinality_sketch"] = (
+    events_cardinality_sketch,
+    EVENTS_CARDINALITY_SKETCH_SQL,
+)

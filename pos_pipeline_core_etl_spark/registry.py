@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_interface_revenue",
     "order_times_summary",
     "order_times_approx",
+    "events_cardinality_sketch",
     "user_activity_gaps",
     "drop_null_rows",
     "sorted_distinct_dates",

@@ -128,6 +128,7 @@ EXPECTED_QUERIES = frozenset(
         "sql_interface_revenue",
         "order_times_summary",
         "order_times_approx",
+        "events_cardinality_sketch",
         "user_activity_gaps",
         "drop_null_rows",
         "sorted_distinct_dates",
