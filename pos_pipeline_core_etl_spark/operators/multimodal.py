@@ -72,6 +72,131 @@ def decode_png(payload: bytes) -> dict | None:
     return {"fake_width": width, "fake_height": height, "decoder": "png"}
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray] | None:
+    """Full PNG pixel decode for 8-bit non-interlaced images — stdlib
+    only: chunk walk, IDAT inflate, scanline unfiltering (filters 0-4:
+    None/Sub/Up/Average/Paeth per the PNG spec).
+
+    Returns (width, height, channels, raw pixel bytes row-major) or None
+    for non-PNG input; raises on unsupported/corrupt PNGs.
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_MAGIC):
+        return None
+    pos = len(PNG_MAGIC)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(idat)
+    stride = width * ch
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, ch, out
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal PNG encoder (8-bit, filter 0 scanlines, one IDAT)."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride]) for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor PNG resize: decode → resample → re-encode,
+    pure stdlib. Returns None for non-PNG input (caller falls back to the
+    deterministic stub)."""
+    decoded = decode_png_pixels(payload)
+    if decoded is None:
+        return None
+    sw, sh, ch, px = decoded
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        sy = min(sh - 1, (y * sh) // height)
+        for x in range(width):
+            sx = min(sw - 1, (x * sw) // width)
+            src = (sy * sw + sx) * ch
+            dst = (y * width + x) * ch
+            out[dst : dst + ch] = px[src : src + ch]
+    return encode_png(width, height, ch, bytes(out))
+
+
 def _try_decode_image(payload: bytes) -> dict:
     """Real decoder where the format allows, else deterministic fake.
 
@@ -201,12 +326,14 @@ RESIZE_SCHEMA = (
 def resize_images(
     binary_docs: DataFrame, width: int = 64, height: int = 48
 ) -> DataFrame:
-    """Resize plumbing: payload in → (stub) resized payload stats out.
+    """Resize plumbing: payload in → resized payload stats out.
 
-    The stub "resize" keeps ``min(n_in, width·height/64)`` bytes — a
-    pure function of the input so the oracle can check it; a real build
-    decodes, resizes (PIL/cv2), and re-encodes inside the same batch
-    loop with the same schema.
+    PNG bytes take the REAL path (stdlib decode → nearest-neighbor
+    resample → re-encode, :func:`resize_png`); other payloads use the
+    deterministic stub (keep ``min(n_in, width·height/64)`` bytes — a
+    pure function of the input so the oracle can check it). A production
+    build swaps the codec (PIL/cv2) inside the same batch loop with the
+    same schema.
     """
     budget = (width * height) // 64
 
@@ -215,7 +342,14 @@ def resize_images(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                out = payload[:budget]
+                try:
+                    png_out = resize_png(payload, width, height)
+                except Exception:
+                    png_out = b""
+                    resizer = "error"
+                else:
+                    resizer = "png" if png_out is not None else "stub"
+                out = png_out if png_out else payload[:budget]
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -223,7 +357,7 @@ def resize_images(
                         "out_height": height,
                         "n_bytes_in": len(payload),
                         "n_bytes_out": len(out),
-                        "resizer": "stub",
+                        "resizer": resizer,
                     }
                 )
             yield pd.DataFrame(
