@@ -235,10 +235,17 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = tokens_col(F.lower(F.trim(F.col(text_col))))
     n_tokens = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n_tokens - 1),
-        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
-    )
+    # F.sequence(1, n-1) auto-steps DOWN when n_tokens < 2 ([1, 0], [1, 0, -1]),
+    # which would call element_at out of bounds — guard to an empty bigram list
+    # so one-token/empty docs yield n_bi = 0, matching the oracle's empty
+    # generate_series(1, 0).
+    bigrams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_bi = F.size(bigrams)
     n_bi_distinct = F.size(F.array_distinct(bigrams))
     top_count = F.array_max(

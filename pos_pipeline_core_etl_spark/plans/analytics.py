@@ -14,6 +14,15 @@ from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
 from pos_pipeline_core_etl_spark.sources.tables import load_table
 
 
+def _epoch_sec(ts):
+    """Epoch seconds (fractional) for TIMESTAMP or TIMESTAMP_NTZ columns.
+
+    NTZ cannot be cast straight to double; routing through timestamp_ltz
+    is exact because the session timezone is pinned to UTC.
+    """
+    return ts.cast("timestamp_ltz").cast("double")
+
+
 def order_times_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event-type value distribution: exact median / p90 / extremes.
 
@@ -101,7 +110,10 @@ def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = events.withColumn(
         "gap_sec",
-        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w),
+        # ts arrives as TIMESTAMP_NTZ from tz-naive parquet; NTZ has no direct
+        # double cast, so go through timestamp_ltz (session tz is UTC, so the
+        # epoch value matches DuckDB's epoch(ts) on the naive value).
+        _epoch_sec(F.col("ts")) - F.lag(_epoch_sec(F.col("ts")), 1).over(w),
     ).where(F.col("gap_sec").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),

@@ -577,3 +577,39 @@ class TestRealPngResize:
         assert got[1]["resizer"] == "png"
         assert got[1]["n_bytes_out"] > 0
         assert got[2]["resizer"] == "stub"
+
+
+class TestRepetitionEdgeCases:
+    """One-token and empty documents must not crash the bigram leg
+    (F.sequence(1, 0) auto-steps DOWN and would index out of bounds
+    without the guard) and must agree with the oracle's empty
+    generate_series: n_bi = 0 -> dup_bigram_frac = 0.0."""
+
+    def test_empty_and_single_token_docs(self, spark):
+        from pos_pipeline_core_etl_spark.operators.text import repetition_signals
+
+        df = spark.createDataFrame(
+            [
+                (1, ""),
+                (2, "   "),
+                (3, "hello"),
+                (4, "hello hello"),
+                (5, "a b a b a b"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        # both Spark's F.split and DuckDB's regexp_split_to_array yield a
+        # single empty token for '' — one token, zero bigrams, no crash
+        assert got[1]["n_tokens"] == 1
+        assert got[1]["dup_bigram_frac"] == 0.0
+        assert got[2]["n_tokens"] == 1
+        assert got[2]["dup_bigram_frac"] == 0.0
+        assert got[3]["n_tokens"] == 1
+        assert got[3]["dup_token_frac"] == 0.0
+        assert got[3]["dup_bigram_frac"] == 0.0
+        assert got[3]["top_token_frac"] == 1.0
+        assert got[4]["n_tokens"] == 2
+        assert got[4]["dup_token_frac"] == 0.5
+        # 6 tokens, bigrams: "a b" x3, "b a" x2 -> 5 bigrams, 2 distinct
+        assert got[5]["dup_bigram_frac"] == round(3 / 5, 6)
