@@ -4,11 +4,16 @@ The driver contract (``__spark_entry__.py``) and the local test harness
 both read from here, so the set of claimed operators lives in one place.
 
 Ordering matters: the correctness driver verifies queries in registration
-order and caps the per-round list (round 1 recorded exactly the first 50
-of 82).  ``_PRIORITY`` therefore front-loads the queries that have not
-yet appeared in a ``CORRECTNESS_r*.json`` (all LLM-data ops, forecasting,
-streaming, analytics) followed by the flagship marts, so every query gets
-driver-green coverage across rounds.
+order and caps the per-round list at 50.  ``_PRIORITY`` therefore rotates
+per round: front-load (a) queries never driver-checked, then (b) queries
+whose semantics changed since their last driver-green row, then (c) the
+oldest driver rows.  Round 1 covered the first 50 of 82 (relational / marts
+/ QA / scalar fns / windows); round 2 rotated to the other 40 (LLM ops,
+forecasting, streaming, analytics) plus 10 flagships.  Round 3 rotates
+back: the 40 r1-only names (whose code saw to_float-strictness,
+naive-forecast and SCD-2 changes after their only driver check) plus the
+queries edited this round (repetition guard, NTZ epoch fix, LSH bucket
+caps, PNG-aware multimodal oracles).
 """
 
 from __future__ import annotations
@@ -19,72 +24,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Names verified by the round-1 driver run live at the back of the queue;
-# everything the driver has never checked runs inside its 50-query window.
+# Round-3 window: the 40 names whose only driver row predates the
+# to_float / naive-forecast / SCD-2 semantic changes (r1-only set), then
+# the queries whose code changed after their round-2 check.  The 50
+# r2-green names whose code is untouched sit safely outside the window.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (round 1 cap): LLM data ops ----------------
-    "text_token_counts",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_vocabulary",
-    "text_tfidf_topk",
-    "text_decontaminate",
-    "text_repetition",
-    "text_pii_scan",
-    "text_unigram_logprob",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_components",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_components",
-    "sim_cosine_topk",
-    "sim_lsh_bucket_topk",
-    "sim_lsh_buckets_histogram",
-    "sim_ivf_topk",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # -- never driver-checked: forecasting -------------------------------
-    "forecast_naive_lastweek",
-    "forecast_deposit_schedule",
-    "deposit_cash_flow",
-    "forecast_loglinear",
-    # -- never driver-checked: streaming batch twins ----------------------
-    "events_tumbling_counts",
-    "events_sessionization",
-    "events_dedup",
-    # -- never driver-checked: analytics ----------------------------------
-    "sql_interface_revenue",
-    "order_times_summary",
-    "order_times_approx",
-    "events_cardinality_sketch",
-    "user_activity_gaps",
-    "drop_null_rows",
-    "sorted_distinct_dates",
-    "bounded_sample",
-    "branch_substring_filter",
-    # -- round-1 driver-green flagships kept inside the window ------------
-    "payments_daily_mart",
-    "sales_by_ticket_mart",
-    "sales_by_group_mart",
-    "transfers_cube_mart",
-    "fact_payments_ticket",
-    "fact_sales_item_line",
-    "fact_transfers_line",
-    "silver_clean_payments",
-    "scan_filter_project",
-    "agg_pricing_summary",
-    "join_bigbig_revenue",
-    "join_validity_window",
-    "join_validity_window_bucketed",
-    "calendar_zero_fill",
+    # -- r1-only: scalar functions (to_float strictness changed post-r1) --
+    "fn_to_float_locale",
+    "fn_to_float_expr",
+    "fn_to_int",
+    "fn_to_date_multi",
+    "fn_clean_strings",
+    "fn_accent_bucket",
+    "fn_coerce_bool",
+    "fn_safe_unit_cost",
+    "fn_json_extract",
+    # -- r1-only: QA suite ------------------------------------------------
+    "qa_duplicates",
+    "qa_nulls",
+    "qa_non_negative",
+    "qa_zero_method_flags",
+    "qa_revenue_consistency",
+    "qa_per_sucursal_ranges",
+    "qa_monthly_sales",
+    "qa_sample_months",
     "qa_zscore_anomalies",
     "qa_missing_days",
+    # -- r1-only: windows / rollups ---------------------------------------
+    "window_rolling_mean",
+    "window_lag_delta",
+    "topk_per_group",
+    "calendar_zero_fill",
     "monthly_rollup",
+    "grand_totals_rollup",
+    "horizontal_sum",
     "value_mode",
+    # -- r1-only: relational / set ops ------------------------------------
+    "agg_count_distinct",
+    "dedup_keep_first",
+    "duplicate_detection",
+    "join_bigbig_revenue",
+    "join_broadcast_dims",
+    "join_left_flag",
+    "join_validity_window",
+    "join_validity_window_bucketed",
+    "pivot_status_by_priority",
+    "unpivot_measures",
+    "set_except_keys",
+    "union_by_name",
+    "topk_orders",
+    # -- code changed after the round-2 driver check ----------------------
+    "text_repetition",
+    "user_activity_gaps",
+    "dedup_minhash_lsh",
+    "dedup_minhash_components",
+    "dedup_embedding_cosine",
+    "dedup_embedding_components",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # -- flagship kept inside every window ---------------------------------
+    "payments_daily_mart",
 )
 
 
