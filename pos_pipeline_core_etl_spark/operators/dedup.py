@@ -36,6 +36,12 @@ LSH_BANDS = 4
 LSH_ROWS = 4
 HASH_MOD = 4294967311  # prime > 2^32 so (a*x+b) wraps and hash funcs decorrelate
 SHINGLE_SIZE = 3
+# Per-bucket pair expansion is O(bucket²); one hot bucket (e.g. an
+# all-identical corpus that skipped exact dedup) would quadratic-explode a
+# single task's memory. Buckets above this cap are EXCLUDED from pair
+# expansion — query the skipped population via :func:`minhash_lsh_overflow`.
+# The SQL oracle applies the same constant, so capped results stay exact.
+LSH_MAX_BUCKET = 1000
 
 
 def _hash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
@@ -149,6 +155,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
@@ -157,17 +164,21 @@ def minhash_lsh_candidates(
     self-join: the expensive signature stage is scanned once with no
     persist, and the whole pipeline is two shuffles (bucket groupBy +
     pair distinct) instead of three plus a cache. Per-bucket memory is
-    O(bucket size) — LSH buckets are small by construction; a
-    pathological all-identical corpus produces quadratic PAIRS under
-    either formulation (run exact dedup first — bench does not — if
-    that is the input)."""
+    O(bucket size) — LSH buckets are small by construction, and buckets
+    above ``max_bucket_size`` (a degenerate corpus that skipped exact
+    dedup) are excluded instead of quadratic-exploding a task; count the
+    skipped population with :func:`minhash_lsh_overflow`. Pass ``None``
+    to disable the guard."""
     buckets = lsh_band_buckets(
         minhash_signatures(docs, text_col, k=bands * rows), bands=bands, rows=rows
     )
+    keep = F.size("ids") > 1
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
     grouped = (
         buckets.groupBy("band", "bucket_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .where(keep)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -182,6 +193,26 @@ def minhash_lsh_candidates(
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def minhash_lsh_overflow(
+    docs: DataFrame,
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Buckets the candidate stage skipped: (band, bucket_key, n_docs)
+    for every bucket over ``max_bucket_size``. Empty on healthy corpora;
+    non-empty means run exact dedup first (or raise the cap)."""
+    buckets = lsh_band_buckets(
+        minhash_signatures(docs, text_col, k=bands * rows), bands=bands, rows=rows
+    )
+    return (
+        buckets.groupBy("band", "bucket_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
     )
 
 

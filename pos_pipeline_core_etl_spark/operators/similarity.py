@@ -31,6 +31,12 @@ PLANE_MOD = 2**32
 CENT_MIX = 2246822519  # xxhash PRIME32_2 — distinct stream from PLANE_MIX
 IVF_N_CLUSTERS = 16
 IVF_NPROBE = 2
+# The near-dup bucket self-join is O(bucket²) per bucket; a degenerate
+# corpus (many identical vectors in one hyperplane cell) would explode a
+# single join cell. Buckets above this cap are excluded from pair
+# expansion (see embedding_bucket_overflow); the SQL oracles apply the
+# same constant so capped results stay exact.
+EMB_MAX_BUCKET = 10000
 
 
 def _as_double(vec: Column) -> Column:
@@ -430,32 +436,7 @@ def embedding_neardup(
     embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so the
     default is set low to exercise the path with non-trivial output.
     """
-    base = (
-        embeddings.select(
-            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-        )
-        .withColumn("bucket", lsh_bucket(F.col("vec")))
-        .withColumn("norm", l2norm(F.col("vec")))
-    )
-    left = base.select(
-        F.col("vid").alias("keep_cand"), F.col("vec").alias("lvec"), "bucket",
-        F.col("norm").alias("lnorm"),
-    )
-    right = base.select(
-        F.col("vid").alias("dup_id"), F.col("vec").alias("rvec"), "bucket",
-        F.col("norm").alias("rnorm"),
-    )
-    pairs = left.join(right, ["bucket"]).where(F.col("keep_cand") < F.col("dup_id"))
-    sims = pairs.select(
-        "dup_id",
-        "keep_cand",
-        hround(
-            cosine_prenormed(
-                F.col("lvec"), F.col("rvec"), F.col("lnorm"), F.col("rnorm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    ).where(F.col("cos_sim") >= F.lit(threshold))
+    sims = embedding_neardup_pairs(embeddings, threshold, id_col, vec_col)
     return sims.groupBy("dup_id").agg(
         F.min("keep_cand").alias("keep_id"),
         F.max("cos_sim").alias("best_sim"),
@@ -474,10 +455,14 @@ def embedding_neardup_pairs(
     threshold: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = EMB_MAX_BUCKET,
 ) -> DataFrame:
     """LSH-blocked near-dup pair stage shared by keep-min-id
     (:func:`embedding_neardup`) and connected-components survivorship:
-    (keep_cand < dup_id, cos_sim ≥ threshold)."""
+    (keep_cand < dup_id, cos_sim ≥ threshold). Buckets over
+    ``max_bucket_size`` are excluded from the self-join (degenerate-
+    corpus guard — see :func:`embedding_bucket_overflow`); ``None``
+    disables the cap."""
     base = (
         embeddings.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
@@ -485,6 +470,14 @@ def embedding_neardup_pairs(
         .withColumn("bucket", lsh_bucket(F.col("vec")))
         .withColumn("norm", l2norm(F.col("vec")))
     )
+    if max_bucket_size is not None:
+        ok = (
+            base.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket_size)
+            .select("bucket")
+        )
+        base = base.join(F.broadcast(ok), ["bucket"])
     left = base.select(
         F.col("vid").alias("keep_cand"), F.col("vec").alias("lvec"), "bucket",
         F.col("norm").alias("lnorm"),
@@ -504,6 +497,27 @@ def embedding_neardup_pairs(
             6,
         ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= F.lit(threshold))
+
+
+def embedding_bucket_overflow(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """Hyperplane buckets the near-dup pair stage skipped:
+    (bucket, n_vecs) for every bucket over ``max_bucket_size``. Empty on
+    healthy corpora; non-empty means exact-dedup the vectors first (or
+    raise the cap / add planes)."""
+    return (
+        embeddings.select(
+            _as_double(F.col(vec_col)).alias("vec")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("vec")))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > max_bucket_size)
+    )
 
 
 def embedding_neardup_components(

@@ -367,9 +367,15 @@ sig AS (
 ),
 bands AS (
 {bands}
+),
+ok AS (
+  SELECT band, bucket_key FROM bands
+  GROUP BY band, bucket_key
+  HAVING COUNT(*) <= {dedup.LSH_MAX_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
+JOIN ok ON ok.band = a.band AND ok.bucket_key = a.bucket_key
 JOIN bands b ON a.band = b.band AND a.bucket_key = b.bucket_key
             AND a.doc_id < b.doc_id
 """
@@ -664,11 +670,14 @@ def _embedding_neardup_oracle(threshold: float = 0.2) -> str:
     return f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+ok AS (SELECT bucket FROM bucketed GROUP BY bucket
+       HAVING COUNT(*) <= {similarity.EMB_MAX_BUCKET}),
 sims AS (
   SELECT r.vec_id AS dup_id, l.vec_id AS keep_cand,
          {hround_sql(_cos_sql("l.v", "r.v"), 6)} AS cos_sim
   FROM bucketed l JOIN bucketed r
     ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  JOIN ok ON ok.bucket = l.bucket
 )
 SELECT dup_id, MIN(keep_cand) AS keep_id, MAX(cos_sim) AS best_sim,
        COUNT(*) AS n_matches
@@ -699,10 +708,13 @@ def _embedding_components_oracle(threshold: float = 0.2) -> str:
 WITH RECURSIVE
 base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 bucketed AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM base),
+ok AS (SELECT bucket FROM bucketed GROUP BY bucket
+       HAVING COUNT(*) <= {similarity.EMB_MAX_BUCKET}),
 edges AS (
   SELECT l.vec_id AS a, r.vec_id AS b
   FROM bucketed l JOIN bucketed r
     ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  JOIN ok ON ok.bucket = l.bucket
   WHERE {hround_sql(_cos_sql("l.v", "r.v"), 6)} >= {threshold}
 ),
 sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
