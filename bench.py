@@ -66,26 +66,51 @@ def _scale_path_queries():
 
     def bucketed_join_lineitem(spark, sf_dir):
         # tables are written bucketed on the join key during setup; the
-        # timed join then runs with NO shuffle exchange (broadcast off to
-        # prove the co-location, as a fact-fact join at 100 TB would)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        try:
-            li = spark.table("bench_li_bucketed")
-            orders = spark.table("bench_orders_bucketed")
-            return (
-                li.join(orders, li.l_orderkey == orders.o_orderkey)
-                .groupBy("o_orderpriority")
-                .agg(F.sum("l_quantity").alias("qty"))
-            )
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # join then runs with NO shuffle exchange (broadcast is disabled
+        # AROUND THE ACTION via QUERY_CONF — Spark reads the threshold at
+        # execution time, so setting it here and restoring before the
+        # caller's count() would silently re-enable broadcast)
+        li = spark.table("bench_li_bucketed")
+        orders = spark.table("bench_orders_bucketed")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
 
     return {
         "salted_agg_lineitem": salted_agg_lineitem,
         "bucketed_join_lineitem": bucketed_join_lineitem,
     }
+
+
+# Per-query conf overrides applied around BOTH the warmup and the timed
+# action, with the PRIOR values (not hard-coded defaults) restored after
+# (ADVICE r2): the bucketed join must prove co-location, not broadcast.
+QUERY_CONF: dict[str, dict[str, str]] = {
+    "bucketed_join_lineitem": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    },
+}
+
+
+class _conf_override:
+    def __init__(self, spark, overrides: dict[str, str]):
+        self.spark, self.overrides = spark, overrides
+
+    def __enter__(self):
+        self.saved = {}
+        for k, v in self.overrides.items():
+            self.saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
 
 
 def _setup_bucketed_tables(spark, sf_dir: str) -> None:
@@ -137,16 +162,18 @@ def main() -> None:
     for name in timed:
         try:
             # the bucketed join reads fixed tables — warm it there
-            queries[name](spark, SF_DIR if name == "bucketed_join_lineitem" else warm_dir).count()
+            with _conf_override(spark, QUERY_CONF.get(name, {})):
+                queries[name](spark, SF_DIR if name == "bucketed_join_lineitem" else warm_dir).count()
         except Exception:
             pass  # warmup is best-effort; the timed run will surface errors
 
     timings: dict[str, float] = {}
     for name in timed:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        with _conf_override(spark, QUERY_CONF.get(name, {})):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -344,6 +344,7 @@ def connected_components(
         "component_id", F.col("id")
     )
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iters):
         msgs = sym.join(labels, sym.a == labels.id).select(
             F.col("b").alias("id"), "component_id"
@@ -356,6 +357,16 @@ def connected_components(
         )
         label_sum = labels.agg(F.sum("component_id")).collect()[0][0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # Unconverged labels would silently diverge from the full-
+        # reachability oracle (a long duplicate chain exceeds the round
+        # budget) — fail loudly instead (ADVICE r2).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            "rounds (label sum still decreasing); the component graph has a "
+            "longer diameter than expected — raise max_iters"
+        )
     return labels

@@ -36,7 +36,10 @@ def scd2_apply(
     ``dim`` columns: key, *tracked_cols, valid_from, valid_to (null =
     current). ``changes``: key, *tracked_cols. Unchanged keys (same
     tracked values) are left untouched. Keys present in ``changes`` but
-    absent from ``dim`` are appended as initial versions (ADVICE r1).
+    absent from ``dim`` are appended as initial versions (ADVICE r1),
+    and keys whose versions are ALL closed (no current row) are
+    re-activated with a fresh version (ADVICE r2) — hence the anti-join
+    below is against CURRENT keys, not all dim keys.
     """
     current = dim.where(F.col("valid_to").isNull())
     changed_keys = (
@@ -49,9 +52,10 @@ def scd2_apply(
         .select(F.col(f"c.{key}").alias(key))
         .distinct()
     )
-    # brand-new keys never seen in the dimension get a first version too
+    # keys with no CURRENT row get a fresh version: brand-new keys and
+    # re-activated keys (all versions closed) alike
     new_keys = changes.select(key).distinct().join(
-        dim.select(key).distinct(), key, "left_anti"
+        current.select(key).distinct(), key, "left_anti"
     )
     version_keys = changed_keys.unionByName(new_keys)
     closed = (

@@ -120,6 +120,32 @@ class TestUpsert:
             ]
         )
 
+    def test_scd2_reactivates_fully_closed_key(self, spark):
+        """A key whose versions are ALL closed gets a fresh version on
+        re-arrival instead of being silently dropped (ADVICE r2)."""
+        dim = spark.createDataFrame(
+            [
+                (1, "a", D(2023, 1, 1), None),
+                (7, "gone", D(2022, 1, 1), D(2022, 12, 31)),  # fully closed
+            ],
+            "id long, name string, valid_from date, valid_to date",
+        )
+        changes = spark.createDataFrame(
+            [(7, "back")], "id long, name string"
+        )
+        out = scd2_apply(dim, changes, "id", D(2024, 6, 1), ["name"])
+        rows = sorted(
+            ((r["id"], r["name"], str(r["valid_from"]), str(r["valid_to"])) for r in out.collect())
+        )
+        assert rows == sorted(
+            [
+                (1, "a", "2023-01-01", "None"),  # untouched current
+                (7, "gone", "2022-01-01", "2022-12-31"),  # history kept
+                (7, "back", "2024-06-01", "None"),  # re-activated
+            ]
+        )
+
+
 
 class TestStatefulStreaming:
     def test_running_counters_match_batch(self, spark):
@@ -411,6 +437,25 @@ class TestConnectedComponents:
         cc = {r["id"]: r["component_id"] for r in connected_components(edges).collect()}
         assert cc == {0: 0, 1: 0, 2: 0}
         assert set(keep_min.values()) != {0}  # the gap CC closes
+
+    def test_nonconvergence_raises(self, spark):
+        """A diameter longer than the round budget fails LOUDLY instead of
+        silently returning labels that diverge from the reachability
+        oracle (ADVICE r2)."""
+        from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iters=2)
+        # the same graph converges with an adequate budget
+        got = {
+            r["id"]: r["component_id"]
+            for r in connected_components(chain, max_iters=12).collect()
+        }
+        assert set(got.values()) == {0}
+
 
 
 class TestLshParameterization:
