@@ -89,11 +89,14 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray] | None:
     """Full PNG pixel decode for 8-bit non-interlaced images — stdlib
-    only: chunk walk, IDAT inflate, scanline unfiltering (filters 0-4:
-    None/Sub/Up/Average/Paeth per the PNG spec).
+    only: chunk walk with CRC verification, IDAT inflate, scanline
+    unfiltering (filters 0-4: None/Sub/Up/Average/Paeth per the PNG
+    spec), and PLTE lookup for paletted (color type 3) images, which
+    decode to 3-channel RGB.
 
     Returns (width, height, channels, raw pixel bytes row-major) or None
-    for non-PNG input; raises on unsupported/corrupt PNGs.
+    for non-PNG input; raises on unsupported (16-bit, interlaced) or
+    corrupt PNGs — callers surface those as explicit failure rows.
     """
     import struct
     import zlib
@@ -104,14 +107,22 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray] | None:
     width = height = None
     bit_depth = color_type = interlace = None
     idat = b""
+    plte: bytes | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -119,10 +130,14 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray] | None:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if bit_depth == 16:
+        raise ValueError("unsupported PNG: 16-bit depth")
     if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color={color_type}, interlace={interlace})"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(idat)
     stride = width * ch
@@ -156,6 +171,17 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytearray] | None:
             raise ValueError(f"unknown PNG filter {f}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    if color_type == 3:
+        # palette indices → RGB triples (tRNS alpha is not applied; the
+        # decode targets feature extraction, not compositing)
+        assert plte is not None
+        n_entries = len(plte) // 3
+        rgb = bytearray(len(out) * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(f"PNG palette index {idx} out of range")
+            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        return width, height, 3, rgb
     return width, height, ch, out
 
 

@@ -732,6 +732,17 @@ DEDUP_EMBEDDING_COMPONENTS_SQL = _embedding_components_oracle()
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads.
+
+    Oracle note (ADVICE r2): the stub-only SQL twin is exact — not a
+    fixture accident — because payloads here come from
+    ``documents_as_binary`` (UTF-8 text encode) and no UTF-8 byte
+    stream can start with 0x89, the PNG magic's first byte (0x89 is a
+    continuation byte; a leading code point ≥ U+0080 encodes to
+    0xC2–0xF4). The real-PNG decode branch is therefore structurally
+    unreachable on this input; it is exercised separately on genuine
+    PNG payloads in ``tests/test_scale_ops.py`` (TestRealPngDecode).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_binary(docs))
 
@@ -776,6 +787,13 @@ FROM f WHERE frame_index % {_EVERY} = 0
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads.
+
+    Same oracle invariant as :func:`multimodal_features`: UTF-8-encoded
+    text can never start with the PNG magic byte 0x89, so the stub-only
+    SQL twin is exact by construction; the real PNG resize path is
+    tested on genuine PNG bytes (TestRealPngResize).
+    """
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.resize_images(multimodal.documents_as_binary(docs))
 

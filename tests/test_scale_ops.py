@@ -368,6 +368,40 @@ class TestMultimodalPlumbing:
         assert all(r["resizer"] == "stub" for r in rows)
 
 
+
+class TestMultimodalOracleInvariant:
+    """The stub-only SQL oracles for multimodal_features/resize are exact
+    because documents_as_binary payloads are UTF-8 text encodes, and no
+    UTF-8 stream can start with the PNG magic byte 0x89 (ADVICE r2)."""
+
+    def test_utf8_encode_never_yields_png_magic_prefix(self):
+        from pos_pipeline_core_etl_spark.operators.multimodal import PNG_MAGIC
+
+        # adversarial first characters: every UTF-8 lead-byte class plus
+        # the code point whose low byte is 0x89
+        for ch in ["a", "\x7f", "\u0089", "\u0289", "\u2089", "\U00010089"]:
+            enc = (ch + " rest of document").encode("utf-8")
+            assert not enc.startswith(PNG_MAGIC[:1]), ch
+        # exhaustive over the BMP first-char space: lead byte is never 0x89
+        assert all(
+            chr(cp).encode("utf-8")[0] != 0x89 for cp in range(0x20, 0x2000)
+        )
+
+    def test_query_payloads_take_stub_path(self, spark):
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            documents_as_binary,
+            extract_features,
+            resize_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "\u0089PNG fake magic attempt"), (2, "plain text")],
+            "doc_id long, text string",
+        )
+        binary = documents_as_binary(docs)
+        assert {r["decoder"] for r in extract_features(binary).collect()} == {"stub"}
+        assert {r["resizer"] for r in resize_images(binary).collect()} == {"stub"}
+
 class TestApproxPercentiles:
     def test_sketch_close_to_exact(self, spark):
         """percentile_approx at accuracy 10000 lands within 2% relative
@@ -718,3 +752,118 @@ class TestBucketSizeGuards:
             embedding_neardup_pairs(emb, threshold=0.9, max_bucket_size=None).count()
             == 100 * 99 // 2
         )
+
+
+class TestPngCodecEnvelope:
+    """VERDICT r2 item 6: paletted PNGs decode via PLTE lookup, 16-bit
+    and corrupt-CRC PNGs fail loudly and surface as explicit error rows."""
+
+    @staticmethod
+    def _palette_png():
+        import struct
+        import zlib
+
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            PNG_MAGIC,
+            _png_chunk,
+        )
+
+        # 2x2, color type 3, palette: 0=red 1=green 2=blue
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        raw = bytes([0, 0, 1]) + bytes([0, 2, 0])  # filter0 rows: [0,1],[2,0]
+        return (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    @staticmethod
+    def _16bit_png():
+        import struct
+        import zlib
+
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            PNG_MAGIC,
+            _png_chunk,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        raw = bytes([0, 0, 0])  # filter byte + one 16-bit gray sample
+        return (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_paletted_decodes_to_rgb(self):
+        from pos_pipeline_core_etl_spark.operators.multimodal import decode_png_pixels
+
+        w, h, ch, px = decode_png_pixels(self._palette_png())
+        assert (w, h, ch) == (2, 2, 3)
+        assert bytes(px) == bytes(
+            [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0]  # red green / blue red
+        )
+
+    def test_paletted_resizes_real_path(self, spark):
+        from pos_pipeline_core_etl_spark.operators.multimodal import resize_images
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._palette_png()))], "doc_id long, payload binary"
+        )
+        row = resize_images(df, width=4, height=4).collect()[0]
+        assert row["resizer"] == "png"
+        assert row["n_bytes_out"] > 0
+
+    def test_16bit_rejected_with_error_row(self, spark):
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            decode_png_pixels,
+            resize_images,
+        )
+
+        with pytest.raises(ValueError, match="16-bit"):
+            decode_png_pixels(self._16bit_png())
+        df = spark.createDataFrame(
+            [(1, bytearray(self._16bit_png()))], "doc_id long, payload binary"
+        )
+        assert resize_images(df).collect()[0]["resizer"] == "error"
+
+    def test_corrupt_crc_rejected_everywhere(self, spark):
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            decode_png_pixels,
+            extract_features,
+            resize_images,
+        )
+
+        good = self._palette_png()
+        bad = good[:-5] + bytes([good[-5] ^ 0xFF]) + good[-4:]
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png_pixels(bad)
+        df = spark.createDataFrame(
+            [(1, bytearray(bad))], "doc_id long, payload binary"
+        )
+        assert resize_images(df).collect()[0]["resizer"] == "error"
+        assert extract_features(df).collect()[0]["decoder"] == "error"
+
+    def test_missing_plte_rejected(self):
+        import struct
+        import zlib
+
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            PNG_MAGIC,
+            _png_chunk,
+            decode_png_pixels,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        png = (
+            PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png_pixels(png)
