@@ -64,7 +64,6 @@ def read_events_stream(
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     if stream_dir is None:
         stream_dir = tempfile.mkdtemp(prefix="events_stream_")
@@ -79,16 +78,17 @@ def read_events_stream(
             os.symlink(src, link)
     elif not os.path.exists(link):
         os.symlink(src, link)
+    # events.parquet stores ts as tz-naive timestamp[us]; declare it NTZ
+    # and cast through the UTC session to the LTZ type the window /
+    # watermark operators expect (same convention as the batch path).
     raw = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
             "value double, props string"
         )
         .parquet(stream_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_streaming_stateful_counters(
@@ -274,17 +274,13 @@ def purchase_view_join_batch(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "view_id", "p_user", "purchase_value")
 
 
-def run_streaming_purchase_view_join(
-    spark: SparkSession, sf_dir: str, query_name: str = "events_ssjoin_out"
-) -> DataFrame:
-    """Watermarked STREAM-STREAM inner join (the attribution-join shape):
-    purchases × the same user's views within the preceding 10 minutes.
-    Both sides carry watermarks so state for out-of-range rows is
-    reclaimed; the time-range predicate bounds the buffered interval.
-    ``availableNow`` drains the file source; the result is asserted equal
-    to :func:`purchase_view_join_batch` in tests.
-    """
-    stream = read_events_stream(spark, sf_dir)
+def attribution_join_stream(stream: DataFrame) -> DataFrame:
+    """The watermarked stream-stream attribution join over an events
+    stream: purchases × the same user's views within the preceding 10
+    minutes. Both sides carry watermarks so buffered state for
+    out-of-range rows is reclaimed, and inputs older than the current
+    watermark are DROPPED on arrival — late-data semantics proven in
+    ``tests/test_streaming.py::TestAttributionJoinLateData``."""
     views = (
         stream.where(F.col("event_type") == "view")
         .select(
@@ -304,12 +300,21 @@ def run_streaming_purchase_view_join(
         )
         .withWatermark("purchase_ts", WATERMARK)
     )
-    joined = purchases.join(
+    return purchases.join(
         views,
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
     ).select("purchase_id", "view_id", "p_user", "purchase_value")
+
+
+def run_streaming_purchase_view_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "events_ssjoin_out"
+) -> DataFrame:
+    """Drain the events table through :func:`attribution_join_stream`
+    into a memory sink (``availableNow``); asserted equal to
+    :func:`purchase_view_join_batch` in tests."""
+    joined = attribution_join_stream(read_events_stream(spark, sf_dir))
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
@@ -319,3 +324,30 @@ def run_streaming_purchase_view_join(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_attribution_join_incremental(
+    spark: SparkSession, stream_dir: str, checkpoint_dir: str, out_dir: str
+) -> None:
+    """One ``availableNow`` drain of the attribution join from an
+    explicit source directory into an idempotent ``foreachBatch``
+    parquet sink. Re-invoking with the same checkpoint after adding
+    files processes ONLY the new files — with the watermark restored
+    from the checkpoint, which is what makes late-data eviction
+    observable across drains (the memory sink cannot recover from a
+    checkpoint, hence the parquet sink here)."""
+    raw = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(stream_dir)
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    joined = attribution_join_stream(stream)
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: write_batch_idempotent(df, bid, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pos_pipeline_core_etl_spark.plans.streaming_queries import events_tumbling_counts
 from pos_pipeline_core_etl_spark.streaming.events import run_streaming_tumbling_counts
 
@@ -118,3 +120,103 @@ def test_stream_stream_join_matches_batch(spark):
         for r in purchase_view_join_batch(load_table(spark, sf, "events")).collect()
     }
     assert got == want and len(got) > 0
+
+
+class TestAttributionJoinLateData:
+    """Watermark-bounded state eviction in the stream-stream join
+    (VERDICT r2 item 7): a view arriving AFTER the watermark passed its
+    event time is dropped on arrival, so the attribution the batch twin
+    would produce for it never appears — and the only missing rows are
+    exactly those late ones."""
+
+    EVENTS_SCHEMA = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    @staticmethod
+    def _ns(minute: int) -> int:
+        # epoch nanoseconds at 2024-01-01 10:00 + minute
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+        return int((base + dt.timedelta(minutes=minute)).timestamp() * 1_000_000_000)
+
+    def _write_file(self, spark, rows, stream_dir, name):
+        import glob
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="ssjoin_batch_")
+        spark.createDataFrame(rows, self.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.copy(part, f"{stream_dir}/{name}.parquet")
+
+    def test_late_view_is_evicted_not_joined(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            purchase_view_join_batch,
+            run_attribution_join_incremental,
+        )
+
+        stream_dir = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        import os
+
+        os.makedirs(stream_dir)
+
+        # drain 1: an on-time match at 10:00→10:05, plus sentinels at
+        # 11:00 on BOTH legs (different users, so they don't join): the
+        # global watermark is the MIN across the two sides' watermarks,
+        # so advancing only one leg would leave it pinned at the other's
+        # max − 10min. After this drain the watermark is 10:50.
+        batch1 = [
+            (1, self._ns(0), 42, "view", 1.0, "{}"),
+            (2, self._ns(5), 42, "purchase", 9.99, "{}"),
+            (3, self._ns(60), 99, "view", 1.0, "{}"),
+            (6, self._ns(60), 98, "purchase", 2.0, "{}"),
+        ]
+        self._write_file(spark, batch1, stream_dir, "b1")
+        run_attribution_join_incremental(spark, stream_dir, ckpt, out_dir)
+
+        # drain 2: a purchase at 10:41 and its matching view at 10:35 —
+        # BOTH late. The purchase-side threshold is the global watermark
+        # (10:50); the view-side threshold is condition-adjusted to
+        # 10:40 (a view must be buffered 10 extra minutes to meet future
+        # purchases). Each row is dropped on arrival; note an on-time
+        # purchase can never join an evicted view, because purchase_ts ≥
+        # 10:50 forces view_ts ≥ 10:40 — the join's state bound is
+        # exactly the watermark math.
+        batch2 = [
+            (4, self._ns(35), 42, "view", 1.0, "{}"),
+            (5, self._ns(41), 42, "purchase", 5.0, "{}"),
+        ]
+        self._write_file(spark, batch2, stream_dir, "b2")
+        run_attribution_join_incremental(spark, stream_dir, ckpt, out_dir)
+
+        got = {
+            (r["purchase_id"], r["view_id"])
+            for r in spark.read.option("basePath", out_dir)
+            .parquet(out_dir + "/batch_id=*")
+            .collect()
+        }
+        # streaming: only the on-time attribution survives
+        assert got == {(2, 1)}
+
+        # the batch twin over the SAME rows also matches (5, 4) — the
+        # delta is exactly the late pair the watermark evicted
+        all_rows = spark.createDataFrame(
+            [
+                (i, e, u, t, v, p)
+                for (i, e, u, t, v, p) in (batch1 + batch2)
+            ],
+            self.EVENTS_SCHEMA,
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        batch = {
+            (r["purchase_id"], r["view_id"])
+            for r in purchase_view_join_batch(all_rows).collect()
+        }
+        assert batch == {(2, 1), (5, 4)}
+        assert batch - got == {(5, 4)}
