@@ -149,3 +149,18 @@ def test_driver_window_front_loads_unchecked_queries():
     first_50 = list(registry.all_queries())[:50]
     for name in registry._PRIORITY[:50]:
         assert name in first_50
+
+
+def test_documented_query_count_matches_registry():
+    """The evidence docs are the public claim surface (VERDICT r2 item 5):
+    the count README states must equal the live registry so the docs
+    can't silently drift again."""
+    import os
+    import re
+
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+    ).read()
+    m = re.search(r"(\d+) queries, every one paired", readme)
+    assert m, "README no longer documents the query count"
+    assert int(m.group(1)) == len(registry.all_queries())
