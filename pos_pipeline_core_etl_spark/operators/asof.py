@@ -1,0 +1,90 @@
+"""Backward as-of join — the time-series operator Spark lacks natively.
+
+Semantics (matching DuckDB/kdb/pandas ``merge_asof``): each left row is
+matched to the single right row with the same key and the greatest
+right-timestamp ≤ the left row's timestamp.
+
+The implementation is the scale-grade union+window form, NOT a range
+join: tag both inputs, union them, and run ONE window pass per key
+ordered by (ts, side) with ``last(..., ignorenulls)`` carrying the most
+recent right-side payload forward. Cost is a single hash shuffle on the
+key plus a per-partition sort — linear in rows, no candidate-pair
+explosion, no broadcast requirement on either side; this is the shape
+that survives a 100 TB fact against a 1 TB rate table. (A range/ASOF
+join in Spark would otherwise plan as BroadcastNestedLoop or an
+interval-bucket explode — see operators/intervals.py for that
+alternative when the right side is interval-keyed rather than
+event-keyed.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Left rows + the latest right payload at-or-before their timestamp.
+
+    ``payload_cols`` are the right-side columns carried onto matched left
+    rows (null when no right row precedes). When several right rows share
+    (key, right_ts), ``tiebreak_col`` makes the pick deterministic (the
+    greatest value wins) — REQUIRED for cross-engine hash parity; without
+    it the winner is sort-order luck, exactly the nondeterminism the
+    reference's min/max-over-first convention avoids (SURVEY §7.4.3).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_cols = [c for c in left.columns if c not in keys and c != left_ts]
+    tagged_left = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in l_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+        F.lit(None).cast("long").alias("_tb"),
+    )
+    tb = (
+        F.col(tiebreak_col).cast("long")
+        if tiebreak_col is not None
+        else F.lit(0).cast("long")
+    )
+    tagged_right = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        tb.alias("_tb"),
+    )
+    # right rows sort BEFORE left rows at equal ts (side desc) so '<='
+    # semantics hold; among equal-ts right rows the greatest tiebreak
+    # sorts last and therefore wins the ignorenulls-last carry
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 0).select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in l_cols],
+        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+    )

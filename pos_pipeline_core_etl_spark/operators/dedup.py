@@ -216,6 +216,41 @@ def minhash_lsh_overflow(
     )
 
 
+def minhash_lsh_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """The full scale-grade dedup pipeline in one plan: LSH candidate
+    generation (bucketed, capped) followed by the exact n-gram Jaccard
+    VERIFY stage on candidates only — never all pairs. Cost: the two
+    candidate-stage shuffles plus two doc-id equi-joins to fetch shingle
+    sets; the quadratic leg is gone entirely."""
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    cands = minhash_lsh_candidates(
+        docs, text_col, bands=bands, rows=rows, max_bucket_size=max_bucket_size
+    )
+    sh = docs.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hround(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -289,3 +289,208 @@ QUERIES["events_cardinality_sketch"] = (
     events_cardinality_sketch,
     EVENTS_CARDINALITY_SKETCH_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# event analytics: as-of attribution, funnel, cohort retention (round 3)
+
+
+def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join (operators/asof.py): each purchase matched to
+    the same user's most recent view at-or-before it — unbounded
+    lookback, unlike the 10-minute stream-stream attribution window.
+
+    Scale shape: ONE shuffle on user_id (union + window), no range-join
+    explosion. Oracle: DuckDB's native ASOF LEFT JOIN over the identical
+    tie-broken view set — a real cross-engine check of as-of semantics.
+    """
+    from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    # dedupe views per (user, ts) keeping max event_id: equal-ts ties
+    # would otherwise make BOTH engines' picks sort-order luck
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("v_ts"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    joined = asof_join_backward(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        payload_cols=["view_id", "v_ts"],
+        tiebreak_col="view_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        hround(
+            F.when(
+                F.col("v_ts").isNotNull(),
+                _epoch_sec(F.col("p_ts")) - _epoch_sec(F.col("v_ts")),
+            ),
+            2,
+        ).alias("gap_sec"),
+    )
+
+
+JOIN_ASOF_PURCHASE_VIEW_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts AS v_ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, v.view_id,
+       {hround_sql("epoch(p.p_ts) - epoch(v.v_ts)", 2)} AS gap_sec
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.v_ts <= p.p_ts
+"""
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step k when the first
+    step-k event AT OR AFTER their step-(k-1) time exists.
+
+    Spark shape: the step times are chained per-user window minima —
+    every window partitions by user_id, so Catalyst plans ONE Exchange
+    and stacks the window stages on it; the final count is a tiny agg.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    prev = None
+    for step in FUNNEL_STEPS:
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & (F.col("ts") >= F.col(prev))
+        col = f"t_{step}"
+        df = df.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = col
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"t_{s}").alias(f"t_{s}") for s in FUNNEL_STEPS]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t_{s}").cast("long").alias(f"n_{s}")
+            for s in FUNNEL_STEPS
+        ]
+    )
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"n_{s}").alias("n_users"),
+            )
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.explode(steps).alias("s"))
+        .select("s.step", "s.event_type", "s.n_users")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_signup
+  FROM events
+),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t_signup THEN ts END)
+              OVER (PARTITION BY user_id) AS t_view FROM w1
+),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click FROM w2
+),
+w4 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase FROM w3
+),
+per_user AS (
+  SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_view) AS t_view,
+         MAX(t_click) AS t_click, MAX(t_purchase) AS t_purchase
+  FROM w4 GROUP BY user_id
+),
+counts AS (
+  SELECT COUNT(t_signup) AS n_signup, COUNT(t_view) AS n_view,
+         COUNT(t_click) AS n_click, COUNT(t_purchase) AS n_purchase
+  FROM per_user
+)
+SELECT s.step, s.event_type, s.n_users FROM counts,
+LATERAL (
+  SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), 'signup', CAST(n_signup AS BIGINT)),
+    (CAST(2 AS BIGINT), 'view', CAST(n_view AS BIGINT)),
+    (CAST(3 AS BIGINT), 'click', CAST(n_click AS BIGINT)),
+    (CAST(4 AS BIGINT), 'purchase', CAST(n_purchase AS BIGINT))
+  ) AS t(step, event_type, n_users)
+) s
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    per week offset they return in. One user-window shuffle + one small
+    agg — the cohort matrix shape every growth pipeline computes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .withColumn("cohort_day", F.min("d").over(w))
+    )
+    return (
+        df.select(
+            "user_id",
+            (F.datediff(F.col("cohort_day"), F.lit("1970-01-01")) / 7)
+            .cast("long")
+            .alias("cohort_week"),
+            (F.datediff(F.col("d"), F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+)
+SELECT CAST(datediff('day', DATE '1970-01-01', cohort_day) // 7 AS BIGINT) AS cohort_week,
+       CAST(datediff('day', cohort_day, d) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM base
+GROUP BY 1, 2
+"""
+
+
+QUERIES["join_asof_purchase_view"] = (
+    join_asof_purchase_view,
+    JOIN_ASOF_PURCHASE_VIEW_SQL,
+)
+QUERIES["events_funnel"] = (events_funnel, EVENTS_FUNNEL_SQL)
+QUERIES["events_retention"] = (events_retention, EVENTS_RETENTION_SQL)

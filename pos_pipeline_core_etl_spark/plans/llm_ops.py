@@ -384,6 +384,29 @@ JOIN bands b ON a.band = b.band AND a.bucket_key = b.bucket_key
 DEDUP_MINHASH_LSH_SQL = _minhash_oracle()
 
 
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact Jaccard verify in one plan (the complete
+    scale-path dedup pipeline; see operators/dedup.py)."""
+    return dedup.minhash_lsh_verified(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_verified_oracle(threshold: float = 0.5) -> str:
+    sh = dedup.shingles_sql("text")
+    jac = "len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    return f"""
+WITH cand AS ({_minhash_oracle()}),
+sh AS (SELECT doc_id, {sh} AS s FROM documents)
+SELECT c.doc_a, c.doc_b, {hround_sql(jac, 6)} AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE {hround_sql(jac, 6)} >= {threshold}
+"""
+
+
+DEDUP_MINHASH_VERIFIED_SQL = _minhash_verified_oracle()
+
+
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate graph —
     document-side transitive-closure survivorship (the embedding-side
@@ -820,6 +843,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_minhash_verified": (dedup_minhash_verified, DEDUP_MINHASH_VERIFIED_SQL),
     "dedup_minhash_components": (
         dedup_minhash_components,
         DEDUP_MINHASH_COMPONENTS_SQL,

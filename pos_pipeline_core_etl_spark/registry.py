@@ -73,6 +73,11 @@ _PRIORITY: tuple[str, ...] = (
     "set_except_keys",
     "union_by_name",
     "topk_orders",
+    # -- new this round: never driver-checked ------------------------------
+    "join_asof_purchase_view",
+    "events_funnel",
+    "events_retention",
+    "dedup_minhash_verified",
     # -- code changed after the round-2 driver check ----------------------
     "text_repetition",
     "user_activity_gaps",
@@ -80,11 +85,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_components",
     "dedup_embedding_cosine",
     "dedup_embedding_components",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # -- flagship kept inside every window ---------------------------------
-    "payments_daily_mart",
 )
 
 

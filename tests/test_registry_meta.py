@@ -134,6 +134,11 @@ EXPECTED_QUERIES = frozenset(
         "sorted_distinct_dates",
         "bounded_sample",
         "branch_substring_filter",
+        # round-3 additions
+        "join_asof_purchase_view",
+        "events_funnel",
+        "events_retention",
+        "dedup_minhash_verified",
     }
 )
 
