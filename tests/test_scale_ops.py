@@ -867,3 +867,46 @@ class TestPngCodecEnvelope:
         )
         with pytest.raises(ValueError, match="PLTE"):
             decode_png_pixels(png)
+
+
+class TestAsofJoin:
+    """Backward as-of join edge cases: no-preceding-row nulls, exact-ts
+    inclusion, equal-ts tiebreak, key isolation."""
+
+    def test_semantics(self, spark):
+        from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame(
+            [
+                (1, 100, "l1"),  # right rows at 50, 90 -> picks 90
+                (1, 50, "l2"),   # exact-ts right row at 50 -> picks it
+                (1, 10, "l3"),   # nothing at or before 10 -> null
+                (2, 100, "l4"),  # key 2 has no right rows at all -> null
+            ],
+            "k long, ts long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 50, 500), (1, 90, 900), (1, 120, 1200)],
+            "k long, rts long, payload long",
+        )
+        got = {
+            r["tag"]: r["payload"]
+            for r in asof_join_backward(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                payload_cols=["payload"],
+            ).collect()
+        }
+        assert got == {"l1": 900, "l2": 500, "l3": None, "l4": None}
+
+    def test_equal_ts_tiebreak_picks_greatest(self, spark):
+        from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame([(1, 100, "l")], "k long, ts long, tag string")
+        right = spark.createDataFrame(
+            [(1, 100, 7), (1, 100, 9), (1, 100, 8)], "k long, rts long, payload long"
+        )
+        row = asof_join_backward(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["payload"], tiebreak_col="payload",
+        ).collect()[0]
+        assert row["payload"] == 9
