@@ -866,3 +866,98 @@ QUERIES: dict[str, tuple] = {
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# round-3 training-data prep: stratified sampling, sequence packing
+
+
+STRATIFIED_RATES = {"click": 10, "view": 25, "purchase": 100, "signup": 50, "error": 5}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-stratum keep-rates via the
+    md5-hash selector (engine-reproducible, unlike rand(seed); same
+    convention as bounded_sample). The per-class rates are the knob every
+    training-data pipeline turns to rebalance: rare classes kept at 100%,
+    dominant ones downsampled. Pure map-side filter — ZERO shuffles.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sel = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.lit(None).cast("long")
+    for etype, pct in STRATIFIED_RATES.items():
+        rate = F.when(F.col("event_type") == etype, F.lit(pct)).otherwise(rate)
+    return events.where(sel < rate).select("event_id", "event_type", "user_id")
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN event_type = '{t}' THEN {p}" for t, p in STRATIFIED_RATES.items()
+    )
+    return f"""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+      < (CASE {cases} END)
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sql()
+
+PACK_BUDGET = 2048  # tokens per packed sequence
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed token-budget bins,
+    the data-prep step that turns a document corpus into training
+    sequences. The exact greedy packer is inherently sequential; the
+    scalable relational form is the standard running-total bin: docs
+    ordered by doc_id, bin = floor((cumsum − n_tokens) / budget), i.e.
+    each doc lands in the bin where its tokens START. One window sort
+    per pack-group; here a single ordering, at 100 TB partitioned by
+    shard key (the window gains a partitionBy and nothing else changes).
+    Oversized docs (> budget) still get a bin — real pipelines truncate
+    or split them downstream; the bin boundary math is unaffected."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(text.tokens_col(F.col("text")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    base = docs.select("doc_id", toks.cast("long").alias("n_tokens"))
+    packed = base.select(
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+TEXT_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+QUERIES["stratified_sample"] = (stratified_sample, STRATIFIED_SAMPLE_SQL)
+QUERIES["text_pack_sequences"] = (text_pack_sequences, TEXT_PACK_SEQUENCES_SQL)

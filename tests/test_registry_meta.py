@@ -139,6 +139,8 @@ EXPECTED_QUERIES = frozenset(
         "events_funnel",
         "events_retention",
         "dedup_minhash_verified",
+        "stratified_sample",
+        "text_pack_sequences",
     }
 )
 
