@@ -36,6 +36,10 @@ HEADLINE = (
     "sim_cosine_topk",
     "events_sessionization",
     "text_quality",
+    # round-3 additions: the as-of window join and the fused LSH+verify
+    # dedup pipeline
+    "join_asof_purchase_view",
+    "dedup_minhash_verified",
 )
 
 

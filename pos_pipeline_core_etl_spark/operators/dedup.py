@@ -234,21 +234,32 @@ def minhash_lsh_verified(
     cands = minhash_lsh_candidates(
         docs, text_col, bands=bands, rows=rows, max_bucket_size=max_bucket_size
     )
+    # Gather form: union the two pair sides and join the shingle frame
+    # ONCE (a two-join formulation computes the expensive shingle
+    # projection once per side — expression-id remapping defeats
+    # exchange reuse), then reassemble each pair with conditional max
+    # (exactly one non-null side per row, so the pick is deterministic).
     sh = docs.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # explode, not union: a union would consume cands twice and recompute
+    # the whole LSH candidate pipeline per branch
+    sides = cands.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    gathered = (
+        sides.join(sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh"))).alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            hround(inter / union, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return gathered.select(
+        "doc_a",
+        "doc_b",
+        hround(inter / union, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

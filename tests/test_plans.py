@@ -221,3 +221,41 @@ class TestLlmInputContracts:
         bad2 = spark.createDataFrame([(1,)], "vec_id long")
         with pytest.raises(schemas.ContractViolation, match="missing"):
             schemas.enforce_contract(bad2, schemas.EMBEDDINGS_INPUT)
+
+
+class TestRound3PlanShapes:
+    """Plan-regression locks for the round-3 operators: the documented
+    shuffle counts are the scale contract, not an accident."""
+
+    def test_funnel_stacks_windows_on_one_exchange(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import events_funnel
+
+        plan = _plan(events_funnel(spark, SF_DIR))
+        # all four chained window stages share ONE user_id exchange; the
+        # final global agg adds a SinglePartition exchange over ~1 row
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Exchange SinglePartition") <= 2
+
+    def test_asof_join_is_window_not_range_join(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import join_asof_purchase_view
+
+        plan = _plan(join_asof_purchase_view(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        # each union leg shuffles once on user_id; no join operator at all
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "Window" in plan
+
+    def test_retention_two_shuffles(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import events_retention
+
+        plan = _plan(events_retention(spark, SF_DIR))
+        # user window + cohort/offset agg
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_stratified_sample_zero_shuffle(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import stratified_sample
+
+        plan = _plan(stratified_sample(spark, SF_DIR))
+        assert "Exchange" not in plan
