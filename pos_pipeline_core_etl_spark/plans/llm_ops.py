@@ -961,3 +961,91 @@ FROM c
 
 QUERIES["stratified_sample"] = (stratified_sample, STRATIFIED_SAMPLE_SQL)
 QUERIES["text_pack_sequences"] = (text_pack_sequences, TEXT_PACK_SEQUENCES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# round-3: chunking and dedup observability
+
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — overlapping token windows (size 64, stride
+    48), the doc→chunk fan-out every RAG / long-context training prep
+    runs. Pure JVM per-row expressions (sequence + slice), no shuffle;
+    chunk text is md5'd for the compare. Tail chunks shorter than the
+    window are kept (real pipelines pad or drop them downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.tokens_col(F.trim(F.col("text")))
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunks = docs.select(
+        "doc_id",
+        t.alias("t"),
+        n.alias("n"),
+        F.explode(starts).alias("start"),
+    )
+    chunk_toks = F.slice(F.col("t"), F.col("start"), CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_index"),
+        F.size(chunk_toks).cast("long").alias("n_tokens_chunk"),
+        F.md5(F.array_join(chunk_toks, " ")).alias("chunk_md5"),
+    )
+
+
+TEXT_CHUNK_WINDOWS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t, u.s AS start
+  FROM base,
+       LATERAL unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS u(s)
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_index,
+       CAST(len(t[start : start + {CHUNK_SIZE} - 1]) AS BIGINT) AS n_tokens_chunk,
+       md5(array_to_string(t[start : start + {CHUNK_SIZE} - 1], ' ')) AS chunk_md5
+FROM c
+"""
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the near-dup cluster-size histogram — the
+    first thing to inspect after any dedup run (a fat tail means the
+    corpus needed exact dedup first; see the bucket-cap guards). Two
+    tiny aggs on top of the components output."""
+    pairs = dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comps.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    comps = _minhash_components_oracle().strip()
+    return f"""
+WITH comps AS ({comps}),
+sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size
+  FROM comps GROUP BY component_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
+DEDUP_CLUSTER_SIZES_SQL = _cluster_sizes_oracle()
+
+
+QUERIES["text_chunk_windows"] = (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL)
+QUERIES["dedup_cluster_sizes"] = (dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL)

@@ -80,13 +80,15 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_verified",
     "stratified_sample",
     "text_pack_sequences",
-    # -- code changed after the round-2 driver check ----------------------
-    # (the embedding dedup pair also changed — defensive bucket caps that
-    # cannot bind at fixture scale — and sits just outside the window)
+    "text_chunk_windows",
+    "dedup_cluster_sizes",
+    # -- semantics changed after the round-2 driver check ------------------
+    # (the minhash/embedding dedup queries also changed — defensive bucket
+    # caps that cannot bind at fixture scale — and sit just outside the
+    # window; dedup_cluster_sizes/dedup_minhash_verified above execute the
+    # same capped candidate stage inside the window anyway)
     "text_repetition",
     "user_activity_gaps",
-    "dedup_minhash_lsh",
-    "dedup_minhash_components",
 )
 
 

@@ -141,6 +141,8 @@ EXPECTED_QUERIES = frozenset(
         "dedup_minhash_verified",
         "stratified_sample",
         "text_pack_sequences",
+        "text_chunk_windows",
+        "dedup_cluster_sizes",
     }
 )
 
