@@ -33,16 +33,24 @@ def asof_join_backward(
     right_ts: str,
     payload_cols: Sequence[str],
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the latest right payload at-or-before their timestamp.
+    """Left rows + the latest right payload at-or-before their timestamp
+    (``direction="backward"``, the default) or the earliest right payload
+    at-or-after it (``direction="forward"`` — pandas
+    ``merge_asof(direction='forward')`` semantics).
 
     ``payload_cols`` are the right-side columns carried onto matched left
-    rows (null when no right row precedes). When several right rows share
-    (key, right_ts), ``tiebreak_col`` makes the pick deterministic (the
-    greatest value wins) — REQUIRED for cross-engine hash parity; without
-    it the winner is sort-order luck, exactly the nondeterminism the
-    reference's min/max-over-first convention avoids (SURVEY §7.4.3).
+    rows (null when no right row precedes/follows). When several right
+    rows share (key, right_ts), ``tiebreak_col`` makes the pick
+    deterministic (the greatest value wins) — REQUIRED for cross-engine
+    hash parity; without it the winner is sort-order luck, exactly the
+    nondeterminism the reference's min/max-over-first convention avoids
+    (SURVEY §7.4.3). The forward form is the same single window pass
+    with the sort order reversed — identical scale shape.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     l_cols = [c for c in left.columns if c not in keys and c != left_ts]
     tagged_left = left.select(
@@ -66,12 +74,14 @@ def asof_join_backward(
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
         tb.alias("_tb"),
     )
-    # right rows sort BEFORE left rows at equal ts (side desc) so '<='
-    # semantics hold; among equal-ts right rows the greatest tiebreak
-    # sorts last and therefore wins the ignorenulls-last carry
+    # right rows sort BEFORE left rows at equal ts (side desc) so the
+    # inclusive bound holds in either direction; among equal-ts right
+    # rows the greatest tiebreak sorts last and therefore wins the
+    # ignorenulls-last carry. Forward = the same pass over reversed ts.
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_tb").asc())
+        .orderBy(ts_order, F.col("_side").desc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = tagged_left.unionByName(tagged_right)

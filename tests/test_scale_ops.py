@@ -910,3 +910,32 @@ class TestAsofJoin:
             payload_cols=["payload"], tiebreak_col="payload",
         ).collect()[0]
         assert row["payload"] == 9
+
+    def test_forward_direction(self, spark):
+        from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame(
+            [(1, 100, "l1"), (1, 10, "l2"), (1, 300, "l3")],
+            "k long, ts long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 50, 500), (1, 100, 1000), (1, 200, 2000)],
+            "k long, rts long, payload long",
+        )
+        got = {
+            r["tag"]: r["payload"]
+            for r in asof_join_backward(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                payload_cols=["payload"], direction="forward",
+            ).collect()
+        }
+        # l1: next at-or-after 100 is 100 itself; l2: 50; l3: nothing
+        assert got == {"l1": 1000, "l2": 500, "l3": None}
+
+    def test_bad_direction_rejected(self, spark):
+        from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+        df = spark.range(1)
+        with pytest.raises(ValueError, match="direction"):
+            asof_join_backward(df, df, on="id", left_ts="id", right_ts="id",
+                               payload_cols=[], direction="nearest")
