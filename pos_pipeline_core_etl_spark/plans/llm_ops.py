@@ -1049,3 +1049,90 @@ DEDUP_CLUSTER_SIZES_SQL = _cluster_sizes_oracle()
 
 QUERIES["text_chunk_windows"] = (text_chunk_windows, TEXT_CHUNK_WINDOWS_SQL)
 QUERIES["dedup_cluster_sizes"] = (dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL)
+
+
+def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing artifact of the dedup pipeline: every document
+    labeled kept / dropped_exact / dropped_near with its canonical id.
+
+    Stage order matches production practice (and the bucket-cap guard's
+    guidance): exact dedup FIRST (hash groupBy), then MinHash components
+    over the exact survivors only, then one decision projection.
+    dropped_exact → the fingerprint group's min id; dropped_near → the
+    near-dup component's min id; kept → itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("exact_keep"))
+    labeled = fp.join(canon, "fp").select("doc_id", "exact_keep")
+    survivors = docs.join(
+        labeled.where(F.col("doc_id") == F.col("exact_keep")).select("doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.minhash_lsh_candidates(survivors)
+    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    out = labeled.join(comps, "doc_id", "left")
+    decision = (
+        F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("dropped_exact"))
+        .when(
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") != F.col("doc_id")),
+            F.lit("dropped_near"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    canonical = (
+        F.when(F.col("doc_id") != F.col("exact_keep"), F.col("exact_keep"))
+        .when(F.col("component_id").isNotNull(), F.col("component_id"))
+        .otherwise(F.col("doc_id"))
+    )
+    return out.select(
+        "doc_id",
+        decision.alias("decision"),
+        canonical.cast("long").alias("canonical_id"),
+    )
+
+
+def _dedup_decisions_oracle() -> str:
+    cand = _minhash_oracle().strip().replace("FROM documents", "FROM survivors")
+    return rf"""
+WITH RECURSIVE
+fpx AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canon AS (SELECT fp, MIN(doc_id) AS exact_keep FROM fpx GROUP BY fp),
+labeled AS (SELECT f.doc_id, c.exact_keep FROM fpx f JOIN canon c USING (fp)),
+survivors AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN labeled l ON l.doc_id = d.doc_id AND l.doc_id = l.exact_keep
+),
+cand AS ({cand}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+SELECT l.doc_id,
+       CASE WHEN l.doc_id != l.exact_keep THEN 'dropped_exact'
+            WHEN k.component_id IS NOT NULL AND k.component_id != l.doc_id
+              THEN 'dropped_near'
+            ELSE 'kept' END AS decision,
+       CAST(CASE WHEN l.doc_id != l.exact_keep THEN l.exact_keep
+                 WHEN k.component_id IS NOT NULL THEN k.component_id
+                 ELSE l.doc_id END AS BIGINT) AS canonical_id
+FROM labeled l LEFT JOIN comps k ON k.doc_id = l.doc_id
+"""
+
+
+DEDUP_DECISIONS_SQL = _dedup_decisions_oracle()
+
+QUERIES["dedup_decisions"] = (dedup_decisions, DEDUP_DECISIONS_SQL)

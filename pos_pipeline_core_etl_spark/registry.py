@@ -81,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "text_pack_sequences",
     "text_chunk_windows",
-    "dedup_cluster_sizes",
+    "dedup_decisions",
     "join_asof_next_purchase",
     "events_mad_anomalies",
     # The round-3-edited queries (text_repetition guard, user_activity_gaps

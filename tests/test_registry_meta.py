@@ -145,6 +145,7 @@ EXPECTED_QUERIES = frozenset(
         "dedup_cluster_sizes",
         "join_asof_next_purchase",
         "events_mad_anomalies",
+        "dedup_decisions",
     }
 )
 
