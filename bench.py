@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -171,13 +172,26 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run will surface errors
 
-    timings: dict[str, float] = {}
-    for name in timed:
-        fn = queries[name]
-        with _conf_override(spark, QUERY_CONF.get(name, {})):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+    # ≥3 reps with per-query MEDIANS (VERDICT r3): single-rep timings
+    # bounce ±50% with JVM warmth, which made BENCH_r03 read as a +31%
+    # regression on queries whose code didn't change. Reps are
+    # interleaved (full sweep per rep, not N back-to-back runs of one
+    # query) so slow environmental drift spreads across all queries
+    # instead of biasing whichever query it lands on.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in timed}
+    for _rep in range(reps):
+        for name in timed:
+            fn = queries[name]
+            with _conf_override(spark, QUERY_CONF.get(name, {})):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    spread = {
+        name: [round(min(s), 3), round(max(s), 3)] for name, s in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -185,6 +199,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
+        "rep_spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

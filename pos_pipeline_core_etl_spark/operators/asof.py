@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join_backward(
@@ -41,37 +42,49 @@ def asof_join_backward(
     ``merge_asof(direction='forward')`` semantics).
 
     ``payload_cols`` are the right-side columns carried onto matched left
-    rows (null when no right row precedes/follows). When several right
-    rows share (key, right_ts), ``tiebreak_col`` makes the pick
-    deterministic (the greatest value wins) — REQUIRED for cross-engine
-    hash parity; without it the winner is sort-order luck, exactly the
-    nondeterminism the reference's min/max-over-first convention avoids
-    (SURVEY §7.4.3). The forward form is the same single window pass
-    with the sort order reversed — identical scale shape.
+    rows (null when no right row precedes/follows). The payload travels
+    as ONE struct with ONE ``last(ignorenulls)`` carry — the struct is
+    non-null for every right row even when individual payload values are
+    legitimately NULL, so (a) a NULL payload value is preserved rather
+    than silently replaced by an older right row's value, and (b) all
+    payload columns are sourced from the SAME right row (row-atomic
+    matching, exactly ``merge_asof``/DuckDB ASOF semantics). When
+    several right rows share (key, right_ts), ``tiebreak_col`` makes the
+    pick deterministic (the greatest value wins, compared in the
+    column's native type — string ids, timestamps and numerics all
+    order correctly) — REQUIRED for cross-engine hash parity; without it
+    the winner is sort-order luck, exactly the nondeterminism the
+    reference's min/max-over-first convention avoids (SURVEY §7.4.3).
+    The forward form is the same single window pass with the sort order
+    reversed — identical scale shape.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     l_cols = [c for c in left.columns if c not in keys and c != left_ts]
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
+    if tiebreak_col is not None:
+        tb = F.col(tiebreak_col)  # native type: any orderable column works
+        tb_null = F.lit(None).cast(right.schema[tiebreak_col].dataType)
+    else:
+        tb = F.lit(0)
+        tb_null = F.lit(None).cast("int")
     tagged_left = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.col(c) for c in l_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
-        F.lit(None).cast("long").alias("_tb"),
-    )
-    tb = (
-        F.col(tiebreak_col).cast("long")
-        if tiebreak_col is not None
-        else F.lit(0).cast("long")
+        F.lit(None).cast(payload_type).alias("_r"),
+        tb_null.alias("_tb"),
     )
     tagged_right = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_r"),
         tb.alias("_tb"),
     )
     # right rows sort BEFORE left rows at equal ts (side desc) so the
@@ -87,14 +100,11 @@ def asof_join_backward(
     unioned = tagged_left.unionByName(tagged_right)
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_asof"),
     )
     return carried.where(F.col("_side") == 0).select(
         *keys,
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in l_cols],
-        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+        *[F.col("_asof").getField(c).alias(c) for c in payload_cols],
     )

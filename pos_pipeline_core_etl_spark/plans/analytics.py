@@ -361,9 +361,19 @@ ASOF LEFT JOIN views v
 FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 
 
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+) -> DataFrame:
     """Strictly-ordered funnel: a user reaches step k when the first
-    step-k event AT OR AFTER their step-(k-1) time exists.
+    step-k event AT OR AFTER their step-(k-1) time exists (``>=`` —
+    an event at the exact same timestamp as the previous step's time
+    DOES count; the tie test in tests/test_scale_ops.py pins this
+    against the oracle).
+
+    ``steps`` is the funnel definition — any ordered event-type tuple;
+    the SQL twin is generated from the same tuple (``funnel_sql``).
 
     Spark shape: the step times are chained per-user window minima —
     every window partitions by user_id, so Catalyst plans ONE Exchange
@@ -371,10 +381,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
     w = Window.partitionBy("user_id")
     df = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     prev = None
-    for step in FUNNEL_STEPS:
+    for step in steps:
         cond = F.col("event_type") == step
         if prev is not None:
             cond = cond & (F.col("ts") >= F.col(prev))
@@ -382,69 +394,75 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn(col, F.min(F.when(cond, F.col("ts"))).over(w))
         prev = col
     per_user = df.groupBy("user_id").agg(
-        *[F.max(f"t_{s}").alias(f"t_{s}") for s in FUNNEL_STEPS]
+        *[F.max(f"t_{s}").alias(f"t_{s}") for s in steps]
     )
     counts = per_user.agg(
         *[
             F.count(f"t_{s}").cast("long").alias(f"n_{s}")
-            for s in FUNNEL_STEPS
+            for s in steps
         ]
     )
-    steps = F.array(
+    step_arr = F.array(
         *[
             F.struct(
                 F.lit(i + 1).cast("long").alias("step"),
                 F.lit(s).alias("event_type"),
                 F.col(f"n_{s}").alias("n_users"),
             )
-            for i, s in enumerate(FUNNEL_STEPS)
+            for i, s in enumerate(steps)
         ]
     )
     return (
-        counts.select(F.explode(steps).alias("s"))
+        counts.select(F.explode(step_arr).alias("s"))
         .select("s.step", "s.event_type", "s.n_users")
     )
 
 
-EVENTS_FUNNEL_SQL = """
-WITH w1 AS (
-  SELECT user_id, ts, event_type,
-         MIN(CASE WHEN event_type = 'signup' THEN ts END)
-           OVER (PARTITION BY user_id) AS t_signup
-  FROM events
-),
-w2 AS (
-  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t_signup THEN ts END)
-              OVER (PARTITION BY user_id) AS t_view FROM w1
-),
-w3 AS (
-  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
-              OVER (PARTITION BY user_id) AS t_click FROM w2
-),
-w4 AS (
-  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
-              OVER (PARTITION BY user_id) AS t_purchase FROM w3
-),
+def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    """DuckDB twin of ``events_funnel``, generated from the SAME steps
+    tuple so the two definitions cannot drift."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    ctes = []
+    src = "(SELECT user_id, ts, event_type FROM events)"
+    prev = None
+    for i, s in enumerate(steps):
+        cond = f"event_type = '{s}'"
+        if prev is not None:
+            cond += f" AND ts >= t_{prev}"
+        ctes.append(
+            f"w{i + 1} AS (\n"
+            f"  SELECT *, MIN(CASE WHEN {cond} THEN ts END)\n"
+            f"    OVER (PARTITION BY user_id) AS t_{s} FROM {src})"
+        )
+        src = f"w{i + 1}"
+        prev = s
+    maxes = ", ".join(f"MAX(t_{s}) AS t_{s}" for s in steps)
+    counts = ", ".join(f"COUNT(t_{s}) AS n_{s}" for s in steps)
+    values = ",\n    ".join(
+        f"(CAST({i + 1} AS BIGINT), '{s}', CAST(n_{s} AS BIGINT))"
+        for i, s in enumerate(steps)
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
 per_user AS (
-  SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_view) AS t_view,
-         MAX(t_click) AS t_click, MAX(t_purchase) AS t_purchase
-  FROM w4 GROUP BY user_id
+  SELECT user_id, {maxes}
+  FROM {src} GROUP BY user_id
 ),
 counts AS (
-  SELECT COUNT(t_signup) AS n_signup, COUNT(t_view) AS n_view,
-         COUNT(t_click) AS n_click, COUNT(t_purchase) AS n_purchase
-  FROM per_user
+  SELECT {counts} FROM per_user
 )
 SELECT s.step, s.event_type, s.n_users FROM counts,
 LATERAL (
   SELECT * FROM (VALUES
-    (CAST(1 AS BIGINT), 'signup', CAST(n_signup AS BIGINT)),
-    (CAST(2 AS BIGINT), 'view', CAST(n_view AS BIGINT)),
-    (CAST(3 AS BIGINT), 'click', CAST(n_click AS BIGINT)),
-    (CAST(4 AS BIGINT), 'purchase', CAST(n_purchase AS BIGINT))
+    {values}
   ) AS t(step, event_type, n_users)
 ) s
 """
+
+
+EVENTS_FUNNEL_SQL = funnel_sql()
 
 
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,10 +480,12 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.select(
             "user_id",
-            (F.datediff(F.col("cohort_day"), F.lit("1970-01-01")) / 7)
+            # floor, not cast-truncate: DuckDB's // floors, and a cohort_day
+            # before 1970-01-01 makes datediff negative (ADVICE r3)
+            F.floor(F.datediff(F.col("cohort_day"), F.lit("1970-01-01")) / 7)
             .cast("long")
             .alias("cohort_week"),
-            (F.datediff(F.col("d"), F.col("cohort_day")) / 7)
+            F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7)
             .cast("long")
             .alias("week_offset"),
         )
@@ -564,7 +584,14 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outlier-resistant twin of qa_zscore_anomalies (one extreme value
     inflates a stddev but not a median). Two grouped exact-percentile
     aggs joined back to the fact; at 100 TB swap ``percentile`` for
-    ``percentile_approx`` exactly as order_times_approx demonstrates."""
+    ``percentile_approx`` exactly as order_times_approx demonstrates.
+
+    Degenerate case: a group whose MAD is 0 (≥50% of values equal the
+    median) reports NO robust-z anomalies — guarded explicitly in both
+    twins (Spark non-ANSI division and DuckDB IEEE division disagree on
+    x/0, so the unguarded forms hash-diverge; ADVICE r3). Callers who
+    need outliers in near-constant groups should fall back to the mean
+    absolute deviation or qa_zscore_anomalies."""
     events = load_table(spark, sf_dir, "events")
     med = events.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med")
@@ -578,7 +605,12 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         hround(F.col("value"), 2).alias("value"),
         hround(
-            F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad"),
+            F.when(
+                F.col("mad") != 0,
+                F.lit(MAD_CONSISTENCY)
+                * (F.col("value") - F.col("med"))
+                / F.col("mad"),
+            ),
             6,
         ).alias("robust_z"),
     )
@@ -598,7 +630,7 @@ mad AS (
 scored AS (
   SELECT e.event_id, e.event_type,
          {hround_sql("e.value", 2)} AS value,
-         {hround_sql(f"{MAD_CONSISTENCY} * (e.value - m.med) / d.mad", 6)} AS robust_z
+         {hround_sql(f"{MAD_CONSISTENCY} * (e.value - m.med) / NULLIF(d.mad, 0)", 6)} AS robust_z
   FROM events e
   JOIN med m USING (event_type)
   JOIN mad d ON d.event_type = e.event_type

@@ -908,32 +908,53 @@ WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) % 1
 STRATIFIED_SAMPLE_SQL = _stratified_sql()
 
 PACK_BUDGET = 2048  # tokens per packed sequence
+PACK_SHARDS = 8  # independent packing shards (scale knob; see docstring)
 
 
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — assign documents to fixed token-budget bins,
     the data-prep step that turns a document corpus into training
     sequences. The exact greedy packer is inherently sequential; the
-    scalable relational form is the standard running-total bin: docs
-    ordered by doc_id, bin = floor((cumsum − n_tokens) / budget), i.e.
-    each doc lands in the bin where its tokens START. One window sort
-    per pack-group; here a single ordering, at 100 TB partitioned by
-    shard key (the window gains a partitionBy and nothing else changes).
-    Oversized docs (> budget) still get a bin — real pipelines truncate
-    or split them downstream; the bin boundary math is unaffected."""
+    scalable relational form is the standard running-total bin: within a
+    shard, docs ordered by doc_id, bin = floor((cumsum − n_tokens) /
+    budget), i.e. each doc lands in the bin where its tokens START.
+
+    Scale shape: the corpus is split into ``PACK_SHARDS`` independent
+    packing shards via the md5-hash selector (engine-reproducible, same
+    convention as stratified_sample / bounded_sample), and the running
+    sum runs ``Window.partitionBy(shard)`` — a hash-partitioned window,
+    never a single-partition global sort. A packed sequence is globally
+    identified by (shard_id, bin_id); shards pack independently, which
+    is exactly what a 1000-executor run wants (at 100 TB raise
+    PACK_SHARDS to ~#cores; each shard wastes at most one partial tail
+    bin, negligible against millions of bins per shard). Oversized docs
+    (> budget) still get a bin — real pipelines truncate or split them
+    downstream; the bin boundary math is unaffected."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(text.tokens_col(F.col("text")))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    base = docs.select("doc_id", toks.cast("long").alias("n_tokens"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % PACK_SHARDS
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = docs.select(
+        "doc_id", shard.alias("shard_id"), toks.cast("long").alias("n_tokens")
+    )
     packed = base.select(
         "doc_id",
+        "shard_id",
         "n_tokens",
         F.sum("n_tokens").over(w).alias("cum_tokens"),
     )
     return packed.select(
         "doc_id",
+        "shard_id",
         "n_tokens",
         ((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET)
         .cast("long")
@@ -944,16 +965,18 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_PACK_SEQUENCES_SQL = f"""
 WITH t AS (
   SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % {PACK_SHARDS} AS shard_id,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
   FROM documents
 ),
 c AS (
-  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM t
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, shard_id, n_tokens,
        CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id
 FROM c
 """

@@ -259,3 +259,15 @@ class TestRound3PlanShapes:
 
         plan = _plan(stratified_sample(spark, SF_DIR))
         assert "Exchange" not in plan
+
+    def test_pack_sequences_window_is_sharded(self, spark):
+        """The packing running-sum must run over a hash-partitioned
+        window (shard_id), NEVER a single-partition global sort — one
+        task sorting the whole corpus is the canonical scale-killer."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import text_pack_sequences
+
+        df = text_pack_sequences(spark, SF_DIR)
+        plan = _plan(df)
+        assert "Window" in plan
+        assert "Exchange SinglePartition" not in plan
+        assert re.search(r"Exchange hashpartitioning\(shard_id", plan)

@@ -939,3 +939,201 @@ class TestAsofJoin:
         with pytest.raises(ValueError, match="direction"):
             asof_join_backward(df, df, on="id", left_ts="id", right_ts="id",
                                payload_cols=[], direction="nearest")
+
+    def test_null_payload_value_is_preserved(self, spark):
+        """A legitimately-NULL payload on the matched right row must come
+        through as NULL — not be silently replaced by an older right
+        row's non-null value (ADVICE r3: struct carry, not per-column)."""
+        from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame([(1, 100, "l")], "k long, ts long, tag string")
+        right = spark.createDataFrame(
+            [(1, 50, 500), (1, 90, None)], "k long, rts long, payload long"
+        )
+        row = asof_join_backward(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["payload"],
+        ).collect()[0]
+        assert row["payload"] is None  # matched row is ts=90, payload NULL
+
+    def test_multi_payload_is_row_atomic(self, spark):
+        """All payload columns must be sourced from the SAME right row,
+        even when one of them is NULL on the matched row."""
+        from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame([(1, 100, "l")], "k long, ts long, tag string")
+        right = spark.createDataFrame(
+            [(1, 50, 500, "old"), (1, 90, None, "new")],
+            "k long, rts long, a long, b string",
+        )
+        row = asof_join_backward(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["a", "b"],
+        ).collect()[0]
+        assert (row["a"], row["b"]) == (None, "new")  # both from ts=90 row
+
+    def test_string_tiebreak_orders_natively(self, spark):
+        """A non-numeric tiebreak column must order in its native type —
+        the old cast-to-long sent every string id to NULL, silently
+        restoring nondeterminism (ADVICE r3)."""
+        from pos_pipeline_core_etl_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame([(1, 100, "l")], "k long, ts long, tag string")
+        right = spark.createDataFrame(
+            [(1, 100, "id_a", 7), (1, 100, "id_c", 9), (1, 100, "id_b", 8)],
+            "k long, rts long, rid string, payload long",
+        )
+        row = asof_join_backward(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["rid", "payload"], tiebreak_col="rid",
+        ).collect()[0]
+        assert (row["rid"], row["payload"]) == ("id_c", 9)  # greatest rid wins
+
+
+class TestMadZeroGuard:
+    """A zero-MAD group (≥50% of values equal the median) must report no
+    anomalies in BOTH twins — Spark's non-ANSI x/0 yields NULL while
+    DuckDB's IEEE division yields ±inf, so the unguarded forms
+    hash-diverge exactly when it matters (ADVICE r3)."""
+
+    def _write_events(self, tmp_path):
+        import pandas as pd
+
+        rows = []
+        # near-constant group: median 5, MAD 0; the lone 10 would score inf
+        for i, v in enumerate([5.0, 5.0, 5.0, 5.0, 10.0]):
+            rows.append((i, "const", v))
+        # spread group: median 3, MAD 1; the 100 scores ~65 > 3.5
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0]):
+            rows.append((100 + i, "spread", v))
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime("2024-01-01"),
+                "user_id": [1] * len(rows),
+                "event_type": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def test_zero_mad_group_reports_nothing_and_twins_agree(self, spark, tmp_path):
+        import duckdb
+
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            EVENTS_MAD_ANOMALIES_SQL,
+            events_mad_anomalies,
+        )
+
+        sf_dir = self._write_events(tmp_path)
+        got = events_mad_anomalies(spark, sf_dir).toPandas()
+        assert set(got["event_type"]) == {"spread"}
+        assert list(got["event_id"]) == [104]
+
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')"
+            )
+            oracle = con.execute(EVENTS_MAD_ANOMALIES_SQL).fetchdf()
+        finally:
+            con.close()
+        cols = sorted(got.columns)
+        a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        b = oracle[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestFunnelParameterized:
+    """events_funnel takes the step tuple as a parameter; the SQL twin is
+    generated from the same tuple. The tie case (step k at the SAME
+    timestamp as step k-1) pins the documented >= semantics."""
+
+    def _write_events(self, tmp_path, rows):
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def _compare(self, spark, sf_dir, steps):
+        import duckdb
+
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            events_funnel,
+            funnel_sql,
+        )
+
+        got = (
+            events_funnel(spark, sf_dir, steps=steps)
+            .toPandas()
+            .sort_values("step")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')"
+            )
+            oracle = (
+                con.execute(funnel_sql(steps))
+                .fetchdf()
+                .sort_values("step")
+                .reset_index(drop=True)
+            )
+        finally:
+            con.close()
+        cols = sorted(got.columns)
+        assert got[cols].astype(str).equals(oracle[cols].astype(str))
+        return {r["event_type"]: r["n_users"] for _, r in got.iterrows()}
+
+    def test_same_timestamp_tie_counts(self, spark, tmp_path):
+        sf_dir = self._write_events(
+            tmp_path,
+            [
+                # user 1: view at the SAME instant as signup -> reaches view
+                (1, "2024-01-01 10:00:00", "signup"),
+                (1, "2024-01-01 10:00:00", "view"),
+                # user 2: view strictly BEFORE signup -> does NOT reach view
+                (2, "2024-01-01 09:00:00", "view"),
+                (2, "2024-01-01 10:00:00", "signup"),
+            ],
+        )
+        counts = self._compare(spark, sf_dir, ("signup", "view"))
+        assert counts == {"signup": 2, "view": 1}
+
+    def test_custom_step_tuple(self, spark, tmp_path):
+        sf_dir = self._write_events(
+            tmp_path,
+            [
+                (1, "2024-01-01 09:00:00", "error"),
+                (1, "2024-01-01 10:00:00", "click"),
+                (2, "2024-01-01 10:00:00", "error"),
+                (2, "2024-01-01 09:00:00", "click"),  # click before error
+                (3, "2024-01-01 12:00:00", "error"),
+            ],
+        )
+        counts = self._compare(spark, sf_dir, ("error", "click"))
+        assert counts == {"error": 3, "click": 1}
+
+    def test_empty_steps_rejected(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            events_funnel,
+            funnel_sql,
+        )
+
+        with pytest.raises(ValueError, match="at least one step"):
+            events_funnel(spark, "/root/testdata/sf0.001", steps=())
+        with pytest.raises(ValueError, match="at least one step"):
+            funnel_sql(())
