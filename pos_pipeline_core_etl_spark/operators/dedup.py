@@ -239,7 +239,13 @@ def minhash_lsh_verified(
     # projection once per side — expression-id remapping defeats
     # exchange reuse), then reassemble each pair with conditional max
     # (exactly one non-null side per row, so the pick is deterministic).
-    sh = docs.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
+    # _ensure_parallelism here too, not just in the signature stage: a
+    # single-file corpus otherwise shingles on ONE task for the verify
+    # leg (measured 3.3 s of the pipeline's 4.4 s at sf0.1 — the r3
+    # bench tail was this, not AQE scheduling)
+    sh = _ensure_parallelism(docs).select(
+        "doc_id", shingles_col(F.col(text_col)).alias("sh")
+    )
     # explode, not union: a union would consume cands twice and recompute
     # the whole LSH candidate pipeline per branch
     sides = cands.select(

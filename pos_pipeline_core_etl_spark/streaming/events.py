@@ -327,7 +327,11 @@ def run_streaming_purchase_view_join(
 
 
 def run_attribution_join_incremental(
-    spark: SparkSession, stream_dir: str, checkpoint_dir: str, out_dir: str
+    spark: SparkSession,
+    stream_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    ts_encoding: str = "nanos_long",
 ) -> None:
     """One ``availableNow`` drain of the attribution join from an
     explicit source directory into an idempotent ``foreachBatch``
@@ -335,12 +339,34 @@ def run_attribution_join_incremental(
     files processes ONLY the new files — with the watermark restored
     from the checkpoint, which is what makes late-data eviction
     observable across drains (the memory sink cannot recover from a
-    checkpoint, hence the parquet sink here)."""
-    raw = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    ).parquet(stream_dir)
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    checkpoint, hence the parquet sink here).
+
+    ``ts_encoding`` declares how files in ``stream_dir`` store ``ts``
+    (a streaming source cannot infer; ADVICE r3 — the two encodings in
+    the wild here are not interchangeable):
+
+    - ``"nanos_long"``: int64 epoch nanoseconds (the late-data test's
+      hand-written files)
+    - ``"timestamp_ntz"``: tz-naive TIMESTAMP(US) — the layout of the
+      driver fixture ``events.parquet``, same declaration as
+      :func:`read_events_stream`
+    """
+    if ts_encoding == "nanos_long":
+        raw = spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(stream_dir)
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_encoding == "timestamp_ntz":
+        raw = spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(stream_dir)
+        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        raise ValueError(
+            f"ts_encoding must be nanos_long|timestamp_ntz, got {ts_encoding!r}"
+        )
     joined = attribution_join_stream(stream)
     q = (
         joined.writeStream.foreachBatch(

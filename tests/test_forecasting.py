@@ -351,3 +351,120 @@ class TestArimaBackendBound:
         m = LogARIMAModel()
         pred = m.forecast(m.train(series[2]), 7)
         assert (pred > 0).all()
+
+
+class TestSeasonalArAnalyticBound:
+    """Widens the r3 AR(1)-only analytic envelope to seasonal orders
+    (VERDICT r3 item 7): with statsmodels uninstallable the executing
+    HR-CSS backend is bounded against closed-form seasonal recursions
+    with KNOWN coefficients instead of against SARIMAX numerically."""
+
+    @staticmethod
+    def _additive_seasonal(n=1000, phi=0.5, Phi=0.3, noise=0.02, seed=11):
+        """w_t = phi*w_{t-1} + Phi*w_{t-7} + e_t — exactly the lag basis
+        HR fits for (1,0,0)x(1,0,0,7), so OLS is consistent for
+        (phi, Phi)."""
+        rng = np.random.default_rng(seed)
+        e = rng.normal(0.0, noise, n)
+        y = np.zeros(n)
+        for t in range(n):
+            y[t] = e[t]
+            if t >= 1:
+                y[t] += phi * y[t - 1]
+            if t >= 7:
+                y[t] += Phi * y[t - 7]
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        return pd.Series(y, index=idx), phi, Phi
+
+    def test_recovers_seasonal_coefficients(self):
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        y, phi, Phi = self._additive_seasonal()
+        fit = _HannanRissanenFit(y, (1, 0, 0), (1, 0, 0, 7))
+        assert fit._ar_lags == [1, 7]
+        assert fit._beta[0] == pytest.approx(phi, abs=0.05)
+        assert fit._beta[1] == pytest.approx(Phi, abs=0.05)
+
+    def test_seasonal_forecast_matches_fitted_recursion_exactly(self):
+        """The forecast machinery itself (lag recursion + differencing
+        inversion) must reproduce the closed-form recursion over the
+        FITTED coefficients to machine precision — no estimation error
+        in this check, so the tolerance is 1e-9."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        y, _, _ = self._additive_seasonal()
+        fit = _HannanRissanenFit(y, (1, 0, 0), (1, 0, 0, 7))
+        b1, b7 = float(fit._beta[0]), float(fit._beta[1])
+        hist = list(y.to_numpy())
+        analytic = []
+        for _ in range(14):
+            nxt = b1 * hist[-1] + b7 * hist[-7]
+            hist.append(nxt)
+            analytic.append(nxt)
+        pred = fit.forecast(14).to_numpy()
+        assert pred == pytest.approx(analytic, rel=1e-9)
+
+    def test_multiplicative_sarima_forecast_bound(self):
+        """Data from the MULTIPLICATIVE (1-phiB)(1-PhiB^7)w = e model
+        (what SARIMAX fits); HR's additive [1,7] basis omits the phi*Phi
+        lag-8 cross term, so this pins the documented approximation
+        envelope: with phi*Phi = 0.1 the 14-step forecast stays within
+        0.05 absolute of the true-model zero-noise recursion."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        phi, Phi, n = 0.4, 0.25, 300
+        rng = np.random.default_rng(5)
+        e = rng.normal(0.0, 0.02, n)
+        y = np.zeros(n)
+        for t in range(n):
+            y[t] = e[t]
+            if t >= 1:
+                y[t] += phi * y[t - 1]
+            if t >= 7:
+                y[t] += Phi * y[t - 7]
+            if t >= 8:
+                y[t] -= phi * Phi * y[t - 8]
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        s = pd.Series(y, index=idx)
+
+        hist = list(y)
+        analytic = []
+        for _ in range(14):
+            nxt = phi * hist[-1] + Phi * hist[-7] - phi * Phi * hist[-8]
+            hist.append(nxt)
+            analytic.append(nxt)
+
+        fit = _HannanRissanenFit(s, (1, 0, 0), (1, 0, 0, 7))
+        pred = fit.forecast(14).to_numpy()
+        assert pred == pytest.approx(analytic, abs=0.05)
+
+    def test_seasonally_differenced_seasonal_ar(self):
+        """(1,0,0)x(1,1,0,7): the same closed-form machinery must hold
+        through the seasonal-differencing inversion — deterministic
+        weekly pattern + additive seasonal AR on the differenced scale."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        phi, n = 0.5, 220
+        rng = np.random.default_rng(3)
+        e = rng.normal(0.0, 0.01, n)
+        base = np.array([10.0, 12.0, 11.0, 14.0, 13.0, 20.0, 18.0])
+        w = np.zeros(n)  # differenced-scale AR(1)
+        for t in range(1, n):
+            w[t] = phi * w[t - 1] + e[t]
+        y = np.zeros(n)
+        for t in range(n):
+            y[t] = (y[t - 7] if t >= 7 else base[t % 7]) + w[t]
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        fit = _HannanRissanenFit(pd.Series(y, index=idx), (1, 0, 0), (0, 1, 0, 7))
+        b1 = float(fit._beta[0])
+        # closed form: w_hat_{T+h} = b1^h * w_T, y_{T+h} = y_{T+h-7} + w_hat
+        w_hist = list(y[7:] - y[:-7])
+        y_hist = list(y)
+        analytic = []
+        for h in range(14):
+            w_next = b1 * w_hist[-1]
+            w_hist.append(w_next)
+            analytic.append(y_hist[-7] + w_next)
+            y_hist.append(analytic[-1])
+        pred = fit.forecast(14).to_numpy()
+        assert pred == pytest.approx(analytic, rel=1e-6)

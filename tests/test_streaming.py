@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pos_pipeline_core_etl_spark.plans.streaming_queries import events_tumbling_counts
@@ -220,3 +221,58 @@ class TestAttributionJoinLateData:
         }
         assert batch == {(2, 1), (5, 4)}
         assert batch - got == {(5, 4)}
+
+
+class TestAttributionIncrementalNtzEncoding:
+    """The incremental drain must also accept the driver fixture layout
+    (ts = tz-naive TIMESTAMP(US), not int64 nanos) via the ts_encoding
+    parameter (ADVICE r3) — pointed at the real events.parquet it must
+    produce the same attributions as the batch twin."""
+
+    def test_ntz_encoding_drains_fixture_layout(self, spark, tmp_path):
+        import os
+
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            purchase_view_join_batch,
+            run_attribution_join_incremental,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        stream_dir = str(tmp_path / "src")
+        os.makedirs(stream_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stream_dir, "events.parquet"),
+        )
+        run_attribution_join_incremental(
+            spark,
+            stream_dir,
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+            ts_encoding="timestamp_ntz",
+        )
+        got = {
+            (r["purchase_id"], r["view_id"])
+            for r in spark.read.option("basePath", str(tmp_path / "out"))
+            .parquet(str(tmp_path / "out") + "/batch_id=*")
+            .collect()
+        }
+        batch = {
+            (r["purchase_id"], r["view_id"])
+            for r in purchase_view_join_batch(
+                load_table(spark, sf_dir, "events")
+            ).collect()
+        }
+        assert got == batch and len(got) > 0
+
+    def test_unknown_encoding_rejected(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_attribution_join_incremental,
+        )
+
+        with pytest.raises(ValueError, match="ts_encoding"):
+            run_attribution_join_incremental(
+                spark, str(tmp_path), str(tmp_path / "c"), str(tmp_path / "o"),
+                ts_encoding="micros",
+            )
