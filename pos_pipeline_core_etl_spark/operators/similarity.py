@@ -86,6 +86,12 @@ def cosine_topk(
     """Top-k cosine neighbors for each query vector (vec_id < n_queries)."""
     from pyspark.sql import Window
 
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    # single-file corpora otherwise run the per-pair interpreted HOF dot
+    # products on ONE task (no-op on multi-file inputs at real scale)
+    embeddings = _ensure_parallelism(embeddings, id_col)
+
     corpus = embeddings.select(
         F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
     ).withColumn("cnorm", l2norm(F.col("cvec")))
@@ -147,6 +153,9 @@ def lsh_bucket(vec: Column, dim: int = 64, n_planes: int = N_PLANES) -> Column:
 
 
 def lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    embeddings = _ensure_parallelism(embeddings, id_col)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         lsh_bucket(_as_double(F.col(vec_col))).alias("bucket"),
@@ -306,7 +315,9 @@ def ivf_fixed_search_topk(
     """
     from pyspark.sql import Window
 
-    base = embeddings.select(
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
     )
     d2_structs = [
@@ -371,8 +382,10 @@ def lsh_bucket_topk(
     cross product — the shuffle key is the bucket id)."""
     from pyspark.sql import Window
 
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
     base = (
-        embeddings.select(
+        _ensure_parallelism(embeddings, id_col).select(
             F.col(id_col).alias("vid"),
             _as_double(F.col(vec_col)).alias("vec"),
         )
@@ -463,8 +476,10 @@ def embedding_neardup_pairs(
     ``max_bucket_size`` are excluded from the self-join (degenerate-
     corpus guard — see :func:`embedding_bucket_overflow`); ``None``
     disables the cap."""
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
     base = (
-        embeddings.select(
+        _ensure_parallelism(embeddings, id_col).select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
         )
         .withColumn("bucket", lsh_bucket(F.col("vec")))

@@ -339,3 +339,102 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         hround(F.avg("nll"), 6).alias("mean_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination (round 4)
+
+BLOOM_BITS = 1 << 16  # bitmap size (m); fp rate ~ (set_bits/m)^k
+BLOOM_WORD = 32  # bits used per array word (stays off the sign bit)
+BLOOM_N_WORDS = BLOOM_BITS // BLOOM_WORD
+# (a, b) for h_i(x) = (a·x + b) mod m — fixed odd multipliers, no RNG,
+# shared with the DuckDB twin via code generation (same convention as
+# dedup._hash_params)
+BLOOM_HASHES = ((3, 7919), (5, 15838), (7, 23757))
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    spark,
+    text_col: str = "text",
+    benchmark_max_id: int = 50,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the shape that survives a
+    benchmark gram set too large to broadcast raw.
+
+    :func:`decontaminate` broadcasts the distinct benchmark grams and
+    equi-joins; at some benchmark size the raw gram set stops fitting in
+    a broadcast. The standard fix is a Bloom filter: k integer hashes
+    over a fixed bitmap, built ONCE from the benchmark side (tiny — here
+    8 KiB for 2^16 bits regardless of gram count) and broadcast to every
+    corpus partition; membership tests are pure map-side bit math, no
+    shuffle of the corpus at all. Spark's own runtime-filter machinery
+    (`bloom_filter_agg` / `might_contain`) is not exposed as a public
+    SQL function, so the bitmap is built relationally — which also makes
+    it ENGINE-EXACT: the DuckDB twin computes the identical bitmap, so
+    even the false positives hash-match.
+
+    Output per corpus doc: distinct-gram count, exact contamination
+    count (ground truth via the broadcast join), bloom count, and the
+    false-positive overshoot. ``n_bloom >= n_exact`` ALWAYS (a Bloom
+    filter has no false negatives — every benchmark gram's bits are in
+    the map); the unit test pins that invariant and the fp rate.
+    """
+    from pos_pipeline_core_etl_spark.operators.dedup import shingle_id, shingles_col
+
+    bench_grams = (
+        docs.where(F.col("doc_id") < benchmark_max_id)
+        .select(F.explode(shingles_col(F.col(text_col))).alias("gram"))
+        .distinct()
+    )
+    x = shingle_id(F.col("gram"))
+    pos_arr = F.array(
+        *[(F.lit(a) * x + F.lit(b)) % F.lit(BLOOM_BITS) for a, b in BLOOM_HASHES]
+    )
+    words = (
+        bench_grams.select(F.explode(pos_arr).alias("pos"))
+        .select(
+            F.expr(f"CAST(pos DIV {BLOOM_WORD} AS BIGINT)").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("val"))
+    )
+    dense = (
+        spark.range(BLOOM_N_WORDS)
+        .select(F.col("id").alias("word"))
+        .join(words, "word", "left")
+        .select("word", F.coalesce(F.col("val"), F.lit(0).cast("long")).alias("val"))
+    )
+    bloom = dense.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(word, val))), s -> s.val)"
+        ).alias("bloom")
+    )
+
+    corpus = docs.where(F.col("doc_id") >= benchmark_max_id).select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("gram")
+    ).withColumn("x", shingle_id(F.col("gram")))
+    exact = bench_grams.withColumn("hit", F.lit(1))
+
+    def test_sql(a: int, b: int) -> str:
+        p = f"(({a} * x + {b}) % {BLOOM_BITS})"
+        return (
+            f"(element_at(bloom, CAST({p} DIV {BLOOM_WORD} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % {BLOOM_WORD} AS INT))) != 0"
+        )
+
+    bloom_hit = F.expr(" AND ".join(test_sql(a, b) for a, b in BLOOM_HASHES))
+    scored = (
+        corpus.join(F.broadcast(exact), "gram", "left")
+        .crossJoin(F.broadcast(bloom))
+        .select("doc_id", "hit", bloom_hit.alias("bhit"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("hit").alias("n_exact"),
+        F.count_if(F.col("bhit")).alias("n_bloom"),
+        (F.count_if(F.col("bhit")) - F.count("hit")).alias("n_false_pos"),
+    )

@@ -222,6 +222,80 @@ FROM j GROUP BY doc_id
 TEXT_DECONTAMINATE_SQL = _decontaminate_oracle()
 
 
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — map-side bit tests instead of a
+    raw gram broadcast join (operators/text.py::decontaminate_bloom);
+    the bitmap is engine-exact, so even false positives hash-match."""
+    return text.decontaminate_bloom(load_table(spark, sf_dir, "documents"), spark)
+
+
+def _decontaminate_bloom_oracle(benchmark_max_id: int = 50) -> str:
+    from pos_pipeline_core_etl_spark.operators.text import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        BLOOM_N_WORDS,
+        BLOOM_WORD,
+    )
+
+    sh = dedup.shingles_sql("text")
+
+    def pos(a: int, b: int, x: str) -> str:
+        return f"(({a} * {x} + {b}) % {BLOOM_BITS})"
+
+    pos_list = ", ".join(pos(a, b, "bx.X") for a, b in BLOOM_HASHES)
+    tests = " AND ".join(
+        f"(bl.bloom[CAST({pos(a, b, 'c.X')} // {BLOOM_WORD} AS INT) + 1]"
+        f" & (CAST(1 AS BIGINT) << CAST({pos(a, b, 'c.X')} % {BLOOM_WORD} AS INT)))"
+        " <> 0"
+        for a, b in BLOOM_HASHES
+    )
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT u.g AS gram
+  FROM documents, LATERAL unnest({sh}) AS u(g)
+  WHERE doc_id < {benchmark_max_id}
+),
+bpos AS (
+  SELECT p.p AS pos
+  FROM (SELECT {dedup.SHINGLE_ID_SQL.format(s="gram")} AS X FROM bench) bx,
+       LATERAL unnest([{pos_list}]) AS p(p)
+),
+words AS (
+  SELECT CAST(pos // {BLOOM_WORD} AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INT)) AS val
+  FROM bpos GROUP BY 1
+),
+dense AS (
+  SELECT g.word, COALESCE(w.val, 0) AS val
+  FROM (SELECT unnest(generate_series(0, {BLOOM_N_WORDS - 1})) AS word) g
+  LEFT JOIN words w USING (word)
+),
+bloom AS (SELECT list(val ORDER BY word) AS bloom FROM dense),
+corpus AS (
+  SELECT doc_id, u.g AS gram, {dedup.SHINGLE_ID_SQL.format(s="u.g")} AS X
+  FROM documents, LATERAL unnest({sh}) AS u(g)
+  WHERE doc_id >= {benchmark_max_id}
+),
+scored AS (
+  SELECT c.doc_id,
+         CASE WHEN b.gram IS NOT NULL THEN 1 END AS hit,
+         ({tests}) AS bhit
+  FROM corpus c
+  LEFT JOIN bench b USING (gram)
+  CROSS JOIN bloom bl
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(hit) AS n_exact,
+       COUNT(CASE WHEN bhit THEN 1 END) AS n_bloom,
+       COUNT(CASE WHEN bhit THEN 1 END) - COUNT(hit) AS n_false_pos
+FROM scored GROUP BY doc_id
+"""
+
+
+TEXT_DECONTAMINATE_BLOOM_SQL = _decontaminate_bloom_oracle()
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals."""
     return text.repetition_signals(load_table(spark, sf_dir, "documents"))
@@ -838,6 +912,10 @@ QUERIES: dict[str, tuple] = {
     "text_vocabulary": (text_vocabulary, TEXT_VOCABULARY_SQL),
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_TOPK_SQL),
     "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
+    "text_decontaminate_bloom": (
+        text_decontaminate_bloom,
+        TEXT_DECONTAMINATE_BLOOM_SQL,
+    ),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_pii_scan": (text_pii_scan, TEXT_PII_SCAN_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),

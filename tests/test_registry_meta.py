@@ -146,6 +146,8 @@ EXPECTED_QUERIES = frozenset(
         "join_asof_next_purchase",
         "events_mad_anomalies",
         "dedup_decisions",
+        # round-4 additions
+        "text_decontaminate_bloom",
     }
 )
 
@@ -176,3 +178,25 @@ def test_documented_query_count_matches_registry():
     m = re.search(r"(\d+) queries, every one paired", readme)
     assert m, "README no longer documents the query count"
     assert int(m.group(1)) == len(registry.all_queries())
+
+
+def test_performance_doc_counts_match_registry():
+    """PERFORMANCE.md's sweep claims name a query count too (VERDICT r3
+    item 5 — the README guard missed it); every 'all N (registry)
+    queries' in the doc must equal the live registry."""
+    import os
+    import re
+
+    perf = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "PERFORMANCE.md")
+    ).read()
+    counts = [
+        int(m.group(1))
+        for m in re.finditer(r"[Aa]ll (\d+) (?:registry )?queries", perf)
+    ]
+    assert counts, "PERFORMANCE.md no longer documents the sweep query count"
+    for c in counts:
+        assert c == len(registry.all_queries()), (
+            f"PERFORMANCE.md claims {c} queries; registry has "
+            f"{len(registry.all_queries())}"
+        )

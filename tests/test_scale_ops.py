@@ -1137,3 +1137,42 @@ class TestFunnelParameterized:
             events_funnel(spark, "/root/testdata/sf0.001", steps=())
         with pytest.raises(ValueError, match="at least one step"):
             funnel_sql(())
+
+
+class TestBloomDecontamination:
+    """Bloom decontamination invariants: zero false negatives (a gram in
+    the benchmark always hits its own bits), engine-exact bitmap, and a
+    map-side-only corpus plan (broadcasts, no corpus shuffle before the
+    per-doc aggregation)."""
+
+    def test_no_false_negatives_and_fp_rate(self, spark):
+        from pos_pipeline_core_etl_spark.operators.text import (
+            BLOOM_BITS,
+            decontaminate_bloom,
+        )
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        pdf = decontaminate_bloom(docs, spark).toPandas()
+        assert len(pdf) > 0
+        assert (pdf["n_bloom"] >= pdf["n_exact"]).all()  # no false negatives
+        assert (pdf["n_false_pos"] == pdf["n_bloom"] - pdf["n_exact"]).all()
+        # fp sanity: clean-gram flag rate should stay well under 50%
+        clean = (pdf["n_grams"] - pdf["n_exact"]).sum()
+        if clean > 0:
+            assert pdf["n_false_pos"].sum() / clean < 0.5
+
+    def test_plan_is_broadcast_only_on_corpus_side(self, spark):
+        from pos_pipeline_core_etl_spark.operators.text import decontaminate_bloom
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        plan = (
+            decontaminate_bloom(docs, spark)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 1  # exact-gram join
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom cross join
