@@ -9,11 +9,14 @@ per round: front-load (a) queries never driver-checked, then (b) queries
 whose semantics changed since their last driver-green row, then (c) the
 oldest driver rows.  Round 1 covered the first 50 of 82 (relational / marts
 / QA / scalar fns / windows); round 2 rotated to the other 40 (LLM ops,
-forecasting, streaming, analytics) plus 10 flagships.  Round 3 rotates
-back: the 40 r1-only names (whose code saw to_float-strictness,
-naive-forecast and SCD-2 changes after their only driver check) plus the
-queries edited this round (repetition guard, NTZ epoch fix, LSH bucket
-caps, PNG-aware multimodal oracles).
+forecasting, streaming, analytics) plus 10 flagships; round 3 rotated back
+to the 40 r1-only names plus the 10 new round-3 queries.  Round 4
+front-loads the never-checked names (dedup_cluster_sizes, the new bloom
+decontamination), the value-affecting round-4 fixes (sharded packer,
+retention floor, MAD zero guard, as-of struct carry), the 5
+round-3-edited names the judge flagged, then every query whose executing
+code changed in round 4 (F.expr plan-construction rewrites, parallelism
+guards), then the oldest r2-only rows that fit.
 """
 
 from __future__ import annotations
@@ -24,72 +27,71 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-3 window: the 40 names whose only driver row predates the
-# to_float / naive-forecast / SCD-2 semantic changes (r1-only set), then
-# the queries whose code changed after their round-2 check.  The 50
-# r2-green names whose code is untouched sit safely outside the window.
+# Round-4 window: see module docstring for the tier rationale.
 _PRIORITY: tuple[str, ...] = (
-    # -- r1-only: scalar functions (to_float strictness changed post-r1) --
-    "fn_to_float_locale",
-    "fn_to_float_expr",
-    "fn_to_int",
-    "fn_to_date_multi",
-    "fn_clean_strings",
-    "fn_accent_bucket",
-    "fn_coerce_bool",
-    "fn_safe_unit_cost",
-    "fn_json_extract",
-    # -- r1-only: QA suite ------------------------------------------------
+    # -- tier 1: no driver row from any round / results changed ----------
+    "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
+    "text_decontaminate_bloom",   # new this round
+    "text_pack_sequences",        # sharded window: new shard_id column
+    "events_retention",           # floor-division fix (value-affecting)
+    "events_mad_anomalies",       # mad=0 guard (value-affecting)
+    "join_asof_purchase_view",    # struct payload carry (value-affecting)
+    "join_asof_next_purchase",
+    # -- tier 2: round-3-edited names on stale r2 rows (VERDICT r3 #1) ---
+    "text_repetition",
+    "user_activity_gaps",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_components",
+    # -- tier 3: round-4-edited code (F.expr conversions, parallelism
+    #    guards, funnel parameterization) — values replica-identical but
+    #    the executing code is new ---------------------------------------
+    "payments_daily_mart",
+    "sales_by_ticket_mart",
+    "dedup_minhash_verified",
+    "dedup_decisions",
+    "dedup_minhash_components",
+    "sim_cosine_topk",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_buckets_histogram",
+    "sim_ivf_topk",
+    "events_funnel",
+    "window_rolling_mean",
+    "window_lag_delta",
+    "calendar_zero_fill",
+    "forecast_naive_lastweek",
+    "forecast_deposit_schedule",
+    "deposit_cash_flow",
+    "forecast_loglinear",
     "qa_duplicates",
     "qa_nulls",
     "qa_non_negative",
-    "qa_zero_method_flags",
     "qa_revenue_consistency",
     "qa_per_sucursal_ranges",
+    "qa_missing_days",
+    "qa_zscore_anomalies",
     "qa_monthly_sales",
     "qa_sample_months",
-    "qa_zscore_anomalies",
-    "qa_missing_days",
-    # -- r1-only: windows / rollups ---------------------------------------
-    "window_rolling_mean",
-    "window_lag_delta",
-    "topk_per_group",
-    "calendar_zero_fill",
-    "monthly_rollup",
-    "grand_totals_rollup",
-    "horizontal_sum",
-    "value_mode",
-    # -- r1-only: relational / set ops ------------------------------------
-    "agg_count_distinct",
-    "dedup_keep_first",
-    "duplicate_detection",
-    "join_bigbig_revenue",
-    "join_broadcast_dims",
-    "join_left_flag",
-    "join_validity_window",
-    "join_validity_window_bucketed",
-    "pivot_status_by_priority",
-    "unpivot_measures",
-    "set_except_keys",
-    "union_by_name",
-    "topk_orders",
-    # -- new this round: never driver-checked ------------------------------
-    "join_asof_purchase_view",
-    "events_funnel",
-    "events_retention",
-    "dedup_minhash_verified",
-    "stratified_sample",
-    "text_pack_sequences",
-    "text_chunk_windows",
-    "dedup_decisions",
-    "join_asof_next_purchase",
-    "events_mad_anomalies",
-    # The round-3-edited queries (text_repetition guard, user_activity_gaps
-    # NTZ fix, minhash/embedding bucket caps) sit just outside the window:
-    # all are replica-green on current code, their fixture-scale results
-    # are unchanged from their r2-green rows, and the capped candidate
-    # stage executes inside the window via dedup_minhash_verified /
-    # dedup_cluster_sizes anyway.
+    # -- tier 4: oldest r2-only rows, code untouched ---------------------
+    "scan_filter_project",
+    "agg_pricing_summary",
+    "silver_clean_payments",
+    "fact_payments_ticket",
+    "fact_sales_item_line",
+    "fact_transfers_line",
+    "sales_by_group_mart",
+    "transfers_cube_mart",
+    "text_quality",
+    "text_token_counts",
+    "events_tumbling_counts",
+    "events_sessionization",
+    # The remaining r2-green names (lang-id/fingerprint/vocab/tfidf/pii,
+    # exact+ngram+simhash dedup, multimodal, order-times, small filters,
+    # cardinality sketch, events_dedup, sql_interface_revenue,
+    # qa_zero_method_flags, fn_* scalars, relational/set ops) are
+    # untouched since their last driver-green row and re-verified
+    # replica-green at sf0.01 AND sf0.1 this round; they front-load the
+    # round-5 window.
 )
 
 
