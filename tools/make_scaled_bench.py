@@ -13,6 +13,11 @@ facts grow and dims don't.
 Usage:
     python tools/make_scaled_bench.py            # writes the dataset
     SPARK_GRAFT_SF_DIR=/tmp/spark_graft_sf1 python bench.py
+
+    # third scale notch (sf3-equivalent, 30x facts — round 4):
+    SPARK_GRAFT_SF1_DIR=/tmp/spark_graft_sf3 SPARK_GRAFT_REPLICAS=30 \
+        python tools/make_scaled_bench.py
+    SPARK_GRAFT_SF_DIR=/tmp/spark_graft_sf3 python bench.py
 """
 
 from __future__ import annotations
