@@ -41,6 +41,10 @@ HEADLINE = (
     # dedup pipeline
     "join_asof_purchase_view",
     "dedup_minhash_verified",
+    # round-4 additions: the staged end-to-end dedup decision table and
+    # the bloom-filter decontamination (map-side, zero corpus shuffle)
+    "dedup_decisions",
+    "text_decontaminate_bloom",
 )
 
 

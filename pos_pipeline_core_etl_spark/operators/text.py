@@ -438,3 +438,58 @@ def decontaminate_bloom(
         F.count_if(F.col("bhit")).alias("n_bloom"),
         (F.count_if(F.col("bhit")) - F.count("hit")).alias("n_false_pos"),
     )
+
+
+def prep_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The cheap per-row gate signals of the corpus-prep recipe in ONE
+    projection: quality score, predicted language, duplicate-token
+    fraction (plus the text itself for the downstream dedup stages).
+
+    The formulas are the SAME as :func:`quality_score` /
+    :func:`lang_id` / :func:`repetition_signals` (a drift-guard test
+    asserts equality against all three); they are combined here so the
+    composed pipeline (plans/llm_ops.py::corpus_prep_decisions) gates
+    on all of them in a single shuffle-free pass over the corpus
+    instead of three self-joins on doc_id.
+    """
+    t = tokens_col(F.col(text_col))
+    t_lower = tokens_col(F.lower(F.trim(F.col(text_col))))
+
+    # quality (== quality_score)
+    n_chars = F.length(text_col)
+    n_words = F.size(t)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    n_stop = _count_in_set(t, STOPWORDS)
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars)
+    stop_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(n_stop / n_words)
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+    )
+
+    # lang_pred (== lang_id)
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: _count_in_set(t, LANG_MARKERS[lang]) for lang in langs}
+    best_score = F.greatest(*[scores[lang] for lang in langs])
+    pred: Column | None = None
+    for lang in langs:
+        cond = scores[lang] == best_score
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    assert pred is not None
+    lang_pred = F.when(best_score == 0, F.lit("und")).otherwise(pred)
+
+    # dup_token_frac (== repetition_signals)
+    n_tokens = F.size(t_lower)
+    n_distinct = F.size(F.array_distinct(t_lower))
+    dup_frac = F.when(n_tokens <= 0, F.lit(0.0)).otherwise(
+        (n_tokens - n_distinct) / n_tokens
+    )
+
+    return docs.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        hround(score, 6).alias("quality"),
+        lang_pred.alias("lang_pred"),
+        hround(dup_frac, 6).alias("dup_token_frac"),
+    )

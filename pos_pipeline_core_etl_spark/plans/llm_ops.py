@@ -1174,7 +1174,17 @@ def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("id").alias("doc_id"), "component_id"
     )
-    out = labeled.join(comps, "doc_id", "left")
+    # the exact-canonical can itself be a near-dup drop — resolve
+    # transitively so canonical_id ALWAYS names a kept doc (round 4;
+    # the component min is its own exact keep and component, so one
+    # extra hop suffices)
+    keep_comp = comps.select(
+        F.col("doc_id").alias("exact_keep"),
+        F.col("component_id").alias("keep_component"),
+    )
+    out = (
+        labeled.join(comps, "doc_id", "left").join(keep_comp, "exact_keep", "left")
+    )
     decision = (
         F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("dropped_exact"))
         .when(
@@ -1185,7 +1195,10 @@ def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     canonical = (
-        F.when(F.col("doc_id") != F.col("exact_keep"), F.col("exact_keep"))
+        F.when(
+            F.col("doc_id") != F.col("exact_keep"),
+            F.coalesce(F.col("keep_component"), F.col("exact_keep")),
+        )
         .when(F.col("component_id").isNotNull(), F.col("component_id"))
         .otherwise(F.col("doc_id"))
     )
@@ -1227,13 +1240,213 @@ SELECT l.doc_id,
             WHEN k.component_id IS NOT NULL AND k.component_id != l.doc_id
               THEN 'dropped_near'
             ELSE 'kept' END AS decision,
-       CAST(CASE WHEN l.doc_id != l.exact_keep THEN l.exact_keep
+       CAST(CASE WHEN l.doc_id != l.exact_keep
+                   THEN COALESCE(k2.component_id, l.exact_keep)
                  WHEN k.component_id IS NOT NULL THEN k.component_id
                  ELSE l.doc_id END AS BIGINT) AS canonical_id
-FROM labeled l LEFT JOIN comps k ON k.doc_id = l.doc_id
+FROM labeled l
+LEFT JOIN comps k ON k.doc_id = l.doc_id
+LEFT JOIN comps k2 ON k2.doc_id = l.exact_keep
 """
 
 
 DEDUP_DECISIONS_SQL = _dedup_decisions_oracle()
 
 QUERIES["dedup_decisions"] = (dedup_decisions, DEDUP_DECISIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# round-4: the full corpus-prep recipe as one decision table
+
+
+PREP_KEEP_LANGS = ("en",)
+PREP_MIN_QUALITY = 0.45
+PREP_MAX_DUP_TOKEN_FRAC = 0.70
+
+
+def corpus_prep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data preprocessing recipe as one artifact:
+    every document labeled with the first stage that dropped it —
+    dropped_lang / dropped_quality / dropped_repetition / dropped_exact
+    / dropped_near / kept — plus the canonical id for dedup drops.
+
+    Stage order is the production order, cheapest first, each stage over
+    the PREVIOUS stage's survivors only: (1) the three per-row gates run
+    in a single shuffle-free projection (text.prep_signals — language
+    keep-set, quality floor, repetition ceiling); (2) exact dedup (one
+    hash shuffle) over gate survivors; (3) MinHash-LSH components over
+    exact survivors only. At 100 TB the ordering is the whole game: the
+    quadratic-ish LSH leg sees the corpus only after the cheap gates and
+    the exact hash have shrunk it, exactly as the bucket-cap guidance
+    demands. canonical_id is NULL for gate drops (there is no surviving
+    representative), the fingerprint-group min for dropped_exact, the
+    component min for dropped_near, and the doc itself when kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = text.prep_signals(docs)
+    pre_decision = (
+        F.when(
+            ~F.col("lang_pred").isin(*PREP_KEEP_LANGS), F.lit("dropped_lang")
+        )
+        .when(F.col("quality") < PREP_MIN_QUALITY, F.lit("dropped_quality"))
+        .when(
+            F.col("dup_token_frac") > PREP_MAX_DUP_TOKEN_FRAC,
+            F.lit("dropped_repetition"),
+        )
+    )
+    pre = sig.select("doc_id", "text", pre_decision.alias("pre_decision"))
+    clean = pre.where(F.col("pre_decision").isNull()).select("doc_id", "text")
+    fp = text.fingerprint(clean).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("exact_keep"))
+    labeled = fp.join(canon, "fp").select("doc_id", "exact_keep")
+    survivors = clean.join(
+        labeled.where(F.col("doc_id") == F.col("exact_keep")).select("doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.minhash_lsh_candidates(survivors)
+    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    # as in dedup_decisions: an exact-canonical can itself be a
+    # near-dup drop — chase one hop so canonical_id always names a
+    # KEPT doc
+    keep_comp = comps.select(
+        F.col("doc_id").alias("exact_keep"),
+        F.col("component_id").alias("keep_component"),
+    )
+    out = (
+        pre.join(labeled, "doc_id", "left")
+        .join(comps, "doc_id", "left")
+        .join(keep_comp, "exact_keep", "left")
+    )
+    decision = (
+        F.when(F.col("pre_decision").isNotNull(), F.col("pre_decision"))
+        .when(F.col("doc_id") != F.col("exact_keep"), F.lit("dropped_exact"))
+        .when(
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") != F.col("doc_id")),
+            F.lit("dropped_near"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    canonical = (
+        F.when(F.col("pre_decision").isNotNull(), F.lit(None).cast("long"))
+        .when(
+            F.col("doc_id") != F.col("exact_keep"),
+            F.coalesce(F.col("keep_component"), F.col("exact_keep")),
+        )
+        .when(F.col("component_id").isNotNull(), F.col("component_id"))
+        .otherwise(F.col("doc_id"))
+    )
+    return out.select(
+        "doc_id",
+        decision.alias("decision"),
+        canonical.cast("long").alias("canonical_id"),
+    )
+
+
+def _corpus_prep_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+    cand = _minhash_oracle().strip().replace("FROM documents", "FROM survivors")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    langs = sorted(LANG_MARKERS)
+    lang_cells = ",\n         ".join(
+        rf"""len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> list_contains([{", ".join(f"'{w}'" for w in LANG_MARKERS[lang])}], lower(x)))) AS score_{lang}"""
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred_whens = "\n".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    keep_list = ", ".join(f"'{lang}'" for lang in PREP_KEEP_LANGS)
+    quality = hround_sql(
+        "LEAST(n_words / 100.0, 1.0) * 0.4"
+        " + (1 - LEAST(punct_ratio * 5, 1.0)) * 0.3"
+        " + LEAST(stop_ratio * 4, 1.0) * 0.3",
+        6,
+    )
+    dupfrac = hround_sql(
+        "CASE WHEN n_tokens <= 0 THEN 0.0"
+        " ELSE (n_tokens - n_distinct) / n_tokens END",
+        6,
+    )
+    return rf"""
+WITH RECURSIVE
+raw AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> list_contains([{stop_list}], lower(x)))) AS n_stop,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+           AS n_distinct,
+         {lang_cells}
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text,
+         {quality.replace("punct_ratio", "(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END)").replace("stop_ratio", "(CASE WHEN n_words = 0 THEN 0.0 ELSE n_stop / n_words END)")} AS quality,
+         CASE WHEN {best} = 0 THEN 'und' ELSE CASE {pred_whens} END END
+           AS lang_pred,
+         {dupfrac} AS dup_token_frac
+  FROM raw
+),
+pre AS (
+  SELECT doc_id, text,
+         CASE WHEN lang_pred NOT IN ({keep_list}) THEN 'dropped_lang'
+              WHEN quality < {PREP_MIN_QUALITY} THEN 'dropped_quality'
+              WHEN dup_token_frac > {PREP_MAX_DUP_TOKEN_FRAC}
+                THEN 'dropped_repetition'
+         END AS pre_decision
+  FROM sig
+),
+clean AS (SELECT doc_id, text FROM pre WHERE pre_decision IS NULL),
+fpx AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM clean
+),
+canon AS (SELECT fp, MIN(doc_id) AS exact_keep FROM fpx GROUP BY fp),
+labeled AS (SELECT f.doc_id, c.exact_keep FROM fpx f JOIN canon c USING (fp)),
+survivors AS (
+  SELECT d.doc_id, d.text
+  FROM clean d JOIN labeled l ON l.doc_id = d.doc_id AND l.doc_id = l.exact_keep
+),
+cand AS ({cand}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+SELECT p.doc_id,
+       CASE WHEN p.pre_decision IS NOT NULL THEN p.pre_decision
+            WHEN p.doc_id != l.exact_keep THEN 'dropped_exact'
+            WHEN k.component_id IS NOT NULL AND k.component_id != p.doc_id
+              THEN 'dropped_near'
+            ELSE 'kept' END AS decision,
+       CAST(CASE WHEN p.pre_decision IS NOT NULL THEN NULL
+                 WHEN p.doc_id != l.exact_keep
+                   THEN COALESCE(k2.component_id, l.exact_keep)
+                 WHEN k.component_id IS NOT NULL THEN k.component_id
+                 ELSE p.doc_id END AS BIGINT) AS canonical_id
+FROM pre p
+LEFT JOIN labeled l ON l.doc_id = p.doc_id
+LEFT JOIN comps k ON k.doc_id = p.doc_id
+LEFT JOIN comps k2 ON k2.doc_id = l.exact_keep
+"""
+
+
+CORPUS_PREP_DECISIONS_SQL = _corpus_prep_oracle()
+
+QUERIES["corpus_prep_decisions"] = (
+    corpus_prep_decisions,
+    CORPUS_PREP_DECISIONS_SQL,
+)

@@ -32,6 +32,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- tier 1: no driver row from any round / results changed ----------
     "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
     "text_decontaminate_bloom",   # new this round
+    "corpus_prep_decisions",      # new this round (composed prep recipe)
     "text_pack_sequences",        # sharded window: new shard_id column
     "events_retention",           # floor-division fix (value-affecting)
     "events_mad_anomalies",       # mad=0 guard (value-affecting)
@@ -84,7 +85,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality",
     "text_token_counts",
     "events_tumbling_counts",
-    "events_sessionization",
     # The remaining r2-green names (lang-id/fingerprint/vocab/tfidf/pii,
     # exact+ngram+simhash dedup, multimodal, order-times, small filters,
     # cardinality sketch, events_dedup, sql_interface_revenue,

@@ -148,6 +148,7 @@ EXPECTED_QUERIES = frozenset(
         "dedup_decisions",
         # round-4 additions
         "text_decontaminate_bloom",
+        "corpus_prep_decisions",
     }
 )
 

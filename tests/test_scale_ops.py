@@ -1176,3 +1176,60 @@ class TestBloomDecontamination:
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 1  # exact-gram join
         assert "BroadcastNestedLoopJoin" in plan  # 1-row bloom cross join
+
+
+class TestCorpusPrepDecisions:
+    """The composed corpus-prep recipe: signal drift-guard (prep_signals
+    must equal the three standalone ops it fuses), per-doc totality, and
+    canonical-id semantics per decision class."""
+
+    def test_prep_signals_match_standalone_ops(self, spark):
+        from pos_pipeline_core_etl_spark.operators.text import (
+            lang_id,
+            prep_signals,
+            quality_score,
+            repetition_signals,
+        )
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        sig = prep_signals(docs).toPandas().set_index("doc_id")
+        q = quality_score(docs).toPandas().set_index("doc_id")
+        l = lang_id(docs).toPandas().set_index("doc_id")
+        r = repetition_signals(docs).toPandas().set_index("doc_id")
+        assert (sig["quality"] == q["quality"]).all()
+        assert (sig["lang_pred"] == l["lang_pred"]).all()
+        assert (sig["dup_token_frac"] == r["dup_token_frac"]).all()
+
+    def test_decision_totality_and_canonical_semantics(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import corpus_prep_decisions
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        pdf = corpus_prep_decisions(spark, sf).toPandas()
+        n_docs = load_table(spark, sf, "documents").count()
+        assert len(pdf) == n_docs  # every doc gets exactly one row
+        assert pdf["doc_id"].is_unique
+        gate_drops = pdf["decision"].isin(
+            ["dropped_lang", "dropped_quality", "dropped_repetition"]
+        )
+        assert pdf.loc[gate_drops, "canonical_id"].isna().all()
+        kept = pdf[pdf["decision"] == "kept"]
+        assert (kept["canonical_id"] == kept["doc_id"]).all()
+        dedup_drops = pdf[pdf["decision"].isin(["dropped_exact", "dropped_near"])]
+        if len(dedup_drops):
+            # canonicals must themselves be kept docs
+            kept_ids = set(kept["doc_id"])
+            assert set(dedup_drops["canonical_id"]).issubset(kept_ids)
+            assert (dedup_drops["canonical_id"] != dedup_drops["doc_id"]).all()
+
+    def test_dedup_decisions_canonicals_are_kept(self, spark):
+        """Same transitivity contract for the dedup-only table: every
+        dropped doc's canonical must itself be a kept doc (round 4 —
+        previously an exact-canonical could be a near-dup drop)."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import dedup_decisions
+
+        pdf = dedup_decisions(spark, "/root/testdata/sf0.001").toPandas()
+        kept_ids = set(pdf.loc[pdf["decision"] == "kept", "doc_id"])
+        dropped = pdf[pdf["decision"] != "kept"]
+        assert set(dropped["canonical_id"]).issubset(kept_ids)
