@@ -590,3 +590,68 @@ def embedding_neardup_components(
         F.col("id").cast("long").alias("vec_id"),
         F.col("component_id").cast("long").alias("component_id"),
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    format ANN indexes ship at scale (4× smaller than float32, 8× than
+    the doubles Spark computes in).
+
+    Per vector: ``scale = max|x| / 127``; ``q_i = hround0(x_i / scale)``
+    ∈ [-127, 127] (hround0 = the repo's engine-identical half-away
+    rounding, so Spark and DuckDB produce the SAME codes); zero vectors
+    quantize to all-zero codes. Returns integer checksums of the code
+    vector (order-insensitive integer sums — engine-robust) plus the
+    reconstruction MSE, rather than 64 code columns.
+
+    Scale shape: pure map-side projection over the embedding column —
+    ZERO shuffles; all folds are JVM higher-order functions.
+    """
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    with_scale = base.select(
+        id_col,
+        "v",
+        F.aggregate(
+            F.transform(F.col("v"), F.abs),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("maxabs"),
+    ).withColumn("scale", F.col("maxabs") / F.lit(127.0))
+    coded = with_scale.withColumn(
+        "q",
+        F.when(
+            F.col("maxabs") == 0,
+            F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+        ).otherwise(
+            F.transform(
+                F.col("v"),
+                lambda x: (
+                    F.signum(x / F.col("scale"))
+                    * F.floor(F.abs(x / F.col("scale")) + F.lit(0.5))
+                ).cast("long"),
+            )
+        ),
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: (x - qi.cast("double") * F.col("scale"))
+            * (x - qi.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return coded.select(
+        F.col(id_col),
+        F.col("maxabs"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            F.transform(F.col("q"), F.abs), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_l1"),
+        (err2 / F.size(F.col("v"))).alias("mse"),
+    )

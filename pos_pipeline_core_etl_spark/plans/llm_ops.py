@@ -12,8 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
-from pos_pipeline_core_etl_spark.operators import dedup, multimodal, similarity, text
+from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
+from pos_pipeline_core_etl_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from pos_pipeline_core_etl_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1450,3 +1456,132 @@ QUERIES["corpus_prep_decisions"] = (
     corpus_prep_decisions,
     CORPUS_PREP_DECISIONS_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4: deterministic corpus sampling (split / quota / shuffle) and
+# embedding int8 quantization
+
+
+def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/validation/test assignment (98/1/1 per-mille) via a
+    salted hash selector — adding documents never flips an existing
+    doc's split. ZERO shuffles (see operators/sampling.py)."""
+    return sampling.train_split(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TRAIN_SPLIT_SQL = f"""
+SELECT doc_id, source,
+       CASE WHEN {sampling.hash_selector_sql("doc_id", "split", sampling.SPLIT_MOD)}
+                 < {sampling.SPLIT_TRAIN} THEN 'train'
+            WHEN {sampling.hash_selector_sql("doc_id", "split", sampling.SPLIT_MOD)}
+                 < {sampling.SPLIT_VAL} THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (shards × cap_per_shard docs per source),
+    hash-ranked so survivors are an unbiased sample of the domain. The
+    window partitions by (source, shard) — a hot domain never sorts on
+    one task (see operators/sampling.py)."""
+    return sampling.domain_quota(load_table(spark, sf_dir, "documents"))
+
+
+DOCS_DOMAIN_QUOTA_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         {sampling.hash_selector_sql("doc_id", "qshard", sampling.QUOTA_SHARDS)} AS shard_id,
+         {sampling.hash_selector_sql("doc_id", "quota", sampling.SPLIT_MOD)} AS quota_sel
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, shard_id,
+         ROW_NUMBER() OVER (PARTITION BY source, shard_id
+                            ORDER BY quota_sel, doc_id) AS rnk
+  FROM t
+)
+SELECT doc_id, source, shard_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {sampling.CAP_PER_SHARD}
+"""
+
+
+def text_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: hash shard +
+    hash-ordered position within shard; concatenating shards yields a
+    reproducible pseudo-random permutation with NO global sort (see
+    operators/sampling.py)."""
+    return sampling.shuffle_shards(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_SHUFFLE_SHARDS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {sampling.hash_selector_sql("doc_id", "shuf", sampling.SHUFFLE_SHARDS)} AS shard_id,
+         {sampling.hash_selector_sql("doc_id", "pos", sampling.SPLIT_MOD * sampling.SPLIT_MOD)} AS pos_key
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                               ORDER BY pos_key, doc_id) AS BIGINT) AS pos
+FROM t
+"""
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with integer code
+    checksums + reconstruction MSE (see operators/similarity.py::
+    quantize_int8). Codes are engine-identical via hround0."""
+    df = similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return df.select(
+        "vec_id",
+        hround(F.col("maxabs"), 6).alias("maxabs"),
+        "q_sum",
+        "q_l1",
+        hround(F.col("mse"), 9).alias("mse"),
+    )
+
+
+def _emb_quantize_oracle() -> str:
+    q_vec = (
+        "list_transform(v, x -> CAST(SIGN(x / scale) *"
+        " FLOOR(ABS(x / scale) + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_reduce(list_transform(v, x -> abs(x)),
+                     (acc, x) -> greatest(acc, x)) AS maxabs
+  FROM base
+),
+sc AS (SELECT vec_id, v, maxabs, maxabs / 127.0 AS scale FROM s),
+coded AS (
+  SELECT vec_id, v, maxabs, scale,
+         CASE WHEN maxabs = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE {q_vec} END AS q
+  FROM sc
+)
+SELECT vec_id,
+       {hround_sql("maxabs", 6)} AS maxabs,
+       list_reduce(q, (acc, x) -> acc + x) AS q_sum,
+       list_reduce(list_transform(q, x -> abs(x)),
+                   (acc, x) -> acc + x) AS q_l1,
+       {hround_sql(
+           "list_reduce(list_transform(generate_series(1, len(v)),"
+           " i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)),"
+           " (acc, x) -> acc + x) / len(v)", 9)} AS mse
+FROM coded
+"""
+
+
+EMB_QUANTIZE_INT8_SQL = _emb_quantize_oracle()
+
+QUERIES["text_train_split"] = (text_train_split, TEXT_TRAIN_SPLIT_SQL)
+QUERIES["docs_domain_quota"] = (docs_domain_quota, DOCS_DOMAIN_QUOTA_SQL)
+QUERIES["text_shuffle_shards"] = (text_shuffle_shards, TEXT_SHUFFLE_SHARDS_SQL)
+QUERIES["emb_quantize_int8"] = (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL)

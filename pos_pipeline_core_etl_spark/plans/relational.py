@@ -606,6 +606,43 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def scd2_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension snapshot derived from a change log — the query
+    shape behind ``operators/upsert.py::scd2_apply``, here built in one
+    pass from history: treating each customer's orders as versioned
+    attribute changes (tracked value: o_totalprice), every version gets
+    ``valid_from`` = its own date and ``valid_to`` = the next version's
+    date (NULL = current). ``is_current`` marks the open row.
+
+    Scale: ONE shuffle on the dimension key (custkey); the lead() window
+    partitions by the same key, so versions-per-key bounds the window —
+    never a global sort. This is the standard "rebuild SCD-2 from CDC
+    history" plan at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        hround(F.col("o_totalprice"), 2).alias("tracked_value"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORDERS_SNAPSHOT_SQL = f"""
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderkey AS BIGINT) AS orderkey,
+       {hround_sql("o_totalprice", 2)} AS tracked_value,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "scan_filter_project": (scan_filter_project, SCAN_FILTER_PROJECT_SQL),
     "agg_pricing_summary": (agg_pricing_summary, AGG_PRICING_SUMMARY_SQL),
@@ -630,4 +667,5 @@ QUERIES: dict[str, tuple] = {
     "grand_totals_rollup": (grand_totals_rollup, GRAND_TOTALS_ROLLUP_SQL),
     "horizontal_sum": (horizontal_sum, HORIZONTAL_SUM_SQL),
     "value_mode": (value_mode, VALUE_MODE_SQL),
+    "scd2_orders_snapshot": (scd2_orders_snapshot, SCD2_ORDERS_SNAPSHOT_SQL),
 }

@@ -33,6 +33,11 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
     "text_decontaminate_bloom",   # new this round
     "corpus_prep_decisions",      # new this round (composed prep recipe)
+    "text_train_split",           # new this round (hash split)
+    "docs_domain_quota",          # new this round (sharded per-source cap)
+    "text_shuffle_shards",        # new this round (shuffle-shard export)
+    "emb_quantize_int8",          # new this round (int8 quantization)
+    "scd2_orders_snapshot",       # new this round (SCD-2 from history)
     "text_pack_sequences",        # sharded window: new shard_id column
     "events_retention",           # floor-division fix (value-affecting)
     "events_mad_anomalies",       # mad=0 guard (value-affecting)

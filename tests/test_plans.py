@@ -271,3 +271,35 @@ class TestRound3PlanShapes:
         assert "Window" in plan
         assert "Exchange SinglePartition" not in plan
         assert re.search(r"Exchange hashpartitioning\(shard_id", plan)
+
+    def test_domain_quota_window_is_sharded(self, spark):
+        """The per-source quota window must partition by (source,
+        shard_id) with map-side WindowGroupLimit — a hot domain must
+        never sort on one task, and a global sort must never appear."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import docs_domain_quota
+
+        plan = _plan(docs_domain_quota(spark, SF_DIR))
+        assert "Exchange SinglePartition" not in plan
+        assert re.search(r"Exchange hashpartitioning\(source", plan)
+        assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+    def test_shuffle_shards_no_global_sort(self, spark):
+        """The export permutation must be per-shard windows, never a
+        corpus-wide single-partition sort."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import text_shuffle_shards
+
+        plan = _plan(text_shuffle_shards(spark, SF_DIR))
+        assert "Exchange SinglePartition" not in plan
+        assert re.search(r"Exchange hashpartitioning\(shard_id", plan)
+
+    def test_train_split_and_quantize_zero_exchange(self, spark):
+        """Both must stay pure map-side projections: one scan, no
+        shuffle of any kind."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            emb_quantize_int8,
+            text_train_split,
+        )
+
+        for fn in (text_train_split, emb_quantize_int8):
+            plan = _plan(fn(spark, SF_DIR))
+            assert "Exchange" not in plan, fn.__name__

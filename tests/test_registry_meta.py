@@ -149,6 +149,11 @@ EXPECTED_QUERIES = frozenset(
         # round-4 additions
         "text_decontaminate_bloom",
         "corpus_prep_decisions",
+        "text_train_split",
+        "docs_domain_quota",
+        "text_shuffle_shards",
+        "emb_quantize_int8",
+        "scd2_orders_snapshot",
     }
 )
 

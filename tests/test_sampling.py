@@ -1,0 +1,132 @@
+"""Property tests for the deterministic sampling operators
+(operators/sampling.py), int8 quantization, and the SCD-2 snapshot.
+
+The oracle-parity sweep proves cross-engine equality; these tests pin
+the SEMANTIC contracts: hash-stability under corpus growth, exact quota
+arithmetic, permutation validity, quantization error bounds, and SCD-2
+window invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.operators import sampling, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+class TestTrainSplit:
+    def test_partition_of_corpus(self, spark):
+        docs = _docs(spark)
+        out = sampling.train_split(docs)
+        assert out.count() == docs.count()
+        splits = {r["split"] for r in out.select("split").distinct().collect()}
+        assert splits <= {"train", "validation", "test"}
+        # 98/1/1 boundaries: train dominates
+        counts = dict(
+            out.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+        )
+        assert counts["train"] > 0.9 * docs.count()
+
+    def test_stable_under_corpus_growth(self, spark):
+        """The property rank-based splits lack: restricting the corpus
+        to a subset never changes a surviving doc's assignment."""
+        docs = _docs(spark)
+        full = {r["doc_id"]: r["split"] for r in sampling.train_split(docs).collect()}
+        subset = sampling.train_split(docs.where(F.col("doc_id") % 3 == 0))
+        for r in subset.collect():
+            assert full[r["doc_id"]] == r["split"]
+
+
+class TestDomainQuota:
+    def test_cap_enforced_per_source(self, spark):
+        out = sampling.domain_quota(_docs(spark))
+        cap = sampling.QUOTA_SHARDS * sampling.CAP_PER_SHARD
+        per_source = out.groupBy("source").count().collect()
+        assert per_source, "quota output empty"
+        for r in per_source:
+            assert r["count"] <= cap
+        # fixture sources hold 25 docs each — the cap must actually bind
+        assert max(r["count"] for r in per_source) <= cap
+        total_in = _docs(spark).count()
+        assert out.count() < total_in
+
+    def test_shard_cap_exact(self, spark):
+        out = sampling.domain_quota(_docs(spark))
+        per_shard = out.groupBy("source", "shard_id").count().collect()
+        for r in per_shard:
+            assert r["count"] <= sampling.CAP_PER_SHARD
+
+    def test_survivors_deterministic(self, spark):
+        a = {r["doc_id"] for r in sampling.domain_quota(_docs(spark)).collect()}
+        b = {r["doc_id"] for r in sampling.domain_quota(_docs(spark)).collect()}
+        assert a == b
+
+
+class TestShuffleShards:
+    def test_valid_permutation(self, spark):
+        docs = _docs(spark)
+        out = sampling.shuffle_shards(docs)
+        assert out.count() == docs.count()
+        # positions within a shard are exactly 1..n_shard
+        agg = out.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("npos"),
+        )
+        for r in agg.collect():
+            assert (r["lo"], r["hi"], r["npos"]) == (1, r["n"], r["n"])
+
+    def test_not_id_ordered(self, spark):
+        """The permutation must actually shuffle: within-shard position
+        order must not equal doc_id order."""
+        out = sampling.shuffle_shards(_docs(spark)).where(F.col("shard_id") == 0)
+        rows = sorted(out.collect(), key=lambda r: r["pos"])
+        ids = [r["doc_id"] for r in rows]
+        assert ids != sorted(ids)
+
+
+class TestQuantizeInt8:
+    def test_codes_bounded_and_error_small(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = similarity.quantize_int8(emb).collect()
+        assert len(out) == emb.count()
+        for r in out:
+            # |q_i| <= 127 ⇒ L1 of a 64-dim code <= 64*127
+            assert r["q_l1"] <= 64 * 127
+            # max elementwise error is scale/2 ⇒ mse <= (maxabs/254)^2
+            if r["maxabs"] > 0:
+                assert r["mse"] <= (r["maxabs"] / 254.0) ** 2 + 1e-12
+
+    def test_zero_vector_all_zero_codes(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 0.25])], "vec_id long, embedding array<double>"
+        )
+        rows = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+        assert rows[1]["q_sum"] == 0 and rows[1]["q_l1"] == 0 and rows[1]["mse"] == 0.0
+        # max-component code is exactly ±127
+        assert rows[2]["q_l1"] >= 127
+
+
+class TestScd2Snapshot:
+    def test_window_invariants(self, spark):
+        from pos_pipeline_core_etl_spark.plans.relational import scd2_orders_snapshot
+
+        snap = scd2_orders_snapshot(spark, SF)
+        # exactly one current version per customer
+        cur = snap.where(F.col("is_current")).groupBy("custkey").count()
+        assert cur.where(F.col("count") != 1).count() == 0
+        # closed windows end at-or-after their start (equal dates allowed
+        # for same-day versions) and never after the key's current start
+        bad = snap.where(F.col("valid_to") < F.col("valid_from"))
+        assert bad.count() == 0
+        # row preservation: every order appears exactly once
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        assert snap.count() == orders.count()
+        assert snap.select("orderkey").distinct().count() == orders.count()
