@@ -41,10 +41,12 @@ HEADLINE = (
     # dedup pipeline
     "join_asof_purchase_view",
     "dedup_minhash_verified",
-    # round-4 additions: the staged end-to-end dedup decision table and
-    # the bloom-filter decontamination (map-side, zero corpus shuffle)
+    # round-4 additions: the staged end-to-end dedup decision table,
+    # the bloom-filter decontamination (map-side, zero corpus shuffle),
+    # and the batch-vs-corpus incremental dedup
     "dedup_decisions",
     "text_decontaminate_bloom",
+    "dedup_incremental_batch",
 )
 
 

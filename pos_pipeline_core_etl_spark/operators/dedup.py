@@ -430,3 +430,93 @@ def connected_components(
             "longer diameter than expected — raise max_iters"
         )
     return labels
+
+
+def incremental_batch_decisions(
+    docs: DataFrame,
+    text_col: str = "text",
+    batch_mod: int = 10,
+    batch_rem: int = 7,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental dedup: label TODAY'S BATCH against the existing
+    corpus without re-deduping the corpus — the operation a 100 TB
+    pipeline runs daily (re-running full-corpus dedup per ingest batch
+    is quadratic over time).
+
+    The batch is the ``doc_id % batch_mod == batch_rem`` slice (a
+    deterministic, scale-proportional stand-in for an ingest date
+    partition). Stages, cheapest first:
+
+    1. EXACT: batch fingerprints left-join the corpus' per-fingerprint
+       canonical (min id). One shuffle on fp — and at deployment the
+       corpus side is a precomputed fingerprint INDEX table, so only
+       the batch is fingerprinted fresh.
+    2. NEAR: only exact-miss batch docs proceed. Batch band buckets
+       equi-join CORPUS band buckets (one-sided — never batch×batch
+       here, never corpus×corpus ever); corpus buckets above
+       ``max_bucket_size`` are excluded (same cap discipline as
+       :func:`minhash_lsh_candidates`). The corpus bucket table is
+       likewise a precomputed index at deployment; its recompute here
+       stands in for an index scan.
+
+    Output: one row per batch doc — decision ``dup_exact`` /
+    ``dup_near`` / ``new`` and ``dup_of`` = the corpus canonical
+    (NULL for new docs). Batch-internal duplicates are NOT this
+    operator's job (the full pipeline handles those when the batch is
+    folded into the corpus); decisions here are batch-vs-corpus only.
+    """
+    docs = _ensure_parallelism(docs)
+    is_batch = (F.col("doc_id") % batch_mod) == batch_rem
+    batch = docs.where(is_batch)
+    corpus = docs.where(~is_batch)
+
+    from pos_pipeline_core_etl_spark.operators.text import fingerprint
+
+    bfp = fingerprint(batch, text_col).select("doc_id", "fp")
+    c_canon = (
+        fingerprint(corpus, text_col)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    # small frame feeding two consumers (decision join + miss filter)
+    exact = bfp.join(c_canon, "fp", "left").select(
+        "doc_id", "exact_dup_of"
+    ).localCheckpoint(eager=False)
+
+    miss = exact.where(F.col("exact_dup_of").isNull()).select("doc_id")
+    bb = lsh_band_buckets(
+        minhash_signatures(batch.join(miss, "doc_id"), text_col, k=bands * rows),
+        bands=bands,
+        rows=rows,
+    )
+    cb = lsh_band_buckets(
+        minhash_signatures(corpus, text_col, k=bands * rows), bands=bands, rows=rows
+    ).select(F.col("doc_id").alias("corpus_id"), "band", "bucket_key")
+    ok = (
+        cb.groupBy("band", "bucket_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_bucket_size)
+        .select("band", "bucket_key")
+    )
+    near = (
+        bb.join(cb.join(ok, ["band", "bucket_key"]), ["band", "bucket_key"])
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("near_dup_of"))
+    )
+
+    out = exact.join(near, "doc_id", "left")
+    decision = (
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("dup_exact"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("dup_near"))
+        .otherwise(F.lit("new"))
+    )
+    return out.select(
+        "doc_id",
+        decision.alias("decision"),
+        F.coalesce(F.col("exact_dup_of"), F.col("near_dup_of"))
+        .cast("long")
+        .alias("dup_of"),
+    )

@@ -380,7 +380,15 @@ def decontaminate_bloom(
     filter has no false negatives — every benchmark gram's bits are in
     the map); the unit test pins that invariant and the fp rate.
     """
-    from pos_pipeline_core_etl_spark.operators.dedup import shingle_id, shingles_col
+    from pos_pipeline_core_etl_spark.operators.dedup import (
+        _ensure_parallelism,
+        shingle_id,
+        shingles_col,
+    )
+
+    # the corpus leg is CPU-bound per row (shingle explode + md5 per
+    # gram); a single-file source must not run it on one task
+    docs = _ensure_parallelism(docs)
 
     bench_grams = (
         docs.where(F.col("doc_id") < benchmark_max_id)

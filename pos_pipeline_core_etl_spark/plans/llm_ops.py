@@ -1168,10 +1168,15 @@ def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped_exact → the fingerprint group's min id; dropped_near → the
     near-dup component's min id; kept → itself.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
     fp = text.fingerprint(docs).select("doc_id", "fp")
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("exact_keep"))
-    labeled = fp.join(canon, "fp").select("doc_id", "exact_keep")
+    # labeled feeds both the survivor leg and the final decision join —
+    # materialize once (lazy localCheckpoint; the 100 TB deployment
+    # writes this stage boundary to a table, same topology)
+    labeled = fp.join(canon, "fp").select(
+        "doc_id", "exact_keep"
+    ).localCheckpoint(eager=False)
     survivors = docs.join(
         labeled.where(F.col("doc_id") == F.col("exact_keep")).select("doc_id"),
         "doc_id",
@@ -1287,7 +1292,7 @@ def corpus_prep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     demands. canonical_id is NULL for gate drops (there is no surviving
     representative), the fingerprint-group min for dropped_exact, the
     component min for dropped_near, and the doc itself when kept."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sig = text.prep_signals(docs)
     pre_decision = (
         F.when(
@@ -1299,11 +1304,20 @@ def corpus_prep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("dropped_repetition"),
         )
     )
-    pre = sig.select("doc_id", "text", pre_decision.alias("pre_decision"))
+    # The gate projection feeds three consumers (exact-dedup leg, the
+    # LSH survivor leg, and the final decision join); materialize it
+    # once instead of re-running the regex-heavy signals per consumer.
+    # localCheckpoint spills MEMORY_AND_DISK; the 100 TB deployment
+    # writes this stage boundary to a table — same topology.
+    pre = sig.select(
+        "doc_id", "text", pre_decision.alias("pre_decision")
+    ).localCheckpoint(eager=False)
     clean = pre.where(F.col("pre_decision").isNull()).select("doc_id", "text")
     fp = text.fingerprint(clean).select("doc_id", "fp")
     canon = fp.groupBy("fp").agg(F.min("doc_id").alias("exact_keep"))
-    labeled = fp.join(canon, "fp").select("doc_id", "exact_keep")
+    labeled = fp.join(canon, "fp").select(
+        "doc_id", "exact_keep"
+    ).localCheckpoint(eager=False)
     survivors = clean.join(
         labeled.where(F.col("doc_id") == F.col("exact_keep")).select("doc_id"),
         "doc_id",
@@ -1585,3 +1599,90 @@ QUERIES["text_train_split"] = (text_train_split, TEXT_TRAIN_SPLIT_SQL)
 QUERIES["docs_domain_quota"] = (docs_domain_quota, DOCS_DOMAIN_QUOTA_SQL)
 QUERIES["text_shuffle_shards"] = (text_shuffle_shards, TEXT_SHUFFLE_SHARDS_SQL)
 QUERIES["emb_quantize_int8"] = (emb_quantize_int8, EMB_QUANTIZE_INT8_SQL)
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup decisions (operators/dedup.py::
+    incremental_batch_decisions): exact-index join first, one-sided LSH
+    join for the misses — the daily-ingest shape that never re-dedups
+    the corpus."""
+    return dedup.incremental_batch_decisions(load_table(spark, sf_dir, "documents"))
+
+
+def _incremental_batch_oracle(batch_mod: int = 10, batch_rem: int = 7) -> str:
+    sh = dedup.shingles_sql("text")
+    xid = dedup.SHINGLE_ID_SQL.format(s="u.s")
+    sig_cells = ",\n  ".join(
+        f"MIN(({a} * x + {b}) % {dedup.HASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup._hash_params())
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh_{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({key}) AS bucket_key FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    is_batch = f"doc_id % {batch_mod} = {batch_rem}"
+    return rf"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+c_canon AS (
+  SELECT fp, MIN(doc_id) AS exact_dup_of
+  FROM fp WHERE NOT ({is_batch}) GROUP BY fp
+),
+exact AS (
+  SELECT f.doc_id, c.exact_dup_of
+  FROM fp f LEFT JOIN c_canon c USING (fp)
+  WHERE {is_batch.replace("doc_id", "f.doc_id")}
+),
+sh AS (SELECT doc_id, {sh} AS s FROM documents),
+x AS (
+  SELECT sh.doc_id, {xid} AS x
+  FROM sh, LATERAL (SELECT unnest(sh.s) AS s) u
+),
+sig AS (
+  SELECT doc_id,
+  {sig_cells}
+  FROM x GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+ok AS (
+  SELECT band, bucket_key FROM bands
+  WHERE NOT (doc_id % {batch_mod} = {batch_rem})
+  GROUP BY band, bucket_key
+  HAVING COUNT(*) <= {dedup.LSH_MAX_BUCKET}
+),
+near AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS near_dup_of
+  FROM bands b
+  JOIN bands c ON b.band = c.band AND b.bucket_key = c.bucket_key
+  JOIN ok ON ok.band = c.band AND ok.bucket_key = c.bucket_key
+  WHERE b.doc_id % {batch_mod} = {batch_rem}
+    AND NOT (c.doc_id % {batch_mod} = {batch_rem})
+    AND b.doc_id IN (SELECT doc_id FROM exact WHERE exact_dup_of IS NULL)
+  GROUP BY b.doc_id
+)
+SELECT e.doc_id,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'dup_exact'
+            WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
+            ELSE 'new' END AS decision,
+       CAST(COALESCE(e.exact_dup_of, n.near_dup_of) AS BIGINT) AS dup_of
+FROM exact e LEFT JOIN near n USING (doc_id)
+"""
+
+
+DEDUP_INCREMENTAL_BATCH_SQL = _incremental_batch_oracle()
+
+QUERIES["dedup_incremental_batch"] = (
+    dedup_incremental_batch,
+    DEDUP_INCREMENTAL_BATCH_SQL,
+)

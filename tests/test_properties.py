@@ -75,7 +75,11 @@ def test_to_float_roundtrips_plain_repr(x):
 def test_to_float_parses_both_locales(whole, cents):
     us = f"{whole:,}.{cents:02d}"
     eu = us.replace(",", "_").replace(".", ",").replace("_", ".")
-    expected = float(f"{whole}.{cents:02d}") if whole >= 0 else -(abs(whole) + cents / 100)
+    # the expectation must be the PARSED decimal, not float arithmetic:
+    # -(abs(-4) + 0.56) is -4.5600000000000005 while float("-4.56") is
+    # the nearest double to the decimal — which is what a parser returns
+    sign = "-" if whole < 0 else ""
+    expected = float(f"{sign}{abs(whole)}.{cents:02d}")
     assert _parse_locale_number(us) == expected
     assert _parse_locale_number(eu) == expected
 

@@ -154,6 +154,7 @@ EXPECTED_QUERIES = frozenset(
         "text_shuffle_shards",
         "emb_quantize_int8",
         "scd2_orders_snapshot",
+        "dedup_incremental_batch",
     }
 )
 

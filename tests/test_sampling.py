@@ -130,3 +130,45 @@ class TestScd2Snapshot:
         orders = spark.read.parquet(f"{SF}/orders.parquet")
         assert snap.count() == orders.count()
         assert snap.select("orderkey").distinct().count() == orders.count()
+
+
+class TestIncrementalBatchDedup:
+    def test_decisions_batch_only_and_classes(self, spark):
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            incremental_batch_decisions,
+        )
+
+        docs = _docs(spark)
+        out = incremental_batch_decisions(docs)
+        rows = out.collect()
+        # one row per batch doc, batch docs only
+        batch_ids = {
+            r["doc_id"] for r in docs.where(F.col("doc_id") % 10 == 7).collect()
+        }
+        assert {r["doc_id"] for r in rows} == batch_ids
+        # dup_of is a CORPUS doc (never a batch doc) and null iff new
+        for r in rows:
+            if r["decision"] == "new":
+                assert r["dup_of"] is None
+            else:
+                assert r["dup_of"] is not None
+                assert r["dup_of"] % 10 != 7
+
+    def test_exact_dup_detected(self, spark):
+        """A batch doc with a corpus-identical text must label dup_exact
+        with the corpus doc as canonical."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            incremental_batch_decisions,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (3, "alpha beta gamma delta"),   # corpus
+                (17, "alpha beta gamma delta"),  # batch, exact dup of 3
+                (27, "totally unrelated text here xyz"),  # batch, new
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in incremental_batch_decisions(df).collect()}
+        assert rows[17]["decision"] == "dup_exact" and rows[17]["dup_of"] == 3
+        assert rows[27]["decision"] == "new" and rows[27]["dup_of"] is None
