@@ -468,3 +468,59 @@ class TestSeasonalArAnalyticBound:
             y_hist.append(analytic[-1])
         pred = fit.forecast(14).to_numpy()
         assert pred == pytest.approx(analytic, rel=1e-6)
+
+
+class TestHannanRissanenMaBounds:
+    """MA-axis analytic bounds (round 4, second pass): the AR and
+    seasonal axes of the 144-point grid carry recovery bounds above;
+    these pin the q>0 axis so the documented HR-vs-SARIMAX envelope
+    covers every order family the grid searches."""
+
+    def _ma1(self, theta=0.6, n=800, seed=11):
+        rng = np.random.default_rng(seed)
+        e = rng.normal(0.0, 0.05, n + 1)
+        y = e[1:] + theta * e[:-1]
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        return pd.Series(y, index=idx), theta
+
+    def test_hr_recovers_ma1_coefficient(self):
+        """On a zero-mean MA(1), HR stage 2 regresses on long-AR residual
+        proxies; theta-hat must land within 0.08 of truth (the proxy
+        residuals carry O(1/L) truncation bias, hence the slightly wider
+        band than the AR bound)."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        y, theta = self._ma1()
+        fit = _HannanRissanenFit(y, (0, 0, 1), (0, 0, 0, 7))
+        assert fit._ma_lags == [1]
+        assert fit._beta[0] == pytest.approx(theta, abs=0.08)
+
+    def test_ma1_forecast_reverts_to_mean_after_one_step(self):
+        """MA(1) memory is exactly one innovation: step 1 forecasts
+        theta-hat * eps_T, every later step must be the process mean
+        (0) exactly — the recursion feeds zero future innovations."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        y, _ = self._ma1()
+        fit = _HannanRissanenFit(y, (0, 0, 1), (0, 0, 0, 7))
+        pred = fit.forecast(6).to_numpy()
+        expected_step1 = float(fit._beta[0] * fit._eps_hist[-1])
+        assert pred[0] == pytest.approx(expected_step1, rel=1e-9)
+        assert pred[1:] == pytest.approx(np.zeros(5), abs=1e-12)
+
+    def test_hr_recovers_arma11(self):
+        """Mixed ARMA(1,1): both coefficients within the documented
+        band — the cross family the grid actually prefers on smooth
+        retail series."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _HannanRissanenFit
+
+        phi, theta, n = 0.5, 0.3, 1200
+        rng = np.random.default_rng(17)
+        e = rng.normal(0.0, 0.05, n + 1)
+        y = np.zeros(n)
+        for t in range(n):
+            y[t] = (phi * y[t - 1] if t >= 1 else 0.0) + e[t + 1] + theta * e[t]
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        fit = _HannanRissanenFit(pd.Series(y, index=idx), (1, 0, 1), (0, 0, 0, 7))
+        assert fit._beta[0] == pytest.approx(phi, abs=0.08)
+        assert fit._beta[1] == pytest.approx(theta, abs=0.10)
