@@ -126,3 +126,76 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard_id", "pos")
     )
+
+
+# target corpus mixture, integer percent shares (sum 100)
+MIXTURE_TARGETS = {"en": 50, "es": 20, "fr": 15, "de": 10, "zh": 5}
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: dict[str, int] | None = None,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Source-mixing plan: the largest downsampled corpus matching the
+    target language mix WITHOUT upsampling any language.
+
+    Standard mixture math, all INTEGER arithmetic (engine-exact):
+    budget ``T = min over langs floor(100 * n_lang / share_lang)`` (the
+    binding language keeps 100%), per-lang target ``floor(T * share /
+    100)`` and hash keep-threshold ``floor(1000 * T * share / (100 *
+    n_lang))`` per-mille. Languages outside the target mix get no row
+    (they are dropped entirely by :func:`mixture_sample`).
+
+    Scale: ONE count aggregation over the corpus (map-side partials);
+    the plan itself is languages-sized. The min over languages is
+    computed relationally (a 5-row cross-join-free agg), not on the
+    driver.
+    """
+    targets = MIXTURE_TARGETS if targets is None else targets
+    share = F.lit(None).cast("long")
+    for lang, pct in targets.items():
+        share = F.when(F.col(lang_col) == lang, F.lit(pct)).otherwise(share)
+    counts = (
+        docs.select(F.col(lang_col).alias("lang"), share.alias("share"))
+        .where(F.col("share").isNotNull())
+        .groupBy("lang", "share")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    budget = counts.agg(
+        F.min(F.expr("CAST(FLOOR(100 * n_docs / share) AS BIGINT)")).alias("budget")
+    )
+    return (
+        counts.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("share").alias("target_share"),
+            F.expr("CAST(FLOOR(budget * share / 100) AS BIGINT)").alias("n_target"),
+            F.least(
+                F.lit(1000),
+                F.expr("CAST(FLOOR(1000 * budget * share / (100 * n_docs)) AS BIGINT)"),
+            ).alias("keep_permille"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Apply :func:`mixture_plan`: keep each doc iff its salted hash
+    selector falls under its language's keep-threshold. The plan is
+    broadcast (languages-sized); the filter is map-side — the corpus
+    is never shuffled."""
+    plan = mixture_plan(docs, targets, lang_col).select(
+        F.col("lang").alias(lang_col), "keep_permille"
+    )
+    sel = hash_selector(F.col(id_col), "mix", SPLIT_MOD)
+    return (
+        docs.join(F.broadcast(plan), lang_col)
+        .where(sel < F.col("keep_permille"))
+        .select(id_col, lang_col, "source")
+    )

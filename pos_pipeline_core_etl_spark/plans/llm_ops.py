@@ -1686,3 +1686,65 @@ QUERIES["dedup_incremental_batch"] = (
     dedup_incremental_batch,
     DEDUP_INCREMENTAL_BATCH_SQL,
 )
+
+
+def _mixture_share_case() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}"
+        for lang, pct in sampling.MIXTURE_TARGETS.items()
+    )
+    return f"CASE {cases} END"
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture plan (operators/sampling.py::mixture_plan): the
+    largest downsampled corpus hitting the target mix without
+    upsampling; integer budget math, ONE corpus aggregation."""
+    return sampling.mixture_plan(load_table(spark, sf_dir, "documents"))
+
+
+CORPUS_MIXTURE_PLAN_SQL = f"""
+WITH counts AS (
+  SELECT lang, {_mixture_share_case()} AS share, COUNT(*) AS n_docs
+  FROM documents
+  WHERE {_mixture_share_case()} IS NOT NULL
+  GROUP BY lang
+),
+b AS (SELECT MIN(CAST(FLOOR(100 * n_docs / share) AS BIGINT)) AS budget FROM counts)
+SELECT lang, n_docs, share AS target_share,
+       CAST(FLOOR(budget * share / 100) AS BIGINT) AS n_target,
+       LEAST(1000, CAST(FLOOR(1000 * budget * share / (100 * n_docs)) AS BIGINT))
+         AS keep_permille
+FROM counts, b
+"""
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture plan: broadcast the languages-sized plan, keep
+    docs whose salted hash falls under their language's threshold —
+    map-side, zero corpus shuffle."""
+    return sampling.mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+CORPUS_MIXTURE_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT lang, {_mixture_share_case()} AS share, COUNT(*) AS n_docs
+  FROM documents
+  WHERE {_mixture_share_case()} IS NOT NULL
+  GROUP BY lang
+),
+b AS (SELECT MIN(CAST(FLOOR(100 * n_docs / share) AS BIGINT)) AS budget FROM counts),
+plan AS (
+  SELECT lang,
+         LEAST(1000, CAST(FLOOR(1000 * budget * share / (100 * n_docs)) AS BIGINT))
+           AS keep_permille
+  FROM counts, b
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN plan p ON d.lang = p.lang
+WHERE {sampling.hash_selector_sql("d.doc_id", "mix", sampling.SPLIT_MOD)}
+      < p.keep_permille
+"""
+
+QUERIES["corpus_mixture_plan"] = (corpus_mixture_plan, CORPUS_MIXTURE_PLAN_SQL)
+QUERIES["corpus_mixture_sample"] = (corpus_mixture_sample, CORPUS_MIXTURE_SAMPLE_SQL)

@@ -39,6 +39,8 @@ _PRIORITY: tuple[str, ...] = (
     "emb_quantize_int8",          # new this round (int8 quantization)
     "scd2_orders_snapshot",       # new this round (SCD-2 from history)
     "dedup_incremental_batch",    # new this round (batch-vs-corpus dedup)
+    "corpus_mixture_plan",        # new this round (mixture budget math)
+    "corpus_mixture_sample",      # new this round (mixture application)
     "text_pack_sequences",        # sharded window: new shard_id column
     "events_retention",           # floor-division fix (value-affecting)
     "events_mad_anomalies",       # mad=0 guard (value-affecting)

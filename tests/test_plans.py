@@ -303,3 +303,12 @@ class TestRound3PlanShapes:
         for fn in (text_train_split, emb_quantize_int8):
             plan = _plan(fn(spark, SF_DIR))
             assert "Exchange" not in plan, fn.__name__
+
+    def test_mixture_sample_broadcasts_plan(self, spark):
+        """The mixture application must broadcast the languages-sized
+        plan — the corpus side joins without a shuffle of its own."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import corpus_mixture_sample
+
+        plan = _plan(corpus_mixture_sample(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -155,6 +155,8 @@ EXPECTED_QUERIES = frozenset(
         "emb_quantize_int8",
         "scd2_orders_snapshot",
         "dedup_incremental_batch",
+        "corpus_mixture_plan",
+        "corpus_mixture_sample",
     }
 )
 

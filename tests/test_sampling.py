@@ -172,3 +172,39 @@ class TestIncrementalBatchDedup:
         rows = {r["doc_id"]: r for r in incremental_batch_decisions(df).collect()}
         assert rows[17]["decision"] == "dup_exact" and rows[17]["dup_of"] == 3
         assert rows[27]["decision"] == "new" and rows[27]["dup_of"] is None
+
+
+class TestMixture:
+    def test_plan_budget_math(self, spark):
+        plan = {r["lang"]: r for r in sampling.mixture_plan(_docs(spark)).collect()}
+        # every target language present and integer-consistent
+        assert set(plan) == set(sampling.MIXTURE_TARGETS)
+        budget = min(
+            100 * r["n_docs"] // r["target_share"] for r in plan.values()
+        )
+        for lang, r in plan.items():
+            assert r["n_target"] == budget * r["target_share"] // 100
+            assert 0 < r["keep_permille"] <= 1000
+        # the binding language keeps (nearly) everything
+        binding = min(plan, key=lambda b: 100 * plan[b]["n_docs"] // plan[b]["target_share"])
+        assert plan[binding]["keep_permille"] == 1000
+
+    def test_sample_tracks_targets(self, spark):
+        docs = _docs(spark)
+        plan = {r["lang"]: r for r in sampling.mixture_plan(docs).collect()}
+        got = {
+            r["lang"]: r["count"]
+            for r in sampling.mixture_sample(docs).groupBy("lang").count().collect()
+        }
+        for lang, r in plan.items():
+            # hash selector is uniform: realized count within ±35% of
+            # the target (small per-lang counts at sf0.001)
+            assert abs(got.get(lang, 0) - r["n_target"]) <= max(8, 0.35 * r["n_target"])
+
+    def test_untargeted_language_dropped(self, spark):
+        docs = _docs(spark).withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 97 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+        out = sampling.mixture_sample(docs)
+        assert out.where(F.col("lang") == "xx").count() == 0
