@@ -377,3 +377,91 @@ def run_attribution_join_incremental(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_index_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str, index_dir: str
+) -> None:
+    """foreachBatch body for streaming incremental dedup: label the
+    micro-batch against the accumulated corpus fingerprint index, then
+    fold the batch into the index — both writes per-batch-id
+    idempotent (at-least-once replay converges, same contract as
+    :func:`write_batch_idempotent`).
+
+    The index is an append-only parquet table (doc_id, fp) partitioned
+    by the batch that contributed it — exactly the "precomputed
+    fingerprint index" the batch operator
+    (operators/dedup.py::incremental_batch_decisions) says a deployment
+    maintains; this is the maintainer. Decisions use the index state
+    BEFORE this batch (strict arrival-order semantics: a doc is a dup
+    iff an EARLIER batch contained its fingerprint; in-batch duplicates
+    resolve against the batch's own min id).
+    """
+    import os
+
+    from pos_pipeline_core_etl_spark.operators.text import fingerprint
+
+    spark = batch_df.sparkSession
+    fp = fingerprint(batch_df).select("doc_id", "fp")
+
+    # index state from PRIOR batches only (this batch's partition may
+    # exist from a failed attempt — excluded by the pure-function path)
+    prior = [
+        os.path.join(index_dir, d)
+        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+    ]
+    if prior:
+        idx = spark.read.option("basePath", index_dir).parquet(*prior)
+        canon = idx.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
+    else:
+        canon = fp.select("fp").limit(0).withColumn("dup_of", F.lit(None).cast("long"))
+
+    in_batch = fp.groupBy("fp").agg(F.min("doc_id").alias("batch_min"))
+    decided = (
+        fp.join(canon, "fp", "left")
+        .join(in_batch, "fp")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup_exact"))
+            .when(F.col("doc_id") != F.col("batch_min"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+            F.coalesce(
+                F.col("dup_of"),
+                F.when(F.col("doc_id") != F.col("batch_min"), F.col("batch_min")),
+            ).alias("dup_of"),
+        )
+    )
+    write_batch_idempotent(decided, batch_id, out_dir)
+    write_batch_idempotent(fp, batch_id, index_dir)
+
+
+def run_streaming_incremental_dedup(
+    spark: SparkSession,
+    stream_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming twin of `dedup_incremental_batch`: drain a document
+    stream through :func:`dedup_index_batch` with availableNow, then
+    read back the consolidated decision table.
+
+    Scale shape: each micro-batch costs one batch-sized fingerprint
+    projection plus one equi-join against the index (at deployment the
+    index groupBy is a compacted table, not a per-batch re-agg); the
+    corpus is never re-deduped. The LSH near-dup leg composes the same
+    way (band-bucket index instead of fp index) — demonstrated on the
+    batch operator."""
+    raw = spark.readStream.schema("doc_id long, text string").parquet(stream_dir)
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: dedup_index_batch(df, bid, out_dir, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")

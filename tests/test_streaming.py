@@ -276,3 +276,69 @@ class TestAttributionIncrementalNtzEncoding:
                 spark, str(tmp_path), str(tmp_path / "c"), str(tmp_path / "o"),
                 ts_encoding="micros",
             )
+
+
+class TestStreamingIncrementalDedup:
+    """Streaming twin of dedup_incremental_batch: arrival-order dedup
+    decisions + index accumulation, exactly-once under replay."""
+
+    def _write_batch(self, spark, stream_dir, rows):
+        import uuid
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    def test_arrival_order_decisions_and_restart(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_incremental_dedup,
+        )
+
+        stream_dir = str(tmp_path / "stream")
+        out_dir = str(tmp_path / "out")
+        index_dir = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 1: two unique docs + one in-batch duplicate pair
+        self._write_batch(
+            spark,
+            stream_dir,
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (5, "alpha beta gamma")],
+        )
+        out = run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        got = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in out.collect()}
+        assert got[1] == ("new", None)
+        assert got[2] == ("new", None)
+        assert got[5] == ("dup_in_batch", 1)
+
+        # batch 2: one dup of batch 1, one new
+        self._write_batch(
+            spark, stream_dir, [(9, "alpha beta gamma"), (10, "eta theta iota")]
+        )
+        out = run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        got = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in out.collect()}
+        assert got[9] == ("dup_exact", 1)
+        assert got[10] == ("new", None)
+        assert len(got) == 5
+
+        # restart with the same checkpoint: nothing new → sink unchanged
+        before = sorted((r["doc_id"], r["decision"]) for r in out.collect())
+        out2 = run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        after = sorted((r["doc_id"], r["decision"]) for r in out2.collect())
+        assert before == after
+
+    def test_batch_body_idempotent_on_replay(self, spark, tmp_path):
+        """At-least-once replay: re-running the SAME batch id must leave
+        decisions and index unchanged (per-batch-id overwrite), and the
+        replayed batch must not see its own failed write as 'prior'."""
+        from pos_pipeline_core_etl_spark.streaming.events import dedup_index_batch
+
+        out_dir = str(tmp_path / "out")
+        index_dir = str(tmp_path / "index")
+        b0 = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+        dedup_index_batch(b0, 0, out_dir, index_dir)
+        dedup_index_batch(b0, 0, out_dir, index_dir)  # replay
+        out = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+        got = {r["doc_id"]: r["decision"] for r in out.collect()}
+        assert got == {1: "new", 2: "new"}
+        idx = spark.read.option("basePath", index_dir).parquet(index_dir + "/batch_id=*")
+        assert idx.count() == 2
