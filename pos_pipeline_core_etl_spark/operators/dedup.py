@@ -409,11 +409,16 @@ def connected_components(
         msgs = sym.join(labels, sym.a == labels.id).select(
             F.col("b").alias("id"), "component_id"
         )
+        # LAZY checkpoint: the convergence probe below is the action
+        # that materializes it, so each round costs ONE job (join + agg
+        # + checkpoint-on-first-use) instead of two (eager checkpoint
+        # job, then the probe). Lineage still truncates — later rounds
+        # and the returned frame read the checkpointed blocks.
         labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         label_sum = labels.agg(F.sum("component_id")).collect()[0][0]
         if label_sum == prev_sum:
