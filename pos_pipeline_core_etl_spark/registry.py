@@ -41,6 +41,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",    # new this round (batch-vs-corpus dedup)
     "corpus_mixture_plan",        # new this round (mixture budget math)
     "corpus_mixture_sample",      # new this round (mixture application)
+    "corpus_stats",               # new this round (per-source report)
     "text_pack_sequences",        # sharded window: new shard_id column
     "events_retention",           # floor-division fix (value-affecting)
     "events_mad_anomalies",       # mad=0 guard (value-affecting)

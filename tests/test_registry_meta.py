@@ -157,6 +157,7 @@ EXPECTED_QUERIES = frozenset(
         "dedup_incremental_batch",
         "corpus_mixture_plan",
         "corpus_mixture_sample",
+        "corpus_stats",
     }
 )
 

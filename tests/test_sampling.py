@@ -208,3 +208,26 @@ class TestMixture:
         )
         out = sampling.mixture_sample(docs)
         assert out.where(F.col("lang") == "xx").count() == 0
+
+
+class TestDomainQuotaSkew:
+    def test_hot_domain_capped_and_bounded_partitions(self, spark):
+        """A domain holding ~100x the others must still be capped
+        exactly, with its window work split across shards (the
+        scale-killer the sharded window exists for)."""
+        from pyspark.sql import functions as F2
+
+        hot = spark.range(5000).select(
+            F2.col("id").alias("doc_id"), F2.lit("hot").alias("source")
+        )
+        cold = spark.range(5000, 5050).select(
+            F2.col("id").alias("doc_id"), F2.lit("cold").alias("source")
+        )
+        out = sampling.domain_quota(hot.unionByName(cold))
+        counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+        cap = sampling.QUOTA_SHARDS * sampling.CAP_PER_SHARD
+        assert counts["hot"] == cap  # every shard of a hot domain fills
+        assert counts["cold"] <= cap
+        # survivors are spread across all shards, not one
+        shards = out.where(F2.col("source") == "hot").select("shard_id").distinct().count()
+        assert shards == sampling.QUOTA_SHARDS
