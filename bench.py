@@ -47,6 +47,9 @@ HEADLINE = (
     "dedup_decisions",
     "text_decontaminate_bloom",
     "dedup_incremental_batch",
+    # second pass: the full corpus-prep recipe (gates -> exact -> LSH
+    # components, all stages over prior survivors)
+    "corpus_prep_decisions",
 )
 
 

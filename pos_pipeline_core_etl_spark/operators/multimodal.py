@@ -298,7 +298,15 @@ def extract_features(binary_docs: DataFrame) -> DataFrame:
 
 
 def documents_as_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adapter: treat document text bytes as an opaque media payload."""
+    """Adapter: treat document text bytes as an opaque media payload.
+
+    Routed through the few-input-files parallelism guard: the downstream
+    mapInPandas decode is the single most CPU-bound stage a multimodal
+    pipeline has (real codecs, not the stub), and a one-file corpus must
+    not feed it as ONE Arrow task."""
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(docs)
     return docs.select("doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
 

@@ -1815,3 +1815,53 @@ GROUP BY source
 """
 
 QUERIES["corpus_stats"] = (corpus_stats, CORPUS_STATS_SQL)
+
+
+def emb_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup decision table — the SemDeDup-
+    style artifact: EVERY vector labeled kept / dropped_near with its
+    component canonical (min id), not just the vectors that happen to
+    appear in the pair graph. Completes the decision-table family
+    (dedup_decisions = lexical, corpus_prep_decisions = full recipe,
+    this = semantic).
+
+    One left join of the full id set against the components frame —
+    vectors outside any near-dup chain are their own canonical. Scale:
+    the components input is the blocked (hyperplane-bucketed, capped)
+    pair graph; the final join is one hash shuffle on vec_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = similarity.embedding_neardup_components(emb)
+    out = emb.select("vec_id").join(comps, "vec_id", "left")
+    return out.select(
+        "vec_id",
+        F.when(
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") != F.col("vec_id")),
+            F.lit("dropped_near"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("decision"),
+        F.coalesce(F.col("component_id"), F.col("vec_id"))
+        .cast("long")
+        .alias("canonical_id"),
+    )
+
+
+def _emb_dedup_decisions_oracle() -> str:
+    comps = _embedding_components_oracle().strip()
+    return f"""
+WITH comps AS (
+{comps}
+)
+SELECT e.vec_id,
+       CASE WHEN c.component_id IS NOT NULL AND c.component_id != e.vec_id
+            THEN 'dropped_near' ELSE 'kept' END AS decision,
+       CAST(COALESCE(c.component_id, e.vec_id) AS BIGINT) AS canonical_id
+FROM embeddings e LEFT JOIN comps c ON e.vec_id = c.vec_id
+"""
+
+
+EMB_DEDUP_DECISIONS_SQL = _emb_dedup_decisions_oracle()
+
+QUERIES["emb_dedup_decisions"] = (emb_dedup_decisions, EMB_DEDUP_DECISIONS_SQL)

@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_plan",        # new this round (mixture budget math)
     "corpus_mixture_sample",      # new this round (mixture application)
     "corpus_stats",               # new this round (per-source report)
+    "emb_dedup_decisions",        # new this round (semantic decision table)
     "text_pack_sequences",        # sharded window: new shard_id column
     "events_retention",           # floor-division fix (value-affecting)
     "events_mad_anomalies",       # mad=0 guard (value-affecting)

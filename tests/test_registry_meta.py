@@ -158,6 +158,7 @@ EXPECTED_QUERIES = frozenset(
         "corpus_mixture_plan",
         "corpus_mixture_sample",
         "corpus_stats",
+        "emb_dedup_decisions",
     }
 )
 
