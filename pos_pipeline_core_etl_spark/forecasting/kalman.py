@@ -1,0 +1,246 @@
+"""Exact Gaussian SARIMA likelihood via a pure-numpy Kalman filter.
+
+Closes the backend gap for the reference's SARIMAX grid
+(``/root/reference/src/pos_core/forecasting/models/arima.py:118-141``):
+statsmodels fits SARIMAX by maximizing the exact Gaussian likelihood
+computed with a state-space Kalman filter.  statsmodels is not
+installed in this container, so this module re-implements the same
+public-knowledge algorithm (Harvey, *Forecasting, Structural Time
+Series Models and the Kalman Filter*, 1989; Durbin & Koopman 2012)
+from scratch:
+
+- the multiplicative SARIMA(p,d,q)(P,D,Q)_m ARMA component in Harvey
+  companion form (state dim ``r = max(p+mP, q+mQ+1)``),
+- prediction-error-decomposition log-likelihood with the scale
+  concentrated out analytically,
+- approximate-diffuse initialization ``P0 = kappa * I`` (kappa = 1e6),
+  the same convention SARIMAX uses under
+  ``enforce_stationarity=False``,
+- a dependency-free Nelder–Mead maximizer.
+
+Parity target: ``SARIMAX(simple_differencing=True,
+enforce_stationarity=False, enforce_invertibility=False)`` — the
+reference's configuration, with differencing applied to the data
+rather than carried in the state (the one structural difference, which
+affects only the handling of the first ``d + m*D`` observations).  The
+filter itself is validated in tests against a direct multivariate-
+normal evaluation of the same linear-Gaussian model (exact to 1e-6),
+so the likelihood is *exact*, not an approximation like the
+Hannan–Rissanen CSS backend it refines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+KAPPA = 1.0e6  # approximate-diffuse initial state variance (statsmodels default)
+
+
+def sarima_polys(
+    phi: np.ndarray,
+    sphi: np.ndarray,
+    theta: np.ndarray,
+    stheta: np.ndarray,
+    m: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply the seasonal and non-seasonal lag polynomials.
+
+    Returns ``(phi_full, theta_full)`` such that
+    ``w_t = sum_i phi_full[i-1] * w_{t-i} + eps_t
+            + sum_j theta_full[j-1] * eps_{t-j}``.
+    """
+    ar = np.r_[1.0, -np.asarray(phi, dtype=float)]
+    sar = np.zeros(m * len(sphi) + 1)
+    sar[0] = 1.0
+    for j, c in enumerate(np.asarray(sphi, dtype=float), start=1):
+        sar[m * j] = -c
+    ma = np.r_[1.0, np.asarray(theta, dtype=float)]
+    sma = np.zeros(m * len(stheta) + 1)
+    sma[0] = 1.0
+    for j, c in enumerate(np.asarray(stheta, dtype=float), start=1):
+        sma[m * j] = c
+    phi_full = -np.polymul(ar, sar)[1:]
+    theta_full = np.polymul(ma, sma)[1:]
+    return phi_full, theta_full
+
+
+def harvey_matrices(
+    phi_full: np.ndarray, theta_full: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Companion-form transition T and selection R for the ARMA state.
+
+    ``y_t = alpha_t[0]``, ``alpha_{t+1} = T alpha_t + R eps_{t+1}``.
+    """
+    r = max(len(phi_full), len(theta_full) + 1, 1)
+    T = np.zeros((r, r))
+    T[: len(phi_full), 0] = phi_full
+    T[:-1, 1:] = np.eye(r - 1)
+    R = np.zeros(r)
+    R[0] = 1.0
+    R[1 : 1 + len(theta_full)] = theta_full
+    return T, R
+
+
+def kalman_loglike(
+    w: np.ndarray,
+    phi_full: np.ndarray,
+    theta_full: np.ndarray,
+    kappa: float = KAPPA,
+) -> tuple[float, float, np.ndarray, np.ndarray]:
+    """Concentrated prediction-error log-likelihood of the ARMA model.
+
+    Runs the filter with unit innovation variance; the true variance is
+    concentrated out analytically (``sigma2_hat = mean(v_t^2 / F_t)``).
+    The effective prior is ``alpha_1 ~ N(0, sigma2 * kappa * I)``.
+
+    Returns ``(llf, sigma2_hat, a_pred, T)`` where ``a_pred`` is the
+    one-step-ahead state prediction E[alpha_{n+1} | y_1..n] — the
+    starting point for forecasting.
+    """
+    T, R = harvey_matrices(phi_full, theta_full)
+    r = T.shape[0]
+    RR = np.outer(R, R)
+    a = np.zeros(r)
+    P = kappa * np.eye(r)
+    n = len(w)
+    sum_logF = 0.0
+    sum_v2F = 0.0
+    for t in range(n):
+        Fv = P[0, 0]
+        if not np.isfinite(Fv) or Fv <= 0.0:
+            return -np.inf, np.nan, a, T
+        v = w[t] - a[0]
+        sum_logF += np.log(Fv)
+        sum_v2F += v * v / Fv
+        # gain and one-step update, fused with the time update
+        PZ = P[:, 0]
+        K = T @ PZ / Fv
+        a = T @ a + K * v
+        TP = T @ P
+        P = TP @ T.T + RR - np.outer(K, K) * Fv
+        P = 0.5 * (P + P.T)
+    sigma2 = max(sum_v2F / n, 1e-300)
+    llf = -0.5 * n * (np.log(2.0 * np.pi) + 1.0 + np.log(sigma2)) - 0.5 * sum_logF
+    return float(llf), float(sigma2), a, T
+
+
+def kalman_forecast(a_pred: np.ndarray, T: np.ndarray, steps: int) -> np.ndarray:
+    """Point forecasts: propagate the predicted state mean forward."""
+    out = np.empty(steps)
+    a = a_pred
+    for h in range(steps):
+        out[h] = a[0]
+        a = T @ a
+    return out
+
+
+def direct_mvn_loglike(
+    w: np.ndarray,
+    phi_full: np.ndarray,
+    theta_full: np.ndarray,
+    sigma2: float,
+    kappa: float = KAPPA,
+) -> float:
+    """Exact log-likelihood via the dense joint normal — test oracle.
+
+    Builds the linear map from (alpha_1, eps_2..eps_{n}) to y and
+    evaluates the multivariate-normal logpdf directly.  O(n^2 r) — for
+    validating :func:`kalman_loglike` on short series only.
+    """
+    T, R = harvey_matrices(phi_full, theta_full)
+    r = T.shape[0]
+    n = len(w)
+    # y_t = Z alpha_t; alpha_t = T^{t-1} alpha_1 + sum_{s=2..t} T^{t-s} R eps_s
+    A = np.zeros((n, r))  # coefficient of alpha_1 in y_t
+    B = np.zeros((n, n))  # coefficient of eps_t (innovation entering state t)
+    powT = np.eye(r)
+    rows = []
+    for _t in range(n):
+        rows.append(powT[0, :].copy())
+        powT = T @ powT
+    for t in range(n):
+        A[t] = rows[t]
+        for s in range(1, t + 1):
+            # eps entering at state s+1 contributes T^{t-s-1+...}: alpha_{s+1} gets R
+            B[t, s] = rows[t - s] @ R
+    # alpha_1 itself contains eps_1 through the stationary/diffuse prior only;
+    # model the first innovation as part of alpha_1's prior: alpha_1 ~ N(0,
+    # sigma2*kappa*I) exactly as the filter assumes.
+    cov = sigma2 * (kappa * (A @ A.T) + B @ B.T)
+    sign, logdet = np.linalg.slogdet(cov)
+    if sign <= 0:
+        return -np.inf
+    sol = np.linalg.solve(cov, w)
+    return float(-0.5 * (n * np.log(2.0 * np.pi) + logdet + w @ sol))
+
+
+def nelder_mead(
+    fn,
+    x0: np.ndarray,
+    step: float = 0.1,
+    max_fev: int | None = None,
+    ftol: float = 1e-9,
+) -> tuple[np.ndarray, float]:
+    """Dependency-free Nelder–Mead simplex minimization.
+
+    Standard reflection/expansion/contraction/shrink with adaptive
+    termination on the function-value spread.  Returns (x_best, f_best).
+    """
+    x0 = np.asarray(x0, dtype=float)
+    n = len(x0)
+    if n == 0:
+        return x0, fn(x0)
+    max_fev = max_fev or 250 * (n + 1)
+    simplex = [x0]
+    for i in range(n):
+        x = x0.copy()
+        x[i] += step if x[i] == 0 else step * abs(x[i]) + 0.02
+        simplex.append(x)
+    fvals = [fn(x) for x in simplex]
+    fev = len(fvals)
+    while fev < max_fev:
+        order = np.argsort(fvals)
+        simplex = [simplex[i] for i in order]
+        fvals = [fvals[i] for i in order]
+        # require BOTH value and simplex collapse: symmetric objectives
+        # can produce equal f at points straddling a sharp optimum
+        f_small = abs(fvals[-1] - fvals[0]) < ftol * (1.0 + abs(fvals[0]))
+        x_small = max(
+            float(np.max(np.abs(x - simplex[0]))) for x in simplex[1:]
+        ) < 1e-6 * (1.0 + float(np.max(np.abs(simplex[0]))))
+        if f_small and x_small:
+            break
+        centroid = np.mean(simplex[:-1], axis=0)
+        worst = simplex[-1]
+        xr = centroid + (centroid - worst)
+        fr = fn(xr)
+        fev += 1
+        if fr < fvals[0]:
+            xe = centroid + 2.0 * (centroid - worst)
+            fe = fn(xe)
+            fev += 1
+            if fe < fr:
+                simplex[-1], fvals[-1] = xe, fe
+            else:
+                simplex[-1], fvals[-1] = xr, fr
+        elif fr < fvals[-2]:
+            simplex[-1], fvals[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (worst - centroid)
+            fc = fn(xc)
+            fev += 1
+            if fc < fvals[-1]:
+                simplex[-1], fvals[-1] = xc, fc
+            else:  # shrink toward best
+                for i in range(1, n + 1):
+                    simplex[i] = simplex[0] + 0.5 * (simplex[i] - simplex[0])
+                    fvals[i] = fn(simplex[i])
+                fev += n
+    best = int(np.argmin(fvals))
+    return simplex[best], fvals[best]
+
+
+# kalman primitives are referenced from applyInPandas closures via models.py
+from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

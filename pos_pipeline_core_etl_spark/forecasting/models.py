@@ -17,8 +17,9 @@ Models:
   in-container stand-in for the reference's SARIMAX grid (statsmodels
   is not available here).
 - ``LogARIMAModel`` (arima.py:31-185): the reference's log1p + SARIMAX
-  AIC grid search — import-gated on statsmodels; raises a clear error
-  when the dependency is missing.
+  AIC grid search.  Backend: statsmodels SARIMAX when installed, else a
+  Hannan–Rissanen CSS scan of the grid with an exact Kalman-filter MLE
+  refit of the min-AIC winner (``forecasting/kalman.py``).
 """
 
 from __future__ import annotations
@@ -153,6 +154,36 @@ class LogLinearSeasonalModel(ForecastModel):
         return pd.Series(pred, index=idx)
 
 
+def _difference_chain(
+    values: np.ndarray, d: int, D: int, m: int
+) -> tuple[np.ndarray, list[float], list[np.ndarray]]:
+    """Apply (1-B)^d (1-B^m)^D keeping the histories needed to invert."""
+    reg_tails: list[float] = []
+    w = values
+    for _ in range(d):
+        reg_tails.append(w[-1])
+        w = np.diff(w)
+    seas_histories: list[np.ndarray] = []
+    for _ in range(D):
+        seas_histories.append(w.copy())
+        w = w[m:] - w[:-m]
+    return w, reg_tails, seas_histories
+
+
+def _invert_differencing(
+    fut: np.ndarray, reg_tails: list[float], seas_histories: list[np.ndarray], m: int
+) -> np.ndarray:
+    """Undo :func:`_difference_chain` for a forecast path (innermost first)."""
+    for hist in reversed(seas_histories):
+        buf = list(hist)
+        for v in fut:
+            buf.append(v + buf[-m])
+        fut = np.array(buf[len(hist):])
+    for tail in reversed(reg_tails):
+        fut = tail + np.cumsum(fut)
+    return fut
+
+
 class _HannanRissanenFit:
     """Pure-numpy SARIMA estimation via the Hannan–Rissanen two-stage
     method (long-AR residual proxy → OLS with AR/MA/seasonal lags) under
@@ -173,15 +204,7 @@ class _HannanRissanenFit:
         values = np.asarray(y, dtype=float)
 
         # differencing chain (1-B)^d (1-B^m)^D, histories kept to invert
-        self._reg_tails: list[float] = []
-        w = values
-        for _ in range(d):
-            self._reg_tails.append(w[-1])
-            w = np.diff(w)
-        self._seas_histories: list[np.ndarray] = []
-        for _ in range(D):
-            self._seas_histories.append(w.copy())
-            w = w[m:] - w[:-m]
+        w, self._reg_tails, self._seas_histories = _difference_chain(values, d, D, m)
         self._w_hist = w.copy()
         self._m = m
         self._order = (p, d, q)
@@ -253,20 +276,91 @@ class _HannanRissanenFit:
             w.append(val)
             eps.append(0.0)
         fut = np.array(w[len(self._w_hist):])
-
-        # invert seasonal differencing (innermost first)
-        for hist in reversed(self._seas_histories):
-            buf = list(hist)
-            for v in fut:
-                buf.append(v + buf[-m])
-            fut = np.array(buf[len(hist):])
-        # invert regular differencing
-        for tail in reversed(self._reg_tails):
-            fut = tail + np.cumsum(fut)
+        fut = _invert_differencing(fut, self._reg_tails, self._seas_histories, m)
         idx = pd.date_range(
             self._index_last + pd.Timedelta(days=1), periods=steps, freq="D"
         )
         return pd.Series(fut, index=idx)
+
+
+class _KalmanExactMLEFit:
+    """Exact Gaussian MLE for one SARIMA order via the Kalman filter.
+
+    The statsmodels-free equivalent of the reference's SARIMAX fit
+    (arima.py:118-141): maximize the exact prediction-error-decomposition
+    likelihood of the multiplicative SARIMA ARMA component on the
+    (simply) differenced series, approximate-diffuse init, scale
+    concentrated out (see :mod:`..forecasting.kalman`).  Unlike
+    :class:`_HannanRissanenFit` — a two-stage CSS *approximation* used
+    to scan the 144-order grid cheaply — this is the genuine MLE, used
+    to refit the grid winner (``LogARIMAModel(backend="hr+mle")``).
+    """
+
+    def __init__(self, y: pd.Series, order, seasonal_order, start_params=None):
+        from pos_pipeline_core_etl_spark.forecasting import kalman as K
+
+        p, d, q = order
+        P, D, Q, m = seasonal_order
+        self._index_last = y.index[-1]
+        values = np.asarray(y, dtype=float)
+        w, self._reg_tails, self._seas_histories = _difference_chain(values, d, D, m)
+        self._w = w.astype(float)
+        self._m = m
+        self._shape = (p, q, P, Q)
+        k = p + q + P + Q
+        if len(w) < k + 5:
+            raise ValueError("series too short for this order after differencing")
+
+        def unpack(x: np.ndarray):
+            return (
+                x[:p],
+                x[p : p + P],
+                x[p + P : p + P + q],
+                x[p + P + q :],
+            )
+
+        def neg_llf(x: np.ndarray) -> float:
+            if np.any(np.abs(x) > 50.0):
+                return 1e12
+            phi_full, theta_full = K.sarima_polys(*unpack(x), m)
+            llf, _, _, _ = K.kalman_loglike(w, phi_full, theta_full)
+            return 1e12 if not np.isfinite(llf) else -llf
+
+        x0 = np.zeros(k) if start_params is None else np.asarray(start_params, float)
+        if len(x0) != k:
+            x0 = np.zeros(k)
+        x_best, f_best = K.nelder_mead(neg_llf, x0)
+        if not np.isfinite(f_best) or f_best >= 1e12:
+            raise ValueError("exact-MLE likelihood did not evaluate finitely")
+        self.params = x_best
+        phi_full, theta_full = K.sarima_polys(*unpack(x_best), m)
+        llf, sigma2, a_pred, T = K.kalman_loglike(w, phi_full, theta_full)
+        self.llf = llf
+        self.sigma2 = sigma2
+        self._a_pred, self._T = a_pred, T
+        self.aic = -2.0 * llf + 2.0 * (k + 1)
+
+    def forecast(self, steps: int) -> pd.Series:
+        from pos_pipeline_core_etl_spark.forecasting import kalman as K
+
+        fut = K.kalman_forecast(self._a_pred, self._T, steps)
+        fut = _invert_differencing(fut, self._reg_tails, self._seas_histories, self._m)
+        idx = pd.date_range(
+            self._index_last + pd.Timedelta(days=1), periods=steps, freq="D"
+        )
+        return pd.Series(fut, index=idx)
+
+
+def _hr_start_params(hr: _HannanRissanenFit, order, seasonal_order) -> np.ndarray:
+    """Reorder an HR beta into the (phi, Phi, theta, Theta) MLE layout."""
+    p, _, q = order
+    P, _, Q, _ = seasonal_order
+    beta = hr._beta
+    n_ar = p + P
+    start = np.concatenate(
+        [beta[:p], beta[p:n_ar], beta[n_ar : n_ar + q], beta[n_ar + q :]]
+    )
+    return np.clip(start, -0.98, 0.98)
 
 
 @dataclass
@@ -282,6 +376,11 @@ class LogARIMAModel(ForecastModel):
     max_p: int = 2
     max_d: int = 1
     max_q: int = 2
+    #: "hr"      — Hannan–Rissanen CSS everywhere (fast scan, round-3 behavior)
+    #: "hr+mle"  — HR scans the 144-order grid, the min-AIC winner is refit by
+    #:             exact Kalman MLE seeded from the HR coefficients (default)
+    #: "mle"     — exact MLE for every grid point (slow; tests/offline only)
+    backend: str = "hr+mle"
 
     @staticmethod
     def _sarimax_cls():
@@ -301,6 +400,8 @@ class LogARIMAModel(ForecastModel):
                 enforce_stationarity=False,
                 enforce_invertibility=False,
             ).fit(disp=False)
+        if self.backend == "mle":
+            return _KalmanExactMLEFit(y, order, seasonal_order)
         return _HannanRissanenFit(y, order, seasonal_order)
 
     def train(self, series: pd.Series, **kwargs: Any) -> Any:
@@ -310,7 +411,7 @@ class LogARIMAModel(ForecastModel):
             series.astype(float).replace([np.inf, -np.inf], np.nan).fillna(0.0)
         )
         y = np.log1p(clean.clip(lower=0))
-        best, best_aic = None, np.inf
+        best, best_aic, best_orders = None, np.inf, None
         for p in range(self.max_p + 1):
             for d in range(self.max_d + 1):
                 for q in range(self.max_q + 1):
@@ -325,8 +426,23 @@ class LogARIMAModel(ForecastModel):
                                     continue
                                 if fit.aic < best_aic:
                                     best, best_aic = fit, fit.aic
+                                    best_orders = (
+                                        (p, d, q),
+                                        (P, D, Q, SEASONAL_PERIOD),
+                                    )
         if best is None:
             raise ValueError("no SARIMA configuration converged")
+        if self.backend == "hr+mle" and isinstance(best, _HannanRissanenFit):
+            # exact-MLE polish of the grid winner, seeded from the CSS
+            # coefficients; fall back to the scan fit if the refit fails.
+            try:
+                best = _KalmanExactMLEFit(
+                    y,
+                    *best_orders,
+                    start_params=_hr_start_params(best, *best_orders),
+                )
+            except Exception:
+                pass
         return best
 
     def forecast(self, model: Any, steps: int, **kwargs: Any) -> pd.Series:

@@ -352,6 +352,29 @@ class TestArimaBackendBound:
         pred = m.forecast(m.train(series[2]), 7)
         assert (pred > 0).all()
 
+        # round 4: the pure-numpy exact-MLE backend must agree with
+        # SARIMAX *numerically* (same algorithm: Kalman prediction-error
+        # MLE).  simple_differencing=True matches where the rebuild
+        # applies differencing (to the data, not in the state).
+        from pos_pipeline_core_etl_spark.forecasting.models import _KalmanExactMLEFit
+
+        y = np.log1p(series[2])
+        ours = _KalmanExactMLEFit(y, (1, 0, 1), (0, 1, 0, SEASONAL_PERIOD))
+        sx = sm.SARIMAX(
+            y,
+            order=(1, 0, 1),
+            seasonal_order=(0, 1, 0, SEASONAL_PERIOD),
+            enforce_stationarity=False,
+            enforce_invertibility=False,
+            simple_differencing=True,
+        ).fit(disp=False)
+        assert np.asarray(ours.params) == pytest.approx(
+            np.asarray(sx.params[:-1]), abs=0.05
+        )
+        a = np.expm1(ours.forecast(7).to_numpy())
+        b = np.expm1(np.asarray(sx.forecast(7)))
+        assert float(np.mean(np.abs(a - b) / np.maximum(b, 1e-9))) < 0.05
+
 
 class TestSeasonalArAnalyticBound:
     """Widens the r3 AR(1)-only analytic envelope to seasonal orders
@@ -524,3 +547,137 @@ class TestHannanRissanenMaBounds:
         fit = _HannanRissanenFit(pd.Series(y, index=idx), (1, 0, 1), (0, 0, 0, 7))
         assert fit._beta[0] == pytest.approx(phi, abs=0.08)
         assert fit._beta[1] == pytest.approx(theta, abs=0.10)
+
+
+class TestKalmanExactMLE:
+    """Round-4 backend upgrade: the grid winner is refit by an EXACT
+    Gaussian MLE (Kalman prediction-error decomposition, pure numpy —
+    ``forecasting/kalman.py``), the same algorithm statsmodels SARIMAX
+    runs. Unlike the HR-CSS bounds above, these tests pin the
+    likelihood itself: the filter must agree with a direct
+    multivariate-normal evaluation of the identical linear-Gaussian
+    model to near machine precision, and the maximizer must match
+    closed-form MLEs where they exist."""
+
+    def test_filter_matches_direct_mvn_arma21(self):
+        """Kalman llf == dense-covariance MVN llf for ARMA(2,1) — the
+        filter is exact, not an approximation."""
+        from pos_pipeline_core_etl_spark.forecasting import kalman as K
+
+        rng = np.random.default_rng(7)
+        phi_full, theta_full = K.sarima_polys([0.5, -0.3], [], [0.4], [], 7)
+        w = rng.standard_normal(40)
+        llf, s2, _, _ = K.kalman_loglike(w, phi_full, theta_full)
+        direct = K.direct_mvn_loglike(w, phi_full, theta_full, s2)
+        assert llf == pytest.approx(direct, abs=1e-8)
+
+    def test_filter_matches_direct_mvn_seasonal(self):
+        """Same exactness check for a multiplicative seasonal order
+        (state dim 9) — covers the polynomial-product path."""
+        from pos_pipeline_core_etl_spark.forecasting import kalman as K
+
+        rng = np.random.default_rng(11)
+        phi_full, theta_full = K.sarima_polys([0.4], [0.3], [0.2], [0.1], 7)
+        w = rng.standard_normal(35)
+        llf, s2, _, _ = K.kalman_loglike(w, phi_full, theta_full)
+        direct = K.direct_mvn_loglike(w, phi_full, theta_full, s2)
+        assert llf == pytest.approx(direct, abs=1e-8)
+
+    def test_ar1_mle_matches_conditional_mle(self):
+        """With diffuse initialization the exact AR(1) MLE equals the
+        conditional (regression) MLE analytically; the optimizer must
+        land on it to 1e-3."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _KalmanExactMLEFit
+
+        rng = np.random.default_rng(7)
+        n = 300
+        y = np.zeros(n)
+        for t in range(1, n):
+            y[t] = 0.7 * y[t - 1] + rng.standard_normal()
+        ser = pd.Series(y, index=pd.date_range("2024-01-01", periods=n, freq="D"))
+        fit = _KalmanExactMLEFit(ser, (1, 0, 0), (0, 0, 0, 7))
+        conditional = float((y[1:] @ y[:-1]) / (y[:-1] @ y[:-1]))
+        assert fit.params[0] == pytest.approx(conditional, abs=1e-3)
+
+    def test_ma1_mle_beats_hr_likelihood(self):
+        """MA(1) has no closed-form MLE — HR-CSS is only an
+        approximation there. The exact-MLE refit must (a) recover theta
+        within 0.08 and (b) achieve a log-likelihood >= the one at the
+        HR coefficients: the refit can only improve the fit."""
+        from pos_pipeline_core_etl_spark.forecasting import kalman as K
+        from pos_pipeline_core_etl_spark.forecasting.models import (
+            _HannanRissanenFit,
+            _KalmanExactMLEFit,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 400
+        e = rng.standard_normal(n + 1)
+        y = e[1:] + 0.6 * e[:-1]
+        ser = pd.Series(y, index=pd.date_range("2024-01-01", periods=n, freq="D"))
+        fit = _KalmanExactMLEFit(ser, (0, 0, 1), (0, 0, 0, 7))
+        assert fit.params[0] == pytest.approx(0.6, abs=0.08)
+        hr = _HannanRissanenFit(ser, (0, 0, 1), (0, 0, 0, 7))
+        phi_full, theta_full = K.sarima_polys([], [], [float(hr._beta[0])], [], 7)
+        llf_at_hr, _, _, _ = K.kalman_loglike(np.asarray(ser, float), phi_full, theta_full)
+        assert fit.llf >= llf_at_hr - 1e-9
+
+    def test_sarma_recovery(self):
+        """Multiplicative SARMA(1,0,0)(1,0,0)_7: both coefficients
+        within 0.08 of truth (the HR scan alone only bounds these at
+        0.10 — see TestSeasonalArAnalyticBound)."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _KalmanExactMLEFit
+
+        rng = np.random.default_rng(3)
+        n = 500
+        y = np.zeros(n)
+        for t in range(n):
+            y[t] = (
+                0.5 * (y[t - 1] if t >= 1 else 0.0)
+                + 0.4 * (y[t - 7] if t >= 7 else 0.0)
+                - 0.2 * (y[t - 8] if t >= 8 else 0.0)
+                + rng.standard_normal()
+            )
+        ser = pd.Series(y, index=pd.date_range("2024-01-01", periods=n, freq="D"))
+        fit = _KalmanExactMLEFit(ser, (1, 0, 0), (1, 0, 0, 7))
+        assert fit.params[0] == pytest.approx(0.5, abs=0.08)
+        assert fit.params[1] == pytest.approx(0.4, abs=0.08)
+
+    def test_differenced_forecast_inverts_chain(self):
+        """d=1 on a pure linear trend: (0,1,0) is a ZERO-mean random
+        walk (trend='n', as the reference configures SARIMAX), so its
+        forecast is flat at the last level; (1,1,0) learns phi→1 on the
+        constant differenced series and continues the trend exactly.
+        Both pin the differencing-inversion chain."""
+        from pos_pipeline_core_etl_spark.forecasting.models import _KalmanExactMLEFit
+
+        n = 60
+        y = 10.0 + 2.0 * np.arange(n)
+        ser = pd.Series(y, index=pd.date_range("2024-01-01", periods=n, freq="D"))
+        rw = _KalmanExactMLEFit(ser, (0, 1, 0), (0, 0, 0, 7))
+        assert rw.forecast(5).to_numpy() == pytest.approx(np.full(5, y[-1]), rel=1e-9)
+        ar = _KalmanExactMLEFit(ser, (1, 1, 0), (0, 0, 0, 7))
+        expect = y[-1] + 2.0 * np.arange(1, 6)
+        assert ar.forecast(5).to_numpy() == pytest.approx(expect, rel=1e-6)
+
+    def test_grid_winner_is_mle_refit(self):
+        """LogARIMAModel default backend refits the min-AIC winner with
+        the exact MLE; backend='hr' preserves the round-3 scan-only
+        behavior."""
+        from pos_pipeline_core_etl_spark.forecasting.models import (
+            LogARIMAModel,
+            _HannanRissanenFit,
+            _KalmanExactMLEFit,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 120
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        vals = 100 + 10 * np.sin(2 * np.pi * np.arange(n) / 7) + 0.2 * np.arange(n)
+        ser = pd.Series(np.maximum(vals + rng.normal(0, 2, n), 0), index=idx)
+        default_fit = LogARIMAModel().train(ser)
+        assert isinstance(default_fit, _KalmanExactMLEFit)
+        hr_fit = LogARIMAModel(backend="hr").train(ser)
+        assert isinstance(hr_fit, _HannanRissanenFit)
+        pred = LogARIMAModel().forecast(default_fit, 7)
+        assert len(pred) == 7 and (pred.to_numpy() >= 0).all()
