@@ -50,6 +50,10 @@ HEADLINE = (
     # second pass: the full corpus-prep recipe (gates -> exact -> LSH
     # components, all stages over prior survivors)
     "corpus_prep_decisions",
+    # third pass: token-window substring dedup (keyed hash-aggs over
+    # strided windows) and the fully-distributed Lloyd k-means
+    "text_substring_dedup",
+    "emb_kmeans_lloyd",
 )
 
 

@@ -525,3 +525,83 @@ def incremental_batch_decisions(
         .cast("long")
         .alias("dup_of"),
     )
+
+
+# ---------------------------------------------------------------------------
+# substring (token-window) dedup — Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" (ACL 2022). The paper's suffix-array
+# substring dedup re-expressed for a shared-nothing engine: strided
+# fixed-width token windows hashed and counted across the corpus. A
+# window that appears verbatim in >= 2 distinct docs marks a duplicated
+# span; per-doc span stats drive the drop/trim decision downstream.
+
+SUBSTR_WINDOW = 16  # tokens per window (the paper uses 50 BPE tokens)
+SUBSTR_STRIDE = 8  # window start stride; overlap = window - stride
+
+
+def window_grams(
+    text: Column, window: int = SUBSTR_WINDOW, stride: int = SUBSTR_STRIDE
+) -> Column:
+    """Strided token windows of the lowercased text, positions kept.
+
+    Unlike :func:`shingles_col` these are NOT distinct — each occurrence
+    counts, so repeated spans inside one doc still surface when another
+    doc shares them."""
+    t = F.split(F.trim(F.lower(text)), TOKEN_SPLIT_RE)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - window, F.lit(stride)),
+        lambda i: F.array_join(F.slice(t, i + 1, window), " "),
+    )
+    return F.when(F.size(t) >= window, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    stride: int = SUBSTR_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-span statistics from strided token windows.
+
+    Returns one row per input doc: ``n_windows``, ``n_dup_windows``
+    (windows whose exact token content occurs in >= 2 distinct docs)
+    and ``max_window_copies`` (the corpus doc-frequency of the doc's
+    most widely shared window). All-integer output — the oracle is
+    bit-exact.
+
+    Scale shape: explode is linear in corpus tokens / stride; the only
+    shuffles are keyed — one hash-agg on the 64-bit window id, a join
+    back on the same key (partitioning reused), and one per-doc agg.
+    No doc × doc leg anywhere, so the plan survives 100 TB unchanged;
+    `stride` is the cost knob (windows per token = 1/stride).
+    """
+    base = _ensure_parallelism(docs.select(id_col, text_col), key=id_col)
+    wins = base.select(
+        id_col,
+        F.explode(window_grams(F.col(text_col), window, stride)).alias("gram"),
+    ).select(id_col, shingle_id(F.col("gram")).alias("wid"))
+    freq = wins.groupBy("wid").agg(F.count_distinct(id_col).alias("n_docs"))
+    per_doc = (
+        wins.join(freq, "wid")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_windows"),
+            F.max("n_docs").alias("max_window_copies"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("max_window_copies", F.lit(0))
+            .cast("long")
+            .alias("max_window_copies"),
+        )
+    )

@@ -655,3 +655,139 @@ def quantize_int8(
         ).alias("q_l1"),
         (err2 / F.size(F.col("v"))).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means (round-4 second pass)
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_QUANT = 1 << 20  # component quantization for order-free integer sums
+
+
+def _quantize_vec(vec: Column, quant: int = KMEANS_QUANT) -> Column:
+    """Element-wise floor(x*Q + 0.5) as BIGINT — hround-style, identical
+    IEEE arithmetic in any engine, so per-cluster component sums become
+    exact integer math with no float-accumulation-order sensitivity."""
+    return F.transform(
+        _as_double(vec),
+        lambda x: F.floor(x * F.lit(float(quant)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+) -> DataFrame:
+    """Fully-distributed Lloyd k-means: every step is a DataFrame op.
+
+    Unlike :func:`ivf_centroids` (numpy Lloyd on a BOUNDED driver-side
+    sample — the coarse-quantizer path), this trains on the ENTIRE
+    corpus with zero driver collection, the shape a 100 TB run needs:
+
+    - init: the k lowest-id vectors are the seed centroids (broadcast);
+    - assign: centroids are packed into ONE array row and broadcast, so
+      assignment is a pure map-side fold per vector — no shuffle, no
+      N × k join;
+    - update: posexplode to (cluster, component, value) and one keyed
+      hash-agg per iteration — the only data-sized shuffle, with
+      map-side partials; k*dim result rows.
+
+    Determinism contract: vectors are quantized to integers once, so
+    centroid numerators are exact integer sums (order-free) and every
+    distance is computed from identical rationals in both engines —
+    assignments are bit-exact cross-engine, ties broken by lowest
+    cluster id. Empty clusters keep their previous centroid.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _quantize_vec(F.col(vec_col), quant).alias("vq")
+    )
+    qf = float(quant)
+
+    # seed centroids: the k lowest-id vectors. The seed's vec_id IS the
+    # cluster label (labels need only be distinct + ordered for the
+    # tie-break; avoids a row_number over an unpartitioned window).
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.transform(F.col("vq"), lambda x: x / F.lit(qf)).alias("centroid"),
+        )
+    )
+
+    def pack(centroids: DataFrame) -> DataFrame:
+        """k rows -> ONE row holding the sorted centroid array."""
+        return centroids.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "centroid"))
+            ).alias("cents")
+        )
+
+    def assign(packed: DataFrame) -> DataFrame:
+        """Map-side argmin over the broadcast centroid array."""
+        joined = base.crossJoin(F.broadcast(packed))
+        v = F.transform(F.col("vq"), lambda x: x / F.lit(qf))
+        best = F.aggregate(
+            F.col("cents"),
+            F.struct(
+                F.lit(float("inf")).alias("d2"),
+                F.lit(-1).cast("long").alias("cluster"),
+            ),
+            lambda acc, c: F.when(
+                F.aggregate(
+                    F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda s, d: s + d,
+                )
+                < acc["d2"],
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda s, d: s + d,
+                    ).alias("d2"),
+                    c["cluster"].alias("cluster"),
+                ),
+            ).otherwise(acc),
+        )
+        return joined.select("vec_id", "vq", best["cluster"].alias("cluster"))
+
+    def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+        """Exact integer component sums -> new centroids; empty clusters
+        inherit the previous centroid."""
+        comp = assigned.select(
+            "cluster", F.posexplode(F.col("vq")).alias("comp", "val")
+        )
+        sums = comp.groupBy("cluster", "comp").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        fresh = (
+            sums.withColumn("mean", F.col("s") / (F.col("n") * F.lit(qf)))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("comp", "mean"))),
+                    lambda st: st["mean"],
+                ).alias("centroid")
+            )
+        )
+        return (
+            prev.select("cluster", F.col("centroid").alias("prev_centroid"))
+            .join(fresh, "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce("centroid", "prev_centroid").alias("centroid"),
+            )
+        )
+
+    centroids = seeds
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(pack(centroids))
+        centroids = update(assigned, centroids)
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))

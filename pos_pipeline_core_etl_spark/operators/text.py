@@ -501,3 +501,54 @@ def prep_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_pred.alias("lang_pred"),
         hround(dup_frac, 6).alias("dup_token_frac"),
     )
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM quality proxy: per document, the mean negative log
+    probability of its adjacent token pairs under the corpus bigram
+    distribution with add-one smoothing — one model class up from
+    :func:`unigram_logprob` (repetitive low-quality text scores LOW
+    surprise under its own corpus bigrams, a signal unigrams miss).
+
+    p(b|a) = (count(a b) + 1) / (count(a ·) + V), V = corpus vocabulary.
+    Shape: one pair explode (zip-with-tail, pure JVM), keyed hash-aggs
+    for pair and context counts, two equi-joins back on those keys, a
+    broadcast of the 1-row V, one per-doc agg — all shuffles keyed,
+    nothing quadratic.
+    """
+    t = tokens_col(F.lower(F.trim(F.col(text_col))))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("ctx"), F.concat(a, F.lit(" "), b).alias("pair")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<ctx:string,pair:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.ctx").alias("ctx"), F.col("bg.pair").alias("pair"))
+    pair_counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cp"))
+    ctx_counts = pairs.groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = corpus_tokens(docs, text_col).agg(
+        F.count_distinct("token").alias("v_vocab")
+    )
+    scored = (
+        pairs.join(pair_counts, "pair")
+        .join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log((F.col("cp") + 1.0) / (F.col("cc") + F.col("v_vocab")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        hround(F.avg("nll"), 6).alias("mean_neg_logprob"),
+    )

@@ -1865,3 +1865,334 @@ FROM embeddings e LEFT JOIN comps c ON e.vec_id = c.vec_id
 EMB_DEDUP_DECISIONS_SQL = _emb_dedup_decisions_oracle()
 
 QUERIES["emb_dedup_decisions"] = (emb_dedup_decisions, EMB_DEDUP_DECISIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# substring (token-window) dedup — round 4 second pass
+
+
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics via strided token windows (the
+    suffix-array substring-dedup signal of Lee et al. 2022, re-expressed
+    as keyed hash-aggs — see operators/dedup.py::substring_duplicate_spans
+    for the 100 TB shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_duplicate_spans(docs).orderBy("doc_id")
+
+
+def _substring_dedup_oracle() -> str:
+    w, s = dedup.SUBSTR_WINDOW, dedup.SUBSTR_STRIDE
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(
+             list_slice(t, u.pos + 1, u.pos + {w}), ' ')), 1, 8)) AS BIGINT) AS wid
+  FROM toks,
+       unnest(CASE WHEN len(t) >= {w}
+                   THEN range(0, len(t) - {w} + 1, {s})
+                   ELSE [] END) AS u(pos)
+),
+freq AS (
+  SELECT wid, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY wid
+),
+per_doc AS (
+  SELECT wins.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_windows,
+         max(freq.n_docs) AS max_window_copies
+  FROM wins JOIN freq USING (wid)
+  GROUP BY wins.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.max_window_copies, 0) AS BIGINT) AS max_window_copies
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+TEXT_SUBSTRING_DEDUP_SQL = _substring_dedup_oracle()
+
+QUERIES["text_substring_dedup"] = (text_substring_dedup, TEXT_SUBSTRING_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# weighted corpus sampling — Efraimidis–Spirakis priority sampling
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 'Weighted random sampling with a reservoir'): each doc
+    draws u from its md5 hash and gets priority ln(u)/w; the top-k by
+    priority are an exact weighted sample. Weight here = n_chars, the
+    standard size-proportional pick for token-budgeted corpus curation.
+
+    Scale shape: priority is a map-side expression; the top-k is
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    never a global sort — the same plan at 100 TB. The hash-derived u
+    makes the sample engine-reproducible (same convention as
+    bounded_sample / stratified_sample); priorities are hround(6)-ed
+    before ranking with a doc_id total tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double")
+    )
+    u = (h + F.lit(0.5)) / F.lit(65536.0)
+    key = hround(F.log(u) / F.col("n_chars").cast("double"), 6)
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+_PRIORITY_EXPR = (
+    "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+    " + 0.5) / 65536.0) / CAST(n_chars AS DOUBLE)"
+)
+
+DOCS_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       {hround_sql(_PRIORITY_EXPR, 6)} AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+QUERIES["docs_weighted_sample"] = (docs_weighted_sample, DOCS_WEIGHTED_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson–Lindenstrauss) dimensionality reduction
+
+
+RP_OUT_DIM = 8
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction 64 → 8: the classic
+    JL sketch that feeds coarse clustering / visualization / cheap ANN
+    pre-filters. The projection matrix is the SAME deterministic
+    hyperplane family the LSH bucketing uses (integer-mixed uniform
+    [-1, 1) components, similarity.plane_component) so engines share it
+    with zero data movement — at 100 TB this is a pure map-side scan,
+    no shuffle at all (plan-tested). Components are hround(6)-ed;
+    E[proj_j^2] = ||v||^2 / 3, so distance estimates downstream rescale
+    by 3/out_dim."""
+    from pos_pipeline_core_etl_spark.operators.similarity import (
+        _plane_component_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    cols = ["vec_id"]
+    for p in range(RP_OUT_DIM):
+        proj = (
+            f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" sequence(0, {dim - 1}),"
+            f" (x, i) -> x * {_plane_component_sql(p, dim)}),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+        cols.append(f"{hround_sql(proj, 6)} AS p{p}")
+    return emb.selectExpr(*cols)
+
+
+def _random_projection_oracle() -> str:
+    comps = ", ".join(
+        f"{hround_sql(_plane_proj_sql('CAST(embedding AS DOUBLE[])', p), 6)} AS p{p}"
+        for p in range(RP_OUT_DIM)
+    )
+    return f"SELECT vec_id, {comps} FROM embeddings"
+
+
+EMB_RANDOM_PROJECTION_SQL = _random_projection_oracle()
+
+QUERIES["emb_random_projection"] = (emb_random_projection, EMB_RANDOM_PROJECTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd k-means — round 4 second pass
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the FULL corpus (no driver-side
+    sample — contrast sim_ivf_topk_trained's bounded-sample quantizer).
+    See operators/similarity.py::kmeans_lloyd for the 100 TB shape:
+    map-side assignment against one broadcast centroid row, one keyed
+    hash-agg per iteration, integer-exact centroid sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd(emb).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    k = similarity.KMEANS_K
+    q = float(similarity.KMEANS_QUANT)
+    dim = 64
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (b.vq[i] / {q} - s.centroid[i]) * (b.vq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(dim=dim, q=q)
+
+    def assign(base: str, cents: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, vq, cluster FROM (
+    SELECT b.vec_id, b.vq, s.cluster,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {d2}, s.cluster) AS rn
+    FROM {base} b CROSS JOIN {cents} s)
+  WHERE rn = 1
+)"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""
+{out}_sums AS (
+  SELECT cluster, u.i AS comp, sum(vq[u.i]) AS s, count(*) AS n
+  FROM {assigned}, unnest(generate_series(1, {dim})) AS u(i)
+  GROUP BY cluster, u.i
+),
+{out}_fresh AS (
+  SELECT cluster, list(s / (n * {q}) ORDER BY comp) AS centroid
+  FROM {out}_sums GROUP BY cluster
+),
+{out} AS (
+  SELECT p.cluster, coalesce(f.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN {out}_fresh f USING (cluster)
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {q} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cluster, list_transform(vq, x -> x / {q}) AS centroid
+  FROM base ORDER BY vec_id LIMIT {k}
+),{assign("base", "seeds", "assign0")},{update("assign0", "seeds", "cent1")},{assign("base", "cent1", "assign1")}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM assign1
+ORDER BY vec_id
+"""
+
+
+EMB_KMEANS_LLOYD_SQL = _kmeans_oracle()
+
+QUERIES["emb_kmeans_lloyd"] = (emb_kmeans_lloyd, EMB_KMEANS_LLOYD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair counting — round 4 second pass
+
+
+BPE_PAIRS_K = 20
+
+
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of byte-pair / WordPiece tokenizer training: count
+    adjacent token pairs across the corpus and rank the merge
+    candidates. One explode (zip the token array with its own tail —
+    pure JVM, no UDF) and ONE keyed hash-agg with map-side partials;
+    top-k via TakeOrderedAndProject. At 100 TB this is the canonical
+    map-reduce wordcount shape — nothing to re-plan; each BPE training
+    round re-runs it on the re-tokenized corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.tokens_col(F.lower(F.col("text")))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_PAIRS_K)
+    )
+
+
+TEXT_BPE_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+pairs AS (
+  SELECT t[u.i] || ' ' || t[u.i + 1] AS pair
+  FROM toks,
+       unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i)
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_PAIRS_K}
+"""
+
+QUERIES["text_bpe_pairs"] = (text_bpe_pairs, TEXT_BPE_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality proxy — round 4 second pass
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprise per document (add-one smoothing) — the next
+    model class up from text_unigram_logprob; see
+    operators/text.py::bigram_logprob for the plan shape."""
+    df = text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "mean_neg_logprob",
+    )
+
+
+TEXT_BIGRAM_LOGPROB_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[u.i] AS ctx, t[u.i] || ' ' || t[u.i + 1] AS pair
+  FROM toks,
+       unnest(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS u(i)
+),
+pc AS (SELECT pair, COUNT(*) AS cp FROM pairs GROUP BY pair),
+cc AS (SELECT ctx, COUNT(*) AS cc FROM pairs GROUP BY ctx),
+vocab AS (
+  SELECT COUNT(DISTINCT u.tok) AS v_vocab
+  FROM toks, unnest(t) AS u(tok)
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {hround_sql("AVG(-ln((cp + 1.0) / (cc + v_vocab)))", 6)} AS mean_neg_logprob
+FROM pairs p
+JOIN pc USING (pair)
+JOIN cc USING (ctx)
+CROSS JOIN vocab
+GROUP BY p.doc_id
+"""
+
+QUERIES["text_bigram_logprob"] = (text_bigram_logprob, TEXT_BIGRAM_LOGPROB_SQL)

@@ -29,6 +29,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Round-4 window: see module docstring for the tier rationale.
 _PRIORITY: tuple[str, ...] = (
+    # -- tier 0: round-4 second-pass additions (never driver-checked) ----
+    "text_substring_dedup",       # token-window substring dedup (Lee et al.)
+    "docs_weighted_sample",       # Efraimidis-Spirakis priority sampling
+    "emb_random_projection",      # JL projection 64->8, map-side only
+    "emb_kmeans_lloyd",           # distributed Lloyd, integer-exact oracle
+    "text_bpe_pairs",             # tokenizer-training pair counts
+    "text_bigram_logprob",        # bigram-LM surprise (add-one smoothing)
     # -- tier 1: no driver row from any round / results changed ----------
     "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
     "text_decontaminate_bloom",   # new this round

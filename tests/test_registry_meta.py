@@ -159,6 +159,13 @@ EXPECTED_QUERIES = frozenset(
         "corpus_mixture_sample",
         "corpus_stats",
         "emb_dedup_decisions",
+        # round-4 second pass
+        "text_substring_dedup",
+        "docs_weighted_sample",
+        "emb_random_projection",
+        "emb_kmeans_lloyd",
+        "text_bpe_pairs",
+        "text_bigram_logprob",
     }
 )
 

@@ -231,3 +231,105 @@ class TestDomainQuotaSkew:
         # survivors are spread across all shards, not one
         shards = out.where(F2.col("source") == "hot").select("shard_id").distinct().count()
         assert shards == sampling.QUOTA_SHARDS
+
+
+class TestWeightedSample:
+    """Efraimidis–Spirakis priority sampling (plans/llm_ops.py::
+    docs_weighted_sample): determinism + weight monotonicity."""
+
+    def test_deterministic_and_plan_is_topk(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import docs_weighted_sample
+
+        a = docs_weighted_sample(spark, "/root/testdata/sf0.001").toPandas()
+        b = docs_weighted_sample(spark, "/root/testdata/sf0.001").toPandas()
+        assert a.equals(b)
+        plan = (
+            docs_weighted_sample(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan  # top-k heap, no global sort
+
+    def test_heavier_docs_overrepresented(self, spark):
+        """ES sampling draws size-proportionally: the sampled mean
+        n_chars must exceed the corpus mean."""
+        import duckdb
+
+        from pos_pipeline_core_etl_spark.plans.llm_ops import docs_weighted_sample
+
+        out = docs_weighted_sample(spark, "/root/testdata/sf0.01").toPandas()
+        con = duckdb.connect()
+        corpus_mean = con.execute(
+            "SELECT avg(n_chars) FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchone()[0]
+        con.close()
+        assert out["n_chars"].mean() > corpus_mean
+
+
+class TestRandomProjection:
+    """JL random projection (plans/llm_ops.py::emb_random_projection):
+    map-side-only plan + distance-correlation preservation."""
+
+    def test_zero_exchange_plan(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import emb_random_projection
+
+        plan = (
+            emb_random_projection(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_distance_correlation(self, spark):
+        """Pairwise distances in the 8-dim sketch must correlate
+        strongly with the original 64-dim distances (JL guarantee at
+        this compression is loose per-pair but tight in rank terms)."""
+        import numpy as np
+        import pandas as pd
+
+        from pos_pipeline_core_etl_spark.plans.llm_ops import emb_random_projection
+
+        proj = (
+            emb_random_projection(spark, "/root/testdata/sf0.01")
+            .orderBy("vec_id")
+            .limit(60)
+            .toPandas()
+        )
+        orig = (
+            spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+            .orderBy("vec_id")
+            .limit(60)
+            .toPandas()
+        )
+        P = proj[[f"p{i}" for i in range(8)]].to_numpy()
+        V = np.stack(orig["embedding"].to_numpy())
+        dp = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2).ravel()
+        dv = np.linalg.norm(V[:, None, :] - V[None, :, :], axis=2).ravel()
+        r = float(np.corrcoef(dp, dv)[0, 1])
+        # calibration: a TRUE-random 64->8 projection of isotropic data
+        # yields r ~ 0.46 (JL relative error ~ sqrt(1/8)); the
+        # deterministic family must land in the same regime, not below it
+        assert r > 0.3, r
+
+    def test_variance_factor_unbiased(self, spark):
+        """Docstring contract: E[proj_j^2] = ||v||^2 / 3, so
+        3/out_dim * sum_j proj_j^2 estimates ||v||^2. The corpus-mean
+        ratio must sit near 1."""
+        import numpy as np
+
+        from pos_pipeline_core_etl_spark.plans.llm_ops import emb_random_projection
+
+        proj = emb_random_projection(spark, "/root/testdata/sf0.01").orderBy("vec_id").toPandas()
+        orig = (
+            spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        P = proj[[f"p{i}" for i in range(8)]].to_numpy()
+        V = np.stack(orig["embedding"].to_numpy())
+        est = (P**2).sum(axis=1) * 3.0 / 8.0
+        true = (V.astype(float) ** 2).sum(axis=1)
+        ratio = float((est / true).mean())
+        assert 0.8 < ratio < 1.2, ratio

@@ -1233,3 +1233,140 @@ class TestCorpusPrepDecisions:
         kept_ids = set(pdf.loc[pdf["decision"] == "kept", "doc_id"])
         dropped = pdf[pdf["decision"] != "kept"]
         assert set(dropped["canonical_id"]).issubset(kept_ids)
+
+
+class TestSubstringDedup:
+    """Token-window substring dedup (operators/dedup.py::
+    substring_duplicate_spans): crafted corpus with a known shared
+    16-token span."""
+
+    def _docs(self, spark):
+        span = " ".join(f"tok{i}" for i in range(16))  # exactly one window
+        rows = [
+            (1, span),                               # shares the span
+            (2, span + " extra trailing words here"),  # shares at pos 0
+            (3, " ".join(f"uniq{i}" for i in range(20))),  # no shared span
+            (4, "short doc"),                        # < window tokens
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_shared_span_flagged(self, spark):
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            substring_duplicate_spans,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in substring_duplicate_spans(self._docs(spark)).collect()
+        }
+        assert out[1]["n_dup_windows"] == 1 and out[1]["max_window_copies"] == 2
+        assert out[2]["n_dup_windows"] >= 1 and out[2]["max_window_copies"] == 2
+        assert out[3]["n_dup_windows"] == 0 and out[3]["max_window_copies"] == 1
+        # short docs produce zero windows but stay present in the output
+        assert out[4]["n_windows"] == 0 and out[4]["max_window_copies"] == 0
+
+    def test_stride_controls_window_count(self, spark):
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            substring_duplicate_spans,
+        )
+
+        doc = [(1, " ".join(f"t{i}" for i in range(40)))]
+        df = spark.createDataFrame(doc, ["doc_id", "text"])
+        dense = substring_duplicate_spans(df, window=16, stride=1).collect()[0]
+        strided = substring_duplicate_spans(df, window=16, stride=8).collect()[0]
+        assert dense["n_windows"] == 40 - 16 + 1
+        assert strided["n_windows"] == (40 - 16) // 8 + 1
+
+    def test_no_quadratic_join_in_plan(self, spark):
+        """The plan must contain no cartesian/nested-loop product —
+        every join is keyed (wid or doc_id)."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            substring_duplicate_spans,
+        )
+
+        plan = substring_duplicate_spans(self._docs(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestKmeansLloyd:
+    """Distributed Lloyd k-means (operators/similarity.py::kmeans_lloyd):
+    semantics vs a numpy reference with identical init/quantization, and
+    the no-data-sized-join plan contract."""
+
+    @staticmethod
+    def _numpy_lloyd(vecs, k, iters, quant=1 << 20):
+        import numpy as np
+
+        vq = np.floor(vecs * quant + 0.5).astype("int64")
+        v = vq / float(quant)
+        cents = {i: v[i].copy() for i in range(k)}  # seed = k lowest ids
+        assign = None
+        for _ in range(iters):
+            keys = sorted(cents)
+            d2 = np.stack([((v - cents[c]) ** 2).sum(axis=1) for c in keys], axis=1)
+            assign = np.array([keys[i] for i in np.argmin(d2, axis=1)])
+            new = {}
+            for c in keys:
+                m = assign == c
+                new[c] = (
+                    vq[m].sum(axis=0) / (m.sum() * float(quant)) if m.any() else cents[c]
+                )
+            cents = new
+        return assign
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from pos_pipeline_core_etl_spark.operators.similarity import kmeans_lloyd
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(0, 2, (3, 6))
+        vecs = np.concatenate(
+            [centers[i] + rng.normal(0, 0.3, (20, 6)) for i in range(3)]
+        )
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = (
+            kmeans_lloyd(df, k=3, iters=2)
+            .orderBy("vec_id")
+            .toPandas()["cluster"]
+            .to_numpy()
+        )
+        want = self._numpy_lloyd(vecs, k=3, iters=2)
+        assert (got == want).all()
+
+    def test_empty_cluster_inherits_seed(self, spark):
+        """Two identical seed vectors: the tie-break empties the higher
+        cluster, whose centroid must persist without crashing."""
+        from pos_pipeline_core_etl_spark.operators.similarity import kmeans_lloyd
+
+        rows = [
+            (0, [0.0, 0.0]),
+            (1, [0.0, 0.0]),  # seed identical to seed 0 -> cluster 1 empty
+            (2, [10.0, 10.0]),
+            (3, [0.1, 0.1]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        # iter 1: exact ties all break to the LOWER cluster id -> 1 empty
+        one = kmeans_lloyd(df, k=2, iters=1).toPandas()
+        assert (one["cluster"] == 0).all()
+        # iter 2: cluster 1 kept its seed centroid [0,0]; after cluster
+        # 0's centroid moved to the mean, the near-zero points flip to 1
+        two = {r.vec_id: r.cluster for r in kmeans_lloyd(df, k=2, iters=2).toPandas().itertuples()}
+        assert two[2] == 0 and two[0] == 1 and two[1] == 1 and two[3] == 1
+
+    def test_no_data_sized_join(self, spark):
+        """Assignment must ride a 1-row broadcast, never an N x k
+        SortMergeJoin or cartesian over the corpus."""
+        from pos_pipeline_core_etl_spark.operators.similarity import kmeans_lloyd
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            kmeans_lloyd(emb)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
