@@ -2196,3 +2196,50 @@ GROUP BY p.doc_id
 """
 
 QUERIES["text_bigram_logprob"] = (text_bigram_logprob, TEXT_BIGRAM_LOGPROB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-source quality quantile normalization — round 4 second pass
+
+
+def docs_quality_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize the composite quality score WITHIN each
+    source: percent_rank over (source) partitions makes "top 30% of
+    each domain" cuts comparable across domains whose raw score
+    distributions differ — the standard curation step before a global
+    quality floor. Rank math is integer (rank-1)/(n-1) over a total
+    (quality, doc_id) order, so the output is engine-exact.
+
+    Scale shape: ONE hash-partitioned window on source (sources are
+    bounded; the per-source sort is the cost). At 100 TB swap the exact
+    percent_rank for the percentile_approx bucket mapping demonstrated
+    by corpus_stats — same output contract, mergeable sketch instead of
+    a per-source sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    joined = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return joined.select(
+        "doc_id",
+        "source",
+        "quality",
+        hround(F.percent_rank().over(w), 6).alias("quality_pct"),
+    )
+
+
+def _quality_pct_oracle() -> str:
+    # reuse the quality oracle's CTE chain, then one window
+    base = QUERIES["text_quality"][1]
+    return f"""
+WITH q AS ({base})
+SELECT d.doc_id, d.source, q.quality,
+       {hround_sql("percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality, d.doc_id)", 6)} AS quality_pct
+FROM documents d JOIN q USING (doc_id)
+"""
+
+
+DOCS_QUALITY_PCT_RANK_SQL = _quality_pct_oracle()
+
+QUERIES["docs_quality_pct_rank"] = (docs_quality_pct_rank, DOCS_QUALITY_PCT_RANK_SQL)

@@ -16,7 +16,10 @@ decontamination), the value-affecting round-4 fixes (sharded packer,
 retention floor, MAD zero guard, as-of struct carry), the 5
 round-3-edited names the judge flagged, then every query whose executing
 code changed in round 4 (F.expr plan-construction rewrites, parallelism
-guards), then the oldest r2-only rows that fit.
+guards), then the oldest r2-only rows that fit.  The second-pass tier 0
+(substring dedup, weighted sampling, random projection, distributed
+k-means, BPE pairs, bigram LM, quality pct-rank) sits above all of that:
+those names have never had a driver row.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ _PRIORITY: tuple[str, ...] = (
     "emb_kmeans_lloyd",           # distributed Lloyd, integer-exact oracle
     "text_bpe_pairs",             # tokenizer-training pair counts
     "text_bigram_logprob",        # bigram-LM surprise (add-one smoothing)
+    "docs_quality_pct_rank",      # per-source quantile normalization
     # -- tier 1: no driver row from any round / results changed ----------
     "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
     "text_decontaminate_bloom",   # new this round

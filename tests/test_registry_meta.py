@@ -166,6 +166,7 @@ EXPECTED_QUERIES = frozenset(
         "emb_kmeans_lloyd",
         "text_bpe_pairs",
         "text_bigram_logprob",
+        "docs_quality_pct_rank",
     }
 )
 

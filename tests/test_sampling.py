@@ -333,3 +333,84 @@ class TestRandomProjection:
         true = (V.astype(float) ** 2).sum(axis=1)
         ratio = float((est / true).mean())
         assert 0.8 < ratio < 1.2, ratio
+
+
+class TestBpeAndBigram:
+    """Tokenizer-pair counting and bigram-LM scoring built on crafted
+    corpora with hand-computable answers."""
+
+    def test_bpe_pair_counts(self, spark):
+        from pos_pipeline_core_etl_spark.operators import text as T
+
+        # "a b a b a" -> pairs: a b, b a, a b, b a -> counts 2/2
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "a b c")], ["doc_id", "text"]
+        )
+        t = T.tokens_col(F.lower(F.col("text")))
+        pairs = df.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair")
+        )
+        got = {
+            r["pair"]: r["n"]
+            for r in pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == {"a b": 3, "b a": 2, "b c": 1}
+
+    def test_bigram_logprob_hand_computed(self, spark):
+        """Two docs over a 2-token vocab: verify p(b|a) add-one math."""
+        import math
+
+        from pos_pipeline_core_etl_spark.operators.text import bigram_logprob
+
+        df = spark.createDataFrame([(1, "a b"), (2, "a b")], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+        # corpus: pair "a b" x2; ctx "a" x2; V=2 -> p = (2+1)/(2+2) = 0.75
+        want = -math.log(3.0 / 4.0)
+        assert out[1]["n_bigrams"] == 1
+        assert abs(out[1]["mean_neg_logprob"] - round(want, 6)) < 1e-9
+
+    def test_bigram_flags_repetition_lower_than_unigram_would(self, spark):
+        """A doc that endlessly repeats one bigram scores LOW bigram
+        surprise vs a varied doc of the same unigram mix — the signal
+        this operator adds."""
+        from pos_pipeline_core_etl_spark.operators.text import bigram_logprob
+
+        rep = "x y " * 30
+        varied = "x y y x x x y y x y x x y y y x y x x y " * 3
+        df = spark.createDataFrame(
+            [(1, rep.strip()), (2, varied.strip())], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r["mean_neg_logprob"] for r in bigram_logprob(df).collect()}
+        assert out[1] < out[2]
+
+
+class TestQualityPctRank:
+    def test_rank_is_within_source_and_uniform(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import docs_quality_pct_rank
+
+        out = docs_quality_pct_rank(spark, "/root/testdata/sf0.001").toPandas()
+        # per source: pct ranks span [0, 1] and the max is exactly 1
+        for _, g in out.groupby("source"):
+            assert g["quality_pct"].min() == 0.0
+            if len(g) > 1:
+                assert g["quality_pct"].max() == 1.0
+
+    def test_window_is_hash_partitioned(self, spark):
+        """The window must run per-source (hashpartitioning), never a
+        single global partition."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import docs_quality_pct_rank
+
+        plan = (
+            docs_quality_pct_rank(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "hashpartitioning(source" in plan
+        assert "SinglePartition" not in plan
