@@ -2243,3 +2243,127 @@ FROM documents d JOIN q USING (doc_id)
 DOCS_QUALITY_PCT_RANK_SQL = _quality_pct_oracle()
 
 QUERIES["docs_quality_pct_rank"] = (docs_quality_pct_rank, DOCS_QUALITY_PCT_RANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# shard export checksums — round 4 second pass
+
+
+def corpus_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity manifest for a sharded corpus export: per shuffle
+    shard, the doc count, token total, and an ORDER-FREE integrity
+    checksum (bit_xor of per-doc md5-derived 63-bit ids — xor is
+    commutative/associative, so the checksum is identical no matter
+    how partitions arrive, and any single-doc corruption flips it).
+    The verification step a 100 TB export runs on both ends of a copy.
+
+    One keyed hash-agg on shard_id; everything else is map-side. The
+    shard key is the SAME salted selector ``shuffle_shards`` uses, so
+    these rows are the manifest of that operator's actual export."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = sampling.hash_selector(
+        F.col("doc_id"), "shuf", sampling.SHUFFLE_SHARDS
+    )
+    # 60-bit doc digest over id AND content (15 hex chars: fits BIGINT in
+    # both engines with no unsigned-overflow edge)
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    toks = F.size(text.tokens_col(F.col("text")))
+    return (
+        docs.select(
+            shard.alias("shard_id"),
+            digest.alias("digest"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_total"),
+            F.expr("bit_xor(digest)").alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _shard_checksums_oracle() -> str:
+    shard_sql = sampling.hash_selector_sql("doc_id", "shuf", sampling.SHUFFLE_SHARDS)
+    return rf"""
+WITH d AS (
+  SELECT {shard_sql} AS shard_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+           AS BIGINT) AS digest,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_total,
+       bit_xor(digest) AS checksum
+FROM d
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+CORPUS_SHARD_CHECKSUMS_SQL = _shard_checksums_oracle()
+
+QUERIES["corpus_shard_checksums"] = (
+    corpus_shard_checksums,
+    CORPUS_SHARD_CHECKSUMS_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# windowed trending top-k — round 4 second pass
+
+
+TRENDING_K = 3
+
+
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types per day: counts inside tumbling day buckets,
+    then the top-k types within each bucket — the time-sliced variant of
+    topk_per_group (the "what's trending" dashboard query). One keyed
+    hash-agg on (day, type) + a day-partitioned rank window whose input
+    is already aggregate-sized; at 100 TB the agg is the only data-sized
+    shuffle and AQE handles hot days."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        daily.select(
+            "day", "event_type", "n", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= TRENDING_K)
+        .orderBy("day", "rnk")
+        .select("day", F.col("rnk").cast("long").alias("rnk"), "event_type", "n")
+    )
+
+
+EVENTS_WINDOWED_TOPK_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+  FROM daily
+)
+SELECT day, CAST(rnk AS BIGINT) AS rnk, event_type, n
+FROM ranked
+WHERE rnk <= {TRENDING_K}
+ORDER BY day, rnk
+"""
+
+QUERIES["events_windowed_topk"] = (events_windowed_topk, EVENTS_WINDOWED_TOPK_SQL)

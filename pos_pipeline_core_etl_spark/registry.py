@@ -40,6 +40,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_pairs",             # tokenizer-training pair counts
     "text_bigram_logprob",        # bigram-LM surprise (add-one smoothing)
     "docs_quality_pct_rank",      # per-source quantile normalization
+    "corpus_shard_checksums",     # order-free export integrity manifest
+    "events_windowed_topk",       # trending top-k per day bucket
     # -- tier 1: no driver row from any round / results changed ----------
     "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
     "text_decontaminate_bloom",   # new this round

@@ -167,6 +167,8 @@ EXPECTED_QUERIES = frozenset(
         "text_bpe_pairs",
         "text_bigram_logprob",
         "docs_quality_pct_rank",
+        "corpus_shard_checksums",
+        "events_windowed_topk",
     }
 )
 

@@ -414,3 +414,104 @@ class TestQualityPctRank:
         )
         assert "hashpartitioning(source" in plan
         assert "SinglePartition" not in plan
+
+
+class TestShardChecksums:
+    """Export integrity manifest (plans/llm_ops.py::
+    corpus_shard_checksums): order independence and corruption
+    sensitivity — the two properties that make it a valid manifest."""
+
+    def test_counts_match_shuffle_shards(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import corpus_shard_checksums
+
+        docs = _docs(spark)
+        manifest = {
+            r["shard_id"]: r for r in corpus_shard_checksums(spark, SF).collect()
+        }
+        shards = sampling.shuffle_shards(docs).groupBy("shard_id").count().collect()
+        assert {r["shard_id"]: r["count"] for r in shards} == {
+            s: r["n_docs"] for s, r in manifest.items()
+        }
+
+    def test_partition_order_invariant(self, spark):
+        """Repartitioning the input must not change any checksum (xor is
+        commutative) — the property a plain hash-of-concatenation lacks."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import corpus_shard_checksums
+
+        a = {r["shard_id"]: r["checksum"] for r in corpus_shard_checksums(spark, SF).collect()}
+        # same computation over a differently-partitioned clone
+        docs = _docs(spark).repartition(13, "text")
+        from pyspark.sql import functions as F2
+
+        from pos_pipeline_core_etl_spark.operators.sampling import (
+            SHUFFLE_SHARDS,
+            hash_selector,
+        )
+
+        digest = F2.conv(
+            F2.substring(F2.md5(F2.concat_ws("|", F2.col("doc_id"), F2.col("text"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        b = {
+            r["shard_id"]: r["checksum"]
+            for r in docs.select(
+                hash_selector(F2.col("doc_id"), "shuf", SHUFFLE_SHARDS).alias("shard_id"),
+                digest.alias("digest"),
+            )
+            .groupBy("shard_id")
+            .agg(F2.expr("bit_xor(digest)").alias("checksum"))
+            .collect()
+        }
+        assert a == b
+
+    def test_single_doc_corruption_flips_checksum(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import corpus_shard_checksums
+        from pyspark.sql import functions as F2
+
+        clean = {r["shard_id"]: r["checksum"] for r in corpus_shard_checksums(spark, SF).collect()}
+        # corrupt exactly one document's text via a temp view override
+        docs = _docs(spark).withColumn(
+            "text",
+            F2.when(F2.col("doc_id") == 7, F2.concat(F2.col("text"), F2.lit("X"))).otherwise(
+                F2.col("text")
+            ),
+        )
+        from pos_pipeline_core_etl_spark.operators.sampling import (
+            SHUFFLE_SHARDS,
+            hash_selector,
+        )
+        from pos_pipeline_core_etl_spark.operators.text import tokens_col
+
+        digest = F2.conv(
+            F2.substring(F2.md5(F2.concat_ws("|", F2.col("doc_id"), F2.col("text"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        dirty = {
+            r["shard_id"]: r["checksum"]
+            for r in docs.select(
+                hash_selector(F2.col("doc_id"), "shuf", SHUFFLE_SHARDS).alias("shard_id"),
+                digest.alias("digest"),
+            )
+            .groupBy("shard_id")
+            .agg(F2.expr("bit_xor(digest)").alias("checksum"))
+            .collect()
+        }
+        flipped = [s for s in clean if clean[s] != dirty.get(s)]
+        assert len(flipped) == 1  # exactly the shard holding doc 7
+
+
+class TestWindowedTopk:
+    def test_k_rows_per_day_and_rank_order(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            TRENDING_K,
+            events_windowed_topk,
+        )
+
+        out = events_windowed_topk(spark, "/root/testdata/sf0.01").toPandas()
+        for day, g in out.groupby("day"):
+            assert len(g) <= TRENDING_K
+            assert list(g["rnk"]) == list(range(1, len(g) + 1))
+            # counts non-increasing down the ranks
+            assert list(g["n"]) == sorted(g["n"], reverse=True)
