@@ -605,3 +605,64 @@ def substring_duplicate_spans(
             .alias("max_window_copies"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    stride: int = SUBSTR_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The actionable form of :func:`substring_duplicate_spans`: rebuild
+    each document with corpus-duplicated token spans REMOVED, keeping
+    exactly one copy corpus-wide (the lowest doc_id containing the span
+    keeps it — Lee et al. 2022 keep-one semantics, deterministic).
+
+    Shape: the same keyed window stats as the detector (hash-agg on the
+    window id carrying (n_docs, keeper)), then per-doc removed-position
+    sets (collect_set over the doc's own few duplicated windows —
+    bounded by windows-per-doc, never corpus-sized), and a map-side
+    token filter via an indexed lambda; the rebuilt text never shuffles.
+    """
+    t_lower = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    grams = F.when(
+        F.size(t_lower) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t_lower) - window, F.lit(stride)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                shingle_id(F.array_join(F.slice(t_lower, i + 1, window), " ")).alias(
+                    "wid"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wid:long>>"))
+    base = _ensure_parallelism(docs.select(id_col, text_col), key=id_col)
+    wins = base.select(id_col, F.explode(grams).alias("w")).select(
+        id_col, F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid")
+    )
+    freq = wins.groupBy("wid").agg(
+        F.count_distinct(id_col).alias("n_docs"), F.min(id_col).alias("keeper")
+    )
+    removed = (
+        wins.join(freq, "wid")
+        .where((F.col("n_docs") >= 2) & (F.col(id_col) != F.col("keeper")))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("rm"))
+    )
+    t_orig = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        t_orig,
+        lambda x, i: ~F.exists(rm, lambda p: (p <= i) & (i < p + window)),
+    )
+    return (
+        docs.join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.size(t_orig).cast("long").alias("n_tokens"),
+            (F.size(t_orig) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )

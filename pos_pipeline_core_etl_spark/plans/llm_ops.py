@@ -2367,3 +2367,65 @@ ORDER BY day, rnk
 """
 
 QUERIES["events_windowed_topk"] = (events_windowed_topk, EVENTS_WINDOWED_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span removal (the actionable cleaned corpus) — round 4 second pass
+
+
+def text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild every document with corpus-duplicated token spans removed
+    (keep-one: the lowest doc_id holding a span keeps it). The transform
+    a pipeline actually ships after text_substring_dedup flags spans —
+    see operators/dedup.py::remove_duplicate_spans for the shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs).orderBy("doc_id")
+
+
+def _dedup_spans_oracle() -> str:
+    w, s = dedup.SUBSTR_WINDOW, dedup.SUBSTR_STRIDE
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS t,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS tl
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, u.pos,
+         CAST(('0x' || substr(md5(array_to_string(
+             list_slice(tl, u.pos + 1, u.pos + {w}), ' ')), 1, 8)) AS BIGINT) AS wid
+  FROM toks,
+       unnest(CASE WHEN len(tl) >= {w}
+                   THEN range(0, len(tl) - {w} + 1, {s})
+                   ELSE [] END) AS u(pos)
+),
+freq AS (
+  SELECT wid, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+  FROM wins GROUP BY wid
+),
+removed AS (
+  SELECT wins.doc_id, list_sort(list(DISTINCT wins.pos)) AS rm
+  FROM wins JOIN freq USING (wid)
+  WHERE freq.n_docs >= 2 AND wins.doc_id != freq.keeper
+  GROUP BY wins.doc_id
+),
+rebuilt AS (
+  SELECT toks.doc_id, t,
+         list_filter(t, (x, i) ->
+           len(list_filter(coalesce(rm, []),
+                           p -> p <= i - 1 AND i - 1 < p + {w})) = 0) AS kept
+  FROM toks LEFT JOIN removed USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed_tokens,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+TEXT_DEDUP_SPANS_SQL = _dedup_spans_oracle()
+
+QUERIES["text_dedup_spans"] = (text_dedup_spans, TEXT_DEDUP_SPANS_SQL)

@@ -169,6 +169,7 @@ EXPECTED_QUERIES = frozenset(
         "docs_quality_pct_rank",
         "corpus_shard_checksums",
         "events_windowed_topk",
+        "text_dedup_spans",
     }
 )
 

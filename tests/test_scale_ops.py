@@ -1370,3 +1370,44 @@ class TestKmeansLloyd:
         )
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestDedupSpanRemoval:
+    """Keep-one duplicated-span removal (operators/dedup.py::
+    remove_duplicate_spans)."""
+
+    def test_keeper_keeps_others_lose(self, spark):
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        span = " ".join(f"tok{i}" for i in range(16))
+        rows = [
+            (1, span + " unique tail one"),
+            (2, span + " other tail here two"),
+            (3, "independent words only"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
+        # doc 1 is the keeper: nothing removed
+        assert out[1]["n_removed_tokens"] == 0
+        assert out[1]["cleaned_text"].startswith("tok0 tok1")
+        # doc 2 loses exactly the 16-token span, keeps its tail
+        assert out[2]["n_removed_tokens"] == 16
+        assert out[2]["cleaned_text"] == "other tail here two"
+        # untouched doc is identical
+        assert out[3]["cleaned_text"] == "independent words only"
+
+    def test_original_case_preserved(self, spark):
+        """Windows hash lowercased tokens, but the rebuilt text must
+        keep the ORIGINAL casing of surviving tokens."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        span = " ".join(f"tok{i}" for i in range(16))
+        rows = [(1, span), (2, span.upper() + " Tail")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
+        assert out[2]["n_removed_tokens"] == 16  # matched case-insensitively
+        assert out[2]["cleaned_text"] == "Tail"  # original case survives
