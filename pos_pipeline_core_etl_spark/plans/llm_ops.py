@@ -2429,3 +2429,67 @@ ORDER BY doc_id
 TEXT_DEDUP_SPANS_SQL = _dedup_spans_oracle()
 
 QUERIES["text_dedup_spans"] = (text_dedup_spans, TEXT_DEDUP_SPANS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-user feature matrix — round 4 second pass
+
+
+USER_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature matrix from the event log — the feature-
+    engineering step that turns raw behavioral events into model inputs:
+    fixed-universe per-type counts (static conditional aggs, no pivot
+    distinct-scan), value stats, activity span and distinct active days.
+    ONE keyed hash-agg on user_id with map-side partials — the
+    map-reduce featurization shape that holds at any event volume; the
+    single count_distinct plans as a two-level agg, no Expand."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in USER_EVENT_TYPES
+    ]
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *per_type,
+            hround(F.sum("value"), 6).alias("total_value"),
+            F.count_distinct(F.to_date("ts")).alias("active_days"),
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        .withColumn(
+            "span_days",
+            (F.datediff(F.col("last_day"), F.col("first_day")) + 1).cast("long"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _user_features_oracle() -> str:
+    per_type = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in USER_EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {per_type},
+       {hround_sql("sum(value)", 6)} AS total_value,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       min(CAST(ts AS DATE)) AS first_day,
+       max(CAST(ts AS DATE)) AS last_day,
+       CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
+            AS BIGINT) AS span_days
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+EVENTS_USER_FEATURES_SQL = _user_features_oracle()
+
+QUERIES["events_user_features"] = (events_user_features, EVENTS_USER_FEATURES_SQL)

@@ -43,6 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_shard_checksums",     # order-free export integrity manifest
     "events_windowed_topk",       # trending top-k per day bucket
     "text_dedup_spans",           # keep-one duplicated-span removal
+    "events_user_features",       # per-user feature matrix (one keyed agg)
     # -- tier 1: no driver row from any round / results changed ----------
     "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
     "text_decontaminate_bloom",   # new this round

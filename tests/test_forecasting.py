@@ -681,3 +681,24 @@ class TestKalmanExactMLE:
         assert isinstance(hr_fit, _HannanRissanenFit)
         pred = LogARIMAModel().forecast(default_fit, 7)
         assert len(pred) == 7 and (pred.to_numpy() >= 0).all()
+
+
+def test_full_mle_grid_backend():
+    """backend='mle' fits EVERY grid point by exact MLE (the offline
+    path). Reduced grid keeps it fast; the winner must forecast finitely
+    and carry an exact-MLE fit object."""
+    from pos_pipeline_core_etl_spark.forecasting.models import (
+        LogARIMAModel,
+        _KalmanExactMLEFit,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 70
+    idx = pd.date_range("2024-01-01", periods=n, freq="D")
+    vals = 60 + 8 * np.sin(2 * np.pi * np.arange(n) / 7) + rng.normal(0, 1.5, n)
+    ser = pd.Series(np.maximum(vals, 0), index=idx)
+    m = LogARIMAModel(backend="mle", max_p=1, max_d=0, max_q=1)
+    fit = m.train(ser)
+    assert isinstance(fit, _KalmanExactMLEFit)
+    pred = m.forecast(fit, 7)
+    assert len(pred) == 7 and np.isfinite(pred.to_numpy()).all()

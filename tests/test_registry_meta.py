@@ -170,6 +170,7 @@ EXPECTED_QUERIES = frozenset(
         "corpus_shard_checksums",
         "events_windowed_topk",
         "text_dedup_spans",
+        "events_user_features",
     }
 )
 

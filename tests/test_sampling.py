@@ -515,3 +515,30 @@ class TestWindowedTopk:
             assert list(g["rnk"]) == list(range(1, len(g) + 1))
             # counts non-increasing down the ranks
             assert list(g["n"]) == sorted(g["n"], reverse=True)
+
+
+class TestUserFeatures:
+    def test_one_shuffle_no_expand(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import events_user_features
+
+        plan = (
+            events_user_features(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" not in plan  # count_distinct planned two-level
+        # exactly one data-sized exchange on user_id (plus the orderBy's
+        # range exchange over aggregate-sized rows)
+        assert plan.count("hashpartitioning(user_id") >= 1
+
+    def test_counts_reconcile(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            USER_EVENT_TYPES,
+            events_user_features,
+        )
+
+        df = events_user_features(spark, "/root/testdata/sf0.001").toPandas()
+        per_type_sum = df[[f"n_{t}" for t in USER_EVENT_TYPES]].sum(axis=1)
+        assert (per_type_sum == df["n_events"]).all()
+        assert (df["active_days"] <= df["span_days"]).all()
