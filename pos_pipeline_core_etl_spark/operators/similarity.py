@@ -683,6 +683,21 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     quant: int = KMEANS_QUANT,
 ) -> DataFrame:
+    """Fully-distributed Lloyd k-means assignments (vec_id, cluster).
+    Thin wrapper over :func:`_kmeans_assignments`, which also carries
+    the per-row squared distance for :func:`kmeans_sse`."""
+    assigned = _kmeans_assignments(embeddings, k, iters, id_col, vec_col, quant)
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def _kmeans_assignments(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+) -> DataFrame:
     """Fully-distributed Lloyd k-means: every step is a DataFrame op.
 
     Unlike :func:`ivf_centroids` (numpy Lloyd on a BOUNDED driver-side
@@ -755,7 +770,9 @@ def kmeans_lloyd(
                 ),
             ).otherwise(acc),
         )
-        return joined.select("vec_id", "vq", best["cluster"].alias("cluster"))
+        return joined.select(
+            "vec_id", "vq", best["cluster"].alias("cluster"), best["d2"].alias("d2")
+        )
 
     def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
         """Exact integer component sums -> new centroids; empty clusters
@@ -790,4 +807,31 @@ def kmeans_lloyd(
     for _ in range(iters):
         assigned = assign(pack(centroids))
         centroids = update(assigned, centroids)
-    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+    return assigned
+
+
+def kmeans_sse(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+) -> DataFrame:
+    """Training diagnostics for :func:`kmeans_lloyd`: per-cluster size
+    and within-cluster SSE (inertia) of the final assignment against
+    the centroids that PRODUCED it — the number you watch per iteration
+    to decide convergence. Same plan as the trainer plus one tiny agg
+    over (cluster, d2); SSE is hround(4)-ed (per-row d2 is exact shared
+    arithmetic; only the cross-row sum could differ in the last bits).
+    """
+    assigned = _kmeans_assignments(embeddings, k, iters, id_col, vec_col, quant)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            hround(F.sum("d2"), 4).alias("sse"),
+        )
+        .select(F.col("cluster").cast("long").alias("cluster"), "n_vecs", "sse")
+        .orderBy("cluster")
+    )

@@ -2493,3 +2493,75 @@ ORDER BY user_id
 EVENTS_USER_FEATURES_SQL = _user_features_oracle()
 
 QUERIES["events_user_features"] = (events_user_features, EVENTS_USER_FEATURES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# k-means training diagnostics — round 4 second pass
+
+
+def emb_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia of the distributed Lloyd run (the convergence
+    number). Same plan as emb_kmeans_lloyd plus one k-row agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_sse(emb)
+
+
+def _kmeans_sse_oracle() -> str:
+    k = similarity.KMEANS_K
+    q = float(similarity.KMEANS_QUANT)
+    dim = 64
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (b.vq[i] / {q} - s.centroid[i]) * (b.vq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(dim=dim, q=q)
+
+    def assign(base: str, cents: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, vq, cluster, d2 FROM (
+    SELECT b.vec_id, b.vq, s.cluster, {d2} AS d2,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {d2}, s.cluster) AS rn
+    FROM {base} b CROSS JOIN {cents} s)
+  WHERE rn = 1
+)"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""
+{out}_sums AS (
+  SELECT cluster, u.i AS comp, sum(vq[u.i]) AS s, count(*) AS n
+  FROM {assigned}, unnest(generate_series(1, {dim})) AS u(i)
+  GROUP BY cluster, u.i
+),
+{out}_fresh AS (
+  SELECT cluster, list(s / (n * {q}) ORDER BY comp) AS centroid
+  FROM {out}_sums GROUP BY cluster
+),
+{out} AS (
+  SELECT p.cluster, coalesce(f.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN {out}_fresh f USING (cluster)
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {q} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cluster, list_transform(vq, x -> x / {q}) AS centroid
+  FROM base ORDER BY vec_id LIMIT {k}
+),{assign("base", "seeds", "assign0")},{update("assign0", "seeds", "cent1")},{assign("base", "cent1", "assign1")}
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {hround_sql("sum(d2)", 4)} AS sse
+FROM assign1
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+EMB_KMEANS_SSE_SQL = _kmeans_sse_oracle()
+
+QUERIES["emb_kmeans_sse"] = (emb_kmeans_sse, EMB_KMEANS_SSE_SQL)

@@ -17,8 +17,9 @@ retention floor, MAD zero guard, as-of struct carry), the 5
 round-3-edited names the judge flagged, then every query whose executing
 code changed in round 4 (F.expr plan-construction rewrites, parallelism
 guards), then the oldest r2-only rows that fit.  The second-pass tier 0
-(substring dedup, weighted sampling, random projection, distributed
-k-means, BPE pairs, bigram LM, quality pct-rank) sits above all of that:
+(substring dedup + span removal, weighted sampling, random projection,
+distributed k-means + inertia, BPE pairs, bigram LM, quality pct-rank,
+shard checksums, trending top-k, user features) sits above all of that:
 those names have never had a driver row.
 """
 
@@ -44,6 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_windowed_topk",       # trending top-k per day bucket
     "text_dedup_spans",           # keep-one duplicated-span removal
     "events_user_features",       # per-user feature matrix (one keyed agg)
+    "emb_kmeans_sse",             # Lloyd inertia diagnostics
     # -- tier 1: no driver row from any round / results changed ----------
     "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
     "text_decontaminate_bloom",   # new this round

@@ -171,6 +171,7 @@ EXPECTED_QUERIES = frozenset(
         "events_windowed_topk",
         "text_dedup_spans",
         "events_user_features",
+        "emb_kmeans_sse",
     }
 )
 
