@@ -1411,3 +1411,20 @@ class TestDedupSpanRemoval:
         out = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
         assert out[2]["n_removed_tokens"] == 16  # matched case-insensitively
         assert out[2]["cleaned_text"] == "Tail"  # original case survives
+
+
+class TestKmeansDeterminism:
+    def test_partition_order_invariant(self, spark):
+        """The integer-quantized centroid sums make assignments
+        independent of partition count and row arrival order — the
+        contract that keeps the DuckDB oracle bit-exact and cluster
+        runs reproducible."""
+        from pos_pipeline_core_etl_spark.operators.similarity import kmeans_lloyd
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(emb).collect()}
+        shuffled = emb.repartition(17, "label").sortWithinPartitions(
+            F.col("vec_id").desc()
+        )
+        b = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(shuffled).collect()}
+        assert a == b
