@@ -86,12 +86,22 @@ def kalman_loglike(
     phi_full: np.ndarray,
     theta_full: np.ndarray,
     kappa: float = KAPPA,
+    burn: int = 0,
 ) -> tuple[float, float, np.ndarray, np.ndarray]:
     """Concentrated prediction-error log-likelihood of the ARMA model.
 
     Runs the filter with unit innovation variance; the true variance is
     concentrated out analytically (``sigma2_hat = mean(v_t^2 / F_t)``).
     The effective prior is ``alpha_1 ~ N(0, sigma2 * kappa * I)``.
+
+    ``burn`` excludes the first ``burn`` prediction errors from the
+    likelihood sums (the filter still runs through them to update the
+    state). Under approximate-diffuse init the first state-dim errors
+    have F ≈ kappa, so including them biases cross-order AIC comparisons
+    toward low-dimensional models (ADVICE r4); statsmodels' SARIMAX
+    excludes them via ``loglikelihood_burn = k_states``. Default 0 keeps
+    the exact joint-normal likelihood that :func:`direct_mvn_loglike`
+    validates against.
 
     Returns ``(llf, sigma2_hat, a_pred, T)`` where ``a_pred`` is the
     one-step-ahead state prediction E[alpha_{n+1} | y_1..n] — the
@@ -103,6 +113,9 @@ def kalman_loglike(
     a = np.zeros(r)
     P = kappa * np.eye(r)
     n = len(w)
+    n_eff = n - burn
+    if n_eff <= 0:
+        return -np.inf, np.nan, a, T
     sum_logF = 0.0
     sum_v2F = 0.0
     for t in range(n):
@@ -110,8 +123,9 @@ def kalman_loglike(
         if not np.isfinite(Fv) or Fv <= 0.0:
             return -np.inf, np.nan, a, T
         v = w[t] - a[0]
-        sum_logF += np.log(Fv)
-        sum_v2F += v * v / Fv
+        if t >= burn:
+            sum_logF += np.log(Fv)
+            sum_v2F += v * v / Fv
         # gain and one-step update, fused with the time update
         PZ = P[:, 0]
         K = T @ PZ / Fv
@@ -119,8 +133,8 @@ def kalman_loglike(
         TP = T @ P
         P = TP @ T.T + RR - np.outer(K, K) * Fv
         P = 0.5 * (P + P.T)
-    sigma2 = max(sum_v2F / n, 1e-300)
-    llf = -0.5 * n * (np.log(2.0 * np.pi) + 1.0 + np.log(sigma2)) - 0.5 * sum_logF
+    sigma2 = max(sum_v2F / n_eff, 1e-300)
+    llf = -0.5 * n_eff * (np.log(2.0 * np.pi) + 1.0 + np.log(sigma2)) - 0.5 * sum_logF
     return float(llf), float(sigma2), a, T
 
 

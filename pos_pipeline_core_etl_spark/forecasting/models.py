@@ -310,6 +310,15 @@ class _KalmanExactMLEFit:
         k = p + q + P + Q
         if len(w) < k + 5:
             raise ValueError("series too short for this order after differencing")
+        # SARIMAX burn convention (loglikelihood_burn = k_states under
+        # approximate-diffuse init): exclude the first state-dim
+        # prediction errors (F ≈ kappa) from the concentrated llf, else
+        # cross-order AIC comparisons are biased toward low-dimensional
+        # orders (ADVICE r4). State dim = max(len(phi_full),
+        # len(theta_full)+1, 1) per harvey_matrices.
+        burn = max(p + m * P, q + m * Q + 1, 1)
+        if len(w) - burn < 5:
+            raise ValueError("series too short for this order after burn-in")
 
         def unpack(x: np.ndarray):
             return (
@@ -323,7 +332,7 @@ class _KalmanExactMLEFit:
             if np.any(np.abs(x) > 50.0):
                 return 1e12
             phi_full, theta_full = K.sarima_polys(*unpack(x), m)
-            llf, _, _, _ = K.kalman_loglike(w, phi_full, theta_full)
+            llf, _, _, _ = K.kalman_loglike(w, phi_full, theta_full, burn=burn)
             return 1e12 if not np.isfinite(llf) else -llf
 
         x0 = np.zeros(k) if start_params is None else np.asarray(start_params, float)
@@ -334,7 +343,7 @@ class _KalmanExactMLEFit:
             raise ValueError("exact-MLE likelihood did not evaluate finitely")
         self.params = x_best
         phi_full, theta_full = K.sarima_polys(*unpack(x_best), m)
-        llf, sigma2, a_pred, T = K.kalman_loglike(w, phi_full, theta_full)
+        llf, sigma2, a_pred, T = K.kalman_loglike(w, phi_full, theta_full, burn=burn)
         self.llf = llf
         self.sigma2 = sigma2
         self._a_pred, self._T = a_pred, T
@@ -381,6 +390,13 @@ class LogARIMAModel(ForecastModel):
     #:             exact Kalman MLE seeded from the HR coefficients (default)
     #: "mle"     — exact MLE for every grid point (slow; tests/offline only)
     backend: str = "hr+mle"
+    #: hr+mle only: when > 1, the top-N orders of the HR scan are EACH
+    #: refit by exact Kalman MLE and the order is re-picked by exact
+    #: AIC. Closes the order-selection delta on short/noisy series where
+    #: the CSS approximation ranks close orders differently from the
+    #: full MLE (COVERAGE §2.13), at N× the refit cost. 1 = refit the
+    #: HR winner only (default, round-4 behavior).
+    rescore_top_n: int = 1
 
     @staticmethod
     def _sarimax_cls():
@@ -411,7 +427,7 @@ class LogARIMAModel(ForecastModel):
             series.astype(float).replace([np.inf, -np.inf], np.nan).fillna(0.0)
         )
         y = np.log1p(clean.clip(lower=0))
-        best, best_aic, best_orders = None, np.inf, None
+        fits: list[tuple[float, Any, tuple]] = []
         for p in range(self.max_p + 1):
             for d in range(self.max_d + 1):
                 for q in range(self.max_q + 1):
@@ -424,25 +440,36 @@ class LogARIMAModel(ForecastModel):
                                     )
                                 except Exception:
                                     continue
-                                if fit.aic < best_aic:
-                                    best, best_aic = fit, fit.aic
-                                    best_orders = (
-                                        (p, d, q),
-                                        (P, D, Q, SEASONAL_PERIOD),
+                                fits.append(
+                                    (
+                                        float(fit.aic),
+                                        fit,
+                                        ((p, d, q), (P, D, Q, SEASONAL_PERIOD)),
                                     )
-        if best is None:
+                                )
+        if not fits:
             raise ValueError("no SARIMA configuration converged")
+        fits.sort(key=lambda t: t[0])
+        best = fits[0][1]
         if self.backend == "hr+mle" and isinstance(best, _HannanRissanenFit):
-            # exact-MLE polish of the grid winner, seeded from the CSS
-            # coefficients; fall back to the scan fit if the refit fails.
-            try:
-                best = _KalmanExactMLEFit(
-                    y,
-                    *best_orders,
-                    start_params=_hr_start_params(best, *best_orders),
-                )
-            except Exception:
-                pass
+            # exact-MLE polish: refit the top-N HR candidates (N =
+            # rescore_top_n) seeded from their CSS coefficients and
+            # re-pick the order by EXACT AIC; fall back to the scan
+            # winner if every refit fails.
+            refits = []
+            for _aic, hr_fit, orders in fits[: max(1, self.rescore_top_n)]:
+                try:
+                    refits.append(
+                        _KalmanExactMLEFit(
+                            y,
+                            *orders,
+                            start_params=_hr_start_params(hr_fit, *orders),
+                        )
+                    )
+                except Exception:
+                    continue
+            if refits:
+                best = min(refits, key=lambda f: f.aic)
         return best
 
     def forecast(self, model: Any, steps: int, **kwargs: Any) -> pd.Series:

@@ -530,26 +530,66 @@ def incremental_batch_decisions(
 # ---------------------------------------------------------------------------
 # substring (token-window) dedup — Lee et al., "Deduplicating Training
 # Data Makes Language Models Better" (ACL 2022). The paper's suffix-array
-# substring dedup re-expressed for a shared-nothing engine: strided
-# fixed-width token windows hashed and counted across the corpus. A
-# window that appears verbatim in >= 2 distinct docs marks a duplicated
-# span; per-doc span stats drive the drop/trim decision downstream.
+# substring dedup re-expressed for a shared-nothing engine: fixed-width
+# token windows anchored at CONTENT-DEFINED positions (winnowing/CDC
+# style: a window starts wherever the token's hash ≡ 0 mod stride, plus
+# position 0) hashed and counted across the corpus. Content-defined
+# anchors make window boundaries align on the shared text itself, so a
+# copied span collides across docs regardless of its byte offset —
+# positional strides (start ≡ 0 mod stride per doc) miss any copy whose
+# offset differs mod stride, e.g. one token prepended to a wholesale
+# copy (ADVICE r4). A window that appears verbatim in >= 2 distinct
+# docs marks a duplicated span; per-doc span stats drive the drop/trim
+# decision downstream.
 
 SUBSTR_WINDOW = 16  # tokens per window (the paper uses 50 BPE tokens)
-SUBSTR_STRIDE = 8  # window start stride; overlap = window - stride
+SUBSTR_STRIDE = 8  # anchor density knob: E[windows per token] = 1/stride
+
+
+def window_id(gram: Column) -> Column:
+    """Stable 60-bit integer id of a token window: first 15 md5 hex chars.
+
+    Windows feed DESTRUCTIVE keying (span removal deletes every token
+    run whose id collides), so 32 bits is not enough: birthday collisions
+    arrive near ~10^5 windows and would silently delete legitimate spans
+    (ADVICE r4). 60 bits pushes the first expected collision past 10^9
+    windows; :func:`shingle_id` stays 32-bit for the non-destructive
+    minhash path only."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+WINDOW_ID_SQL = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _anchor_positions(t: Column, window: int, stride: int) -> Column:
+    """0-based window start positions: content-defined anchors.
+
+    A position ``i`` anchors a window when the (lowercased) token at
+    ``i`` hashes ≡ 0 mod ``stride`` — so anchor placement depends only
+    on content, and two docs sharing a span anchor it identically.
+    Position 0 is always included: it guarantees >= 1 window for every
+    doc with >= ``window`` tokens (coverage for short docs) and only
+    ever ADDS collisions on genuinely shared prefixes."""
+    idx = F.sequence(F.lit(0), F.size(t) - window)
+    tok_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.element_at(t, i + 1)), 1, 8), 16, 10
+    ).cast("long")
+    return F.filter(
+        idx, lambda i: (i == 0) | (tok_hash(i) % stride == 0)
+    )
 
 
 def window_grams(
     text: Column, window: int = SUBSTR_WINDOW, stride: int = SUBSTR_STRIDE
 ) -> Column:
-    """Strided token windows of the lowercased text, positions kept.
+    """Content-anchored token windows of the lowercased text.
 
     Unlike :func:`shingles_col` these are NOT distinct — each occurrence
     counts, so repeated spans inside one doc still surface when another
     doc shares them."""
     t = F.split(F.trim(F.lower(text)), TOKEN_SPLIT_RE)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - window, F.lit(stride)),
+        _anchor_positions(t, window, stride),
         lambda i: F.array_join(F.slice(t, i + 1, window), " "),
     )
     return F.when(F.size(t) >= window, grams).otherwise(
@@ -582,7 +622,7 @@ def substring_duplicate_spans(
     wins = base.select(
         id_col,
         F.explode(window_grams(F.col(text_col), window, stride)).alias("gram"),
-    ).select(id_col, shingle_id(F.col("gram")).alias("wid"))
+    ).select(id_col, window_id(F.col("gram")).alias("wid"))
     freq = wins.groupBy("wid").agg(F.count_distinct(id_col).alias("n_docs"))
     per_doc = (
         wins.join(freq, "wid")
@@ -629,10 +669,10 @@ def remove_duplicate_spans(
     grams = F.when(
         F.size(t_lower) >= window,
         F.transform(
-            F.sequence(F.lit(0), F.size(t_lower) - window, F.lit(stride)),
+            _anchor_positions(t_lower, window, stride),
             lambda i: F.struct(
                 i.alias("pos"),
-                shingle_id(F.array_join(F.slice(t_lower, i + 1, window), " ")).alias(
+                window_id(F.array_join(F.slice(t_lower, i + 1, window), " ")).alias(
                     "wid"
                 ),
             ),

@@ -718,6 +718,10 @@ def _kmeans_assignments(
     assignments are bit-exact cross-engine, ties broken by lowest
     cluster id. Empty clusters keep their previous centroid.
     """
+    if iters < 1:
+        # iters=0 would fall through the loop with assigned=None and
+        # crash downstream in a confusing select (ADVICE r4)
+        raise ValueError(f"iters must be >= 1, got {iters}")
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _quantize_vec(F.col(vec_col), quant).alias("vq")
     )

@@ -1890,10 +1890,12 @@ WITH toks AS (
 wins AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(array_to_string(
-             list_slice(t, u.pos + 1, u.pos + {w}), ' ')), 1, 8)) AS BIGINT) AS wid
+             list_slice(t, u.pos + 1, u.pos + {w}), ' ')), 1, 15)) AS BIGINT) AS wid
   FROM toks,
        unnest(CASE WHEN len(t) >= {w}
-                   THEN range(0, len(t) - {w} + 1, {s})
+                   THEN list_filter(range(0, len(t) - {w} + 1),
+                        i -> i = 0 OR CAST(('0x' || substr(md5(t[i + 1]), 1, 8))
+                                           AS BIGINT) % {s} = 0)
                    ELSE [] END) AS u(pos)
 ),
 freq AS (
@@ -1938,40 +1940,48 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: priority is a map-side expression; the top-k is
     TakeOrderedAndProject (per-partition heap + driver merge of k rows),
     never a global sort — the same plan at 100 TB. The hash-derived u
-    makes the sample engine-reproducible (same convention as
-    bounded_sample / stratified_sample); priorities are hround(6)-ed
-    before ranking with a doc_id total tie-break."""
+    (32 bits of md5) makes the sample engine-reproducible (same
+    convention as bounded_sample / stratified_sample). Ranking happens
+    on the UNROUNDED priority — likely winners cluster near 0, so any
+    coarse pre-rank rounding collapses the top-k into doc_id-ordered
+    ties at corpus scale (ADVICE r4); only the emitted column is
+    hround(12)-ed for cross-engine display stability."""
     docs = load_table(spark, sf_dir, "documents")
     h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("double")
     )
-    u = (h + F.lit(0.5)) / F.lit(65536.0)
-    key = hround(F.log(u) / F.col("n_chars").cast("double"), 6)
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    raw = F.log(u) / F.col("n_chars").cast("double")
     return (
         docs.where(F.col("n_chars") > 0)
         .select(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
-            key.alias("priority"),
+            raw.alias("raw"),
         )
-        .orderBy(F.col("priority").desc(), "doc_id")
+        .orderBy(F.col("raw").desc(), "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "n_chars", hround(F.col("raw"), 12).alias("priority"))
     )
 
 
 _PRIORITY_EXPR = (
-    "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
-    " + 0.5) / 65536.0) / CAST(n_chars AS DOUBLE)"
+    "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE)"
 )
 
 DOCS_WEIGHTED_SAMPLE_SQL = f"""
-SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       {hround_sql(_PRIORITY_EXPR, 6)} AS priority
-FROM documents
-WHERE n_chars > 0
-ORDER BY priority DESC, doc_id
-LIMIT {WEIGHTED_SAMPLE_K}
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, {_PRIORITY_EXPR} AS raw
+  FROM documents
+  WHERE n_chars > 0
+  ORDER BY raw DESC, doc_id
+  LIMIT {WEIGHTED_SAMPLE_K}
+)
+SELECT doc_id, n_chars, {hround_sql("raw", 12)} AS priority
+FROM ranked
+ORDER BY raw DESC, doc_id
 """
 
 QUERIES["docs_weighted_sample"] = (docs_weighted_sample, DOCS_WEIGHTED_SAMPLE_SQL)
@@ -2075,6 +2085,16 @@ def _kmeans_oracle() -> str:
   FROM {prev} p LEFT JOIN {out}_fresh f USING (cluster)
 )"""
 
+    # generate the assign/update CTE chain from the SAME iteration
+    # constant the Spark operator uses, so changing KMEANS_ITERS cannot
+    # silently desync engine and oracle (ADVICE r4)
+    iters = similarity.KMEANS_ITERS
+    chain, cents = [], "seeds"
+    for i in range(iters):
+        chain.append(assign("base", cents, f"assign{i}"))
+        if i < iters - 1:
+            chain.append(update(f"assign{i}", cents, f"cent{i + 1}"))
+            cents = f"cent{i + 1}"
     return f"""
 WITH base AS (
   SELECT vec_id,
@@ -2085,9 +2105,9 @@ WITH base AS (
 seeds AS (
   SELECT vec_id AS cluster, list_transform(vq, x -> x / {q}) AS centroid
   FROM base ORDER BY vec_id LIMIT {k}
-),{assign("base", "seeds", "assign0")},{update("assign0", "seeds", "cent1")},{assign("base", "cent1", "assign1")}
+),{",".join(chain)}
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
-FROM assign1
+FROM assign{iters - 1}
 ORDER BY vec_id
 """
 
@@ -2394,10 +2414,12 @@ WITH toks AS (
 wins AS (
   SELECT doc_id, u.pos,
          CAST(('0x' || substr(md5(array_to_string(
-             list_slice(tl, u.pos + 1, u.pos + {w}), ' ')), 1, 8)) AS BIGINT) AS wid
+             list_slice(tl, u.pos + 1, u.pos + {w}), ' ')), 1, 15)) AS BIGINT) AS wid
   FROM toks,
        unnest(CASE WHEN len(tl) >= {w}
-                   THEN range(0, len(tl) - {w} + 1, {s})
+                   THEN list_filter(range(0, len(tl) - {w} + 1),
+                        i -> i = 0 OR CAST(('0x' || substr(md5(tl[i + 1]), 1, 8))
+                                           AS BIGINT) % {s} = 0)
                    ELSE [] END) AS u(pos)
 ),
 freq AS (
@@ -2542,6 +2564,15 @@ def _kmeans_sse_oracle() -> str:
   FROM {prev} p LEFT JOIN {out}_fresh f USING (cluster)
 )"""
 
+    # same loop-generated chain as _kmeans_oracle — one iteration
+    # constant drives both engines (ADVICE r4)
+    iters = similarity.KMEANS_ITERS
+    chain, cents = [], "seeds"
+    for i in range(iters):
+        chain.append(assign("base", cents, f"assign{i}"))
+        if i < iters - 1:
+            chain.append(update(f"assign{i}", cents, f"cent{i + 1}"))
+            cents = f"cent{i + 1}"
     return f"""
 WITH base AS (
   SELECT vec_id,
@@ -2552,11 +2583,11 @@ WITH base AS (
 seeds AS (
   SELECT vec_id AS cluster, list_transform(vq, x -> x / {q}) AS centroid
   FROM base ORDER BY vec_id LIMIT {k}
-),{assign("base", "seeds", "assign0")},{update("assign0", "seeds", "cent1")},{assign("base", "cent1", "assign1")}
+),{",".join(chain)}
 SELECT CAST(cluster AS BIGINT) AS cluster,
        CAST(count(*) AS BIGINT) AS n_vecs,
        {hround_sql("sum(d2)", 4)} AS sse
-FROM assign1
+FROM assign{iters - 1}
 GROUP BY cluster
 ORDER BY cluster
 """

@@ -266,6 +266,23 @@ class TestWeightedSample:
         con.close()
         assert out["n_chars"].mean() > corpus_mean
 
+    def test_topk_not_tie_degenerate(self, spark):
+        """Ranking must happen on the UNROUNDED priority: coarse
+        rounding before the rank collapses likely winners into one tie
+        broken by doc_id, degenerating the sample into lowest-id
+        selection (ADVICE r4). Emitted priorities must therefore be
+        (essentially) all distinct and the pick must not be the lowest
+        100 doc_ids."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            WEIGHTED_SAMPLE_K,
+            docs_weighted_sample,
+        )
+
+        out = docs_weighted_sample(spark, "/root/testdata/sf0.01").toPandas()
+        assert out["priority"].nunique() >= WEIGHTED_SAMPLE_K - 1
+        lowest_ids = set(range(WEIGHTED_SAMPLE_K))
+        assert set(out["doc_id"]) != lowest_ids
+
 
 class TestRandomProjection:
     """JL random projection (plans/llm_ops.py::emb_random_projection):

@@ -1266,16 +1266,50 @@ class TestSubstringDedup:
         assert out[4]["n_windows"] == 0 and out[4]["max_window_copies"] == 0
 
     def test_stride_controls_window_count(self, spark):
+        """stride=1 anchors every position; stride=8 keeps position 0
+        plus positions whose token md5-hash ≡ 0 mod 8 (content-defined
+        anchoring — expectation computed with the same hash here)."""
+        import hashlib
+
         from pos_pipeline_core_etl_spark.operators.dedup import (
             substring_duplicate_spans,
         )
 
-        doc = [(1, " ".join(f"t{i}" for i in range(40)))]
-        df = spark.createDataFrame(doc, ["doc_id", "text"])
+        toks = [f"t{i}" for i in range(40)]
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
         dense = substring_duplicate_spans(df, window=16, stride=1).collect()[0]
         strided = substring_duplicate_spans(df, window=16, stride=8).collect()[0]
         assert dense["n_windows"] == 40 - 16 + 1
-        assert strided["n_windows"] == (40 - 16) // 8 + 1
+
+        def anchored(tok: str, stride: int) -> bool:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % stride == 0
+
+        want = sum(
+            1 for i in range(40 - 16 + 1) if i == 0 or anchored(toks[i], 8)
+        )
+        assert strided["n_windows"] == want
+        assert strided["n_windows"] < dense["n_windows"]
+
+    def test_misaligned_copy_detected(self, spark):
+        """A wholesale copy with ONE token prepended must still be
+        flagged: content-defined anchors align window starts on the
+        shared text itself, where positional strides (start ≡ 0 mod
+        stride per doc) miss every copy whose offset differs mod stride
+        (ADVICE r4)."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            substring_duplicate_spans,
+        )
+
+        span = " ".join(f"s{i}" for i in range(64))
+        rows = [(1, span), (2, "prepended " + span)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in substring_duplicate_spans(df).collect()
+        }
+        assert out[1]["n_dup_windows"] >= 1
+        assert out[2]["n_dup_windows"] >= 1
+        assert out[2]["max_window_copies"] == 2
 
     def test_no_quadratic_join_in_plan(self, spark):
         """The plan must contain no cartesian/nested-loop product —
@@ -1356,6 +1390,17 @@ class TestKmeansLloyd:
         two = {r.vec_id: r.cluster for r in kmeans_lloyd(df, k=2, iters=2).toPandas().itertuples()}
         assert two[2] == 0 and two[0] == 1 and two[1] == 1 and two[3] == 1
 
+    def test_iters_zero_rejected(self, spark):
+        """iters=0 must raise loudly instead of crashing downstream in
+        the final select with assigned=None (ADVICE r4)."""
+        import pytest
+
+        from pos_pipeline_core_etl_spark.operators.similarity import kmeans_lloyd
+
+        df = spark.createDataFrame([(0, [0.0, 1.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError, match="iters"):
+            kmeans_lloyd(df, k=1, iters=0)
+
     def test_no_data_sized_join(self, spark):
         """Assignment must ride a 1-row broadcast, never an N x k
         SortMergeJoin or cartesian over the corpus."""
@@ -1397,6 +1442,39 @@ class TestDedupSpanRemoval:
         assert out[2]["cleaned_text"] == "other tail here two"
         # untouched doc is identical
         assert out[3]["cleaned_text"] == "independent words only"
+
+    def test_misaligned_copy_spans_removed(self, spark):
+        """Span removal must fire on a copy with one token prepended —
+        the offset-mod-stride miss mode of positional strides (ADVICE
+        r4). Expected removals computed with the same content-anchor
+        model in plain Python."""
+        import hashlib
+
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        span_toks = [f"s{i}" for i in range(64)]
+        rows = [
+            (1, " ".join(span_toks)),
+            (2, "prepended " + " ".join(span_toks)),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
+        # doc 1 (lowest id) keeps every shared span
+        assert out[1]["n_removed_tokens"] == 0
+
+        def h(tok: str) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+        # windows shared by both docs anchor at s_i with hash ≡ 0 mod 8;
+        # in doc 2 they sit one position later (the prepended token)
+        shared = [i for i in range(64 - 16 + 1) if h(span_toks[i]) % 8 == 0]
+        removed: set[int] = set()
+        for i in shared:
+            removed.update(range(i + 1, i + 17))
+        assert len(removed) > 0
+        assert out[2]["n_removed_tokens"] == len(removed)
 
     def test_original_case_preserved(self, spark):
         """Windows hash lowercased tokens, but the rebuilt text must
