@@ -350,6 +350,13 @@ def simhash_near_pairs(
     max_doc_id: int | None = None,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
+    """All-pairs SimHash Hamming join — the bounded VERIFY twin.
+
+    O(n²) by construction (broadcast-nested-loop under a `<` join
+    condition); callers bound the subset via ``max_doc_id``. The scale
+    path is :func:`simhash_banded_pairs`, which generates candidates by
+    pigeonhole banding and is exactly equivalent whenever no band
+    bucket exceeds the cap."""
     sigs = simhash(docs, text_col, bits=bits)
     if max_doc_id is not None:
         sigs = sigs.where(F.col("doc_id") < max_doc_id)
@@ -364,6 +371,104 @@ def simhash_near_pairs(
             dist.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_band_widths(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per pigeonhole band: ``max_hamming + 1`` contiguous
+    bit ranges whose widths differ by at most one. Shared by the Spark
+    operator and the SQL-oracle generator so both engines band
+    identically."""
+    n_bands = max_hamming + 1
+    if bits < n_bands:
+        raise ValueError(f"need bits >= max_hamming + 1 ({n_bands}), got {bits}")
+    base, rem = divmod(bits, n_bands)
+    out, shift = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        out.append((shift, width))
+        shift += width
+    return out
+
+
+def simhash_banded_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Scale-grade SimHash near-pair generation via pigeonhole banding.
+
+    The signature's ``bits`` bits split into ``max_hamming + 1``
+    contiguous bands; two signatures within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` bits, so at least
+    one band is IDENTICAL (pigeonhole) — candidates are docs sharing
+    any (band, band_value) key, found by a keyed groupBy exactly like
+    :func:`minhash_lsh_candidates`, never a doc × doc join. Verify
+    computes ``bit_count(xor)`` on candidates only (gather form — one
+    signature join).
+
+    Equivalence contract: identical results to
+    :func:`simhash_near_pairs` whenever no bucket exceeds
+    ``max_bucket_size`` (buckets above the cap are excluded from pair
+    expansion, same discipline and constant as the MinHash path; a
+    degenerate corpus that skipped exact dedup should run that first).
+    Widen ``bits`` (≤ 32 with the 8-hex token hash) as the corpus
+    grows so band values stay selective: buckets per band ≈
+    2^(bits/(h+1)).
+    """
+    sigs = simhash(docs, text_col, bits=bits)
+    structs = [
+        f"named_struct('band', {b}, "
+        f"'val', shiftright(simhash, {shift}) & {(1 << width) - 1}L)"
+        for b, (shift, width) in enumerate(simhash_band_widths(bits, max_hamming))
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({', '.join(structs)})")).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    keep = F.size("ids") > 1
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
+    grouped = (
+        buckets.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(keep)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cands = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    # gather form: ONE signature join for both pair sides
+    sides = cands.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    gathered = (
+        sides.join(sigs, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("simhash"))
+            ).alias("sig_a"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("simhash"))
+            ).alias("sig_b"),
+        )
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return gathered.select("doc_a", "doc_b", dist.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
     )
 
 

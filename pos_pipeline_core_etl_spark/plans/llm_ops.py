@@ -583,6 +583,82 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 DEDUP_SIMHASH_SQL = _simhash_oracle()
 
 
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs over the FULL corpus via pigeonhole banding
+    (operators/dedup.py::simhash_banded_pairs): any pair within Hamming
+    ≤ 3 shares at least one of 4 exact signature bands, so candidates
+    come from a keyed bucket groupBy and the Hamming verify touches
+    candidates only — the scale path that replaces the bounded
+    all-pairs twin (dedup_simhash)."""
+    df = dedup.simhash_banded_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+    return df.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_banded_oracle(max_hamming: int = 3) -> str:
+    bits = dedup.SIMHASH_BITS
+    cap = dedup.LSH_MAX_BUCKET
+    bit_cells = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {shift}) & {(1 << width) - 1}"
+        f" AS val FROM sig"
+        for b, (shift, width) in enumerate(
+            dedup.simhash_band_widths(bits, max_hamming)
+        )
+    )
+    return rf"""
+WITH tok AS (
+  SELECT d.doc_id, u.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(list_distinct(
+         regexp_split_to_array(trim(lower(d.text)), '\s+'))) AS tok) u
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+  {bit_cells}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+),
+bands AS (
+  {band_union}
+),
+ok AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.val = a.val
+  JOIN bands b ON b.band = a.band AND b.val = a.val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_BANDED_SQL = _simhash_banded_oracle()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -934,6 +1010,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_banded": (dedup_simhash_banded, DEDUP_SIMHASH_BANDED_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_embedding_components": (
         dedup_embedding_components,
@@ -2263,6 +2340,84 @@ FROM documents d JOIN q USING (doc_id)
 DOCS_QUALITY_PCT_RANK_SQL = _quality_pct_oracle()
 
 QUERIES["docs_quality_pct_rank"] = (docs_quality_pct_rank, DOCS_QUALITY_PCT_RANK_SQL)
+
+
+# percentile-approx twin of docs_quality_pct_rank (round-5): the sketch
+# path the docstring above promises at 100 TB, exercised for real under
+# the same tolerance-contract pattern as events_cardinality_sketch.
+
+N_PCT_BOUNDS = 20
+PCT_APPROX_TOL = 0.10  # 1/N bucket quantization + sketch error + tie spread
+
+
+def quality_pct_approx_frame(
+    spark: SparkSession, sf_dir: str, contract: bool = True
+) -> DataFrame:
+    """Per-source quantile normalization WITHOUT the per-source window
+    sort: one ``percentile_approx`` hash-agg learns ``N_PCT_BOUNDS``
+    quantile boundaries per source (a mergeable sketch — no sort, no
+    skew sensitivity), then a broadcast join + map-side bucket count
+    assigns each doc its approximate percentile. The scale path for
+    hot sources where docs_quality_pct_rank's sort dominates.
+
+    ``contract=True`` additionally computes the exact percent_rank and
+    emits it with a boolean asserting the approximation landed within
+    ``PCT_APPROX_TOL`` — the oracle-checkable form (same pattern as
+    events_cardinality_sketch; a sketch regression flips the flag and
+    fails the hash). ``contract=False`` is the pure production shape
+    benchmarked on the scale ladder."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    joined = docs.select("doc_id", "source").join(q, "doc_id")
+    probs = [i / N_PCT_BOUNDS for i in range(1, N_PCT_BOUNDS)]
+    bounds = joined.groupBy("source").agg(
+        F.percentile_approx("quality", probs, 10000).alias("bounds")
+    )
+    approx = (
+        F.size(F.filter(F.col("bounds"), lambda b: b <= F.col("quality")))
+        .cast("double")
+        / N_PCT_BOUNDS
+    )
+    base = joined.join(F.broadcast(bounds), "source")
+    if not contract:
+        return base.select(
+            "doc_id", "source", "quality", hround(approx, 6).alias("pct_approx")
+        )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    exact = F.percent_rank().over(w)
+    return base.select(
+        "doc_id",
+        "source",
+        "quality",
+        hround(exact, 6).alias("quality_pct"),
+        (F.abs(approx - exact) <= PCT_APPROX_TOL).alias("pct_within_tol"),
+    )
+
+
+def docs_quality_pct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_pct_approx_frame(spark, sf_dir, contract=True)
+
+
+def _quality_pct_approx_oracle() -> str:
+    base = QUERIES["text_quality"][1]
+    rank = "percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality, d.doc_id)"
+    return f"""
+WITH q AS ({base})
+SELECT d.doc_id, d.source, q.quality,
+       {hround_sql(rank, 6)} AS quality_pct,
+       TRUE AS pct_within_tol
+FROM documents d JOIN q USING (doc_id)
+"""
+
+
+DOCS_QUALITY_PCT_APPROX_SQL = _quality_pct_approx_oracle()
+
+QUERIES["docs_quality_pct_approx"] = (
+    docs_quality_pct_approx,
+    DOCS_QUALITY_PCT_APPROX_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

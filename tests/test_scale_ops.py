@@ -232,6 +232,21 @@ class TestIvfAnn:
         b = sorted(map(tuple, ivf_search_topk(emb).collect()))
         assert a == b
 
+    def test_ivf_query_batch_capped(self, spark):
+        """Probe selection collects query vectors driver-side; a
+        corpus-sized n_queries must raise instead of silently OOMing
+        the driver (VERDICT r4)."""
+        import pytest
+
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            IVF_MAX_QUERIES,
+            ivf_search_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with pytest.raises(ValueError, match="IVF_MAX_QUERIES"):
+            ivf_search_topk(emb, n_queries=IVF_MAX_QUERIES + 1)
+
 
 class TestEmbeddingNeardup:
     def test_blocked_matches_are_subset_of_bruteforce(self, spark):
@@ -526,6 +541,61 @@ class TestLshParameterization:
             assert s32[d] < (1 << 32)
         with pytest.raises(ValueError):
             simhash(docs, bits=64).collect()
+
+    def test_simhash_banded_equals_allpairs(self, spark):
+        """Pigeonhole guarantee: with no bucket over the cap, the banded
+        candidate generator must reproduce the all-pairs result exactly
+        (any pair within Hamming ≤ h shares at least one of h+1 bands)."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            simhash_banded_pairs,
+            simhash_near_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).where("doc_id < 100")
+        allpairs = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_pairs(docs, max_hamming=3).collect()
+        }
+        banded = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_banded_pairs(docs, max_hamming=3).collect()
+        }
+        assert banded == allpairs
+        assert allpairs  # fixture corpus produces near-pairs
+
+    def test_simhash_banded_no_quadratic_join(self, spark):
+        """The banded path must never plan a doc × doc leg — candidates
+        come from keyed band buckets, verify from equi-joins."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            simhash_banded_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            simhash_banded_pairs(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_simhash_band_widths_partition_bits(self):
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            simhash_band_widths,
+        )
+
+        for bits, h in [(16, 3), (32, 3), (17, 3), (7, 2)]:
+            widths = simhash_band_widths(bits, h)
+            assert len(widths) == h + 1
+            assert sum(w for _s, w in widths) == bits
+            assert widths[0][0] == 0
+            for (s0, w0), (s1, _w1) in zip(widths, widths[1:]):
+                assert s1 == s0 + w0
+        with pytest.raises(ValueError):
+            simhash_band_widths(3, 3)
 
 
 class TestRealPngDecode:
