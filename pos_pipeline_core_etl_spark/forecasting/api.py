@@ -42,6 +42,11 @@ class ForecastConfig:
     horizon_days: int = 7
     metrics: tuple[str, ...] = DEFAULT_METRICS
     model: ForecastModel = field(default_factory=LogLinearSeasonalModel)
+    #: opt-in: surface per-group model debug info (reference
+    #: forecasting/api.py:54-74 carries debug[model][branch][metric];
+    #: populated only for models implementing the HasDebugInfo protocol,
+    #: i.e. exposing ``debug_`` after forecast — types.py:409-421)
+    debug: bool = False
 
 
 @dataclass
@@ -49,6 +54,10 @@ class ForecastResult:
     forecast: DataFrame
     deposit_schedule: DataFrame
     metadata: dict[str, Any]
+    #: debug[model_name][sucursal][metric] = the model's ``debug_`` map
+    #: (e.g. NaiveLastWeek: forecast date → historical source date used,
+    #: reference models/naive.py:59-409). Empty unless config.debug.
+    debug: dict[str, dict[str, dict[str, Any]]] = field(default_factory=dict)
 
 
 def _melt_metrics(mart: DataFrame, metrics: tuple[str, ...]) -> DataFrame:
@@ -80,8 +89,11 @@ def run_payments_forecast(
     long_df = _melt_metrics(mart, config.metrics)
     model = config.model
     horizon = config.horizon_days
+    want_debug = config.debug
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
         sucursal = pdf["sucursal"].iloc[0]
         metric = pdf["metric"].iloc[0]
         series = (
@@ -91,22 +103,51 @@ def run_payments_forecast(
         )
         if (series != 0).sum() < MIN_OBSERVATIONS:
             return pd.DataFrame(
-                columns=["sucursal", "metric", "fecha", "valor"]
+                columns=["sucursal", "metric", "fecha", "valor", "debug_json"]
             ).astype({"valor": "float64"})
         trained = model.train(series)
         pred = model.forecast(trained, horizon)
+        # HasDebugInfo protocol (reference types.py:409-421): a model
+        # exposing debug_ after forecast ships it out of the executor
+        # as one JSON cell on the group's first row
+        dbg = None
+        if want_debug and getattr(model, "debug_", None):
+            dbg = _json.dumps(model.debug_)
         return pd.DataFrame(
             {
                 "sucursal": sucursal,
                 "metric": metric,
                 "fecha": pred.index.date,
                 "valor": pred.to_numpy(dtype=float),
+                "debug_json": [dbg] + [None] * (len(pred) - 1),
             }
         )
 
-    forecast = long_df.groupBy("sucursal", "metric").applyInPandas(
-        fit_group, schema="sucursal string, metric string, fecha date, valor double"
+    full = long_df.groupBy("sucursal", "metric").applyInPandas(
+        fit_group,
+        schema="sucursal string, metric string, fecha date, valor double,"
+        " debug_json string",
     )
+    debug: dict[str, dict[str, dict[str, Any]]] = {}
+    if want_debug:
+        import json as _json
+
+        # checkpoint so the training pass is not repeated when the
+        # caller consumes the forecast frame; the result is horizon ×
+        # branches × metrics rows — small by construction
+        full = full.localCheckpoint(eager=True)
+        per_model: dict[str, dict[str, Any]] = {}
+        for row in (
+            full.where(F.col("debug_json").isNotNull())
+            .select("sucursal", "metric", "debug_json")
+            .collect()
+        ):
+            per_model.setdefault(row["sucursal"], {})[row["metric"]] = _json.loads(
+                row["debug_json"]
+            )
+        if per_model:
+            debug[type(model).__name__] = per_model
+    forecast = full.drop("debug_json")
     deposits = build_deposit_schedule(mart)
     metadata = {
         "horizon_days": horizon,
@@ -114,7 +155,9 @@ def run_payments_forecast(
         "model": type(model).__name__,
         "min_observations": MIN_OBSERVATIONS,
     }
-    return ForecastResult(forecast=forecast, deposit_schedule=deposits, metadata=metadata)
+    return ForecastResult(
+        forecast=forecast, deposit_schedule=deposits, metadata=metadata, debug=debug
+    )
 
 
 # applyInPandas closures ship to executors — serialize by value

@@ -200,6 +200,8 @@ class _HannanRissanenFit:
     def __init__(self, y: pd.Series, order, seasonal_order):
         p, d, q = order
         P, D, Q, m = seasonal_order
+        self.order = tuple(order)
+        self.seasonal_order = tuple(seasonal_order)
         self._index_last = y.index[-1]
         values = np.asarray(y, dtype=float)
 
@@ -301,6 +303,8 @@ class _KalmanExactMLEFit:
 
         p, d, q = order
         P, D, Q, m = seasonal_order
+        self.order = tuple(order)
+        self.seasonal_order = tuple(seasonal_order)
         self._index_last = y.index[-1]
         values = np.asarray(y, dtype=float)
         w, self._reg_tails, self._seas_histories = _difference_chain(values, d, D, m)

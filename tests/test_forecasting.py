@@ -178,6 +178,40 @@ def test_naive_debug_info_records_source_dates():
         assert src == str((d - pd.Timedelta(days=7)).date())
 
 
+def test_forecast_result_surfaces_debug_map(spark, mart_fixture):
+    """ForecastResult.debug parity (reference forecasting/api.py:54-74 /
+    types.py:384-421): with config.debug=True and a HasDebugInfo model
+    (NaiveLastWeek, models/naive.py:59-409), the nested
+    debug[model][branch][metric] map must arrive driver-side with each
+    forecast date mapped to its historical source date."""
+    cfg = ForecastConfig(
+        horizon_days=7,
+        metrics=("ingreso_efectivo",),
+        model=NaiveLastWeekModel(),
+        debug=True,
+    )
+    res = run_payments_forecast(mart_fixture, cfg)
+    assert set(res.debug) == {"NaiveLastWeekModel"}
+    per_branch = res.debug["NaiveLastWeekModel"]
+    assert set(per_branch) == {"A", "B"}
+    for branch in ("A", "B"):
+        dbg = per_branch[branch]["ingreso_efectivo"]
+        assert len(dbg) == 7
+        for target, src in dbg.items():
+            d = pd.Timestamp(target)
+            # no holidays in the fixture: source = exactly one week back
+            assert src == str((d - pd.Timedelta(days=7)).date())
+    # the forecast frame itself carries no debug plumbing
+    assert "debug_json" not in res.forecast.columns
+
+
+def test_forecast_debug_off_by_default(spark, mart_fixture):
+    cfg = ForecastConfig(horizon_days=7, metrics=("ingreso_efectivo",))
+    res = run_payments_forecast(mart_fixture, cfg)
+    assert res.debug == {}
+    assert "debug_json" not in res.forecast.columns
+
+
 def test_loglinear_closed_form_equals_numpy_model(spark, mart_fixture):
     """The relational Frisch-Waugh fit must reproduce the applyInPandas
     numpy lstsq fit exactly (same column space -> same OLS solution)."""
@@ -374,6 +408,76 @@ class TestArimaBackendBound:
         a = np.expm1(ours.forecast(7).to_numpy())
         b = np.expm1(np.asarray(sx.forecast(7)))
         assert float(np.mean(np.abs(a - b) / np.maximum(b, 1e-9))) < 0.05
+
+    @staticmethod
+    def _order_fixture(n=120, seed=7):
+        rng = np.random.default_rng(seed)
+        idx = pd.date_range("2024-01-01", periods=n, freq="D")
+        vals = (
+            100.0
+            + 0.3 * np.arange(n)
+            + 20.0 * (np.arange(n) % 7 == 5)
+            + rng.normal(0.0, 1.5, n)
+        )
+        return pd.Series(vals, index=idx)
+
+    def test_rescore_picks_full_mle_grid_order(self):
+        """Order-selection delta (COVERAGE §2.13, VERDICT r4 #7): the
+        budgeted hr+mle top-5 rescore must pick the same (order,
+        seasonal_order) as the exhaustive exact-MLE grid scan — the HR
+        CSS approximation alone may rank close orders differently on
+        short noisy series. Runs without statsmodels: the gold standard
+        here is our own backend='mle' full scan (itself pinned to
+        SARIMAX numerically in the gated test above)."""
+        from pos_pipeline_core_etl_spark.forecasting.models import LogARIMAModel
+
+        s = self._order_fixture()
+        gold = LogARIMAModel(max_p=1, max_q=1, backend="mle")
+        gold_fit = gold.train(s)
+        rescored = LogARIMAModel(max_p=1, max_q=1, backend="hr+mle", rescore_top_n=5)
+        re_fit = rescored.train(s)
+        assert (re_fit.order, re_fit.seasonal_order) == (
+            gold_fit.order,
+            gold_fit.seasonal_order,
+        )
+
+    def test_order_selection_agrees_with_sarimax_grid(self, monkeypatch):
+        """Gated twin of the above: where statsmodels exists, the
+        hr+mle top-5 rescore must agree with a SARIMAX min-AIC grid
+        scan on the fixture (simple_differencing matches where the
+        rebuild applies differencing; the burn convention now matches
+        loglikelihood_burn, so the AICs are comparable)."""
+        sm = pytest.importorskip("statsmodels.tsa.statespace.sarimax")
+        from pos_pipeline_core_etl_spark.forecasting.models import LogARIMAModel
+
+        s = self._order_fixture()
+        y = np.log1p(s.clip(lower=0))
+        best, best_aic = None, np.inf
+        for p in (0, 1):
+            for d in (0, 1):
+                for q in (0, 1):
+                    for P in (0, 1):
+                        for D in (0, 1):
+                            for Q in (0, 1):
+                                try:
+                                    fit = sm.SARIMAX(
+                                        y,
+                                        order=(p, d, q),
+                                        seasonal_order=(P, D, Q, 7),
+                                        enforce_stationarity=False,
+                                        enforce_invertibility=False,
+                                        simple_differencing=True,
+                                    ).fit(disp=False)
+                                except Exception:
+                                    continue
+                                if fit.aic < best_aic:
+                                    best_aic = fit.aic
+                                    best = ((p, d, q), (P, D, Q, 7))
+        # force the numpy backend even though statsmodels is importable
+        monkeypatch.setattr(LogARIMAModel, "_sarimax_cls", staticmethod(lambda: None))
+        m = LogARIMAModel(max_p=1, max_q=1, backend="hr+mle", rescore_top_n=5)
+        got = m.train(s)
+        assert (got.order, got.seasonal_order) == best
 
 
 class TestSeasonalArAnalyticBound:
