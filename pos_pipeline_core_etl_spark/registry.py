@@ -6,21 +6,22 @@ both read from here, so the set of claimed operators lives in one place.
 Ordering matters: the correctness driver verifies queries in registration
 order and caps the per-round list at 50.  ``_PRIORITY`` therefore rotates
 per round: front-load (a) queries never driver-checked, then (b) queries
-whose semantics changed since their last driver-green row, then (c) the
-oldest driver rows.  Round 1 covered the first 50 of 82 (relational / marts
-/ QA / scalar fns / windows); round 2 rotated to the other 40 (LLM ops,
-forecasting, streaming, analytics) plus 10 flagships; round 3 rotated back
-to the 40 r1-only names plus the 10 new round-3 queries.  Round 4
-front-loads the never-checked names (dedup_cluster_sizes, the new bloom
-decontamination), the value-affecting round-4 fixes (sharded packer,
-retention floor, MAD zero guard, as-of struct carry), the 5
-round-3-edited names the judge flagged, then every query whose executing
-code changed in round 4 (F.expr plan-construction rewrites, parallelism
-guards), then the oldest r2-only rows that fit.  The second-pass tier 0
-(substring dedup + span removal, weighted sampling, random projection,
-distributed k-means + inertia, BPE pairs, bigram LM, quality pct-rank,
-shard checksums, trending top-k, user features) sits above all of that:
-those names have never had a driver row.
+whose VALUES changed since their last driver-green row, then (c) the
+oldest driver rows.  History: r1 covered the first 50 of 82; r2 the other
+40 + 10 flagships; r3 rotated back to the r1-only names + the 10 new
+round-3 queries; r4 front-loaded the 24 never-checked round-4 names and
+the value-affecting r4 fixes.
+
+Round-5 window (this file): after r4, 75 names' newest driver row
+predates round-4 code (VERDICT r4 #2 — replica-green on current code,
+but the artifact of record is stale).  Tier 0 = the 2 new round-5
+queries (banded SimHash, percentile-approx quality rank).  Tier 1 = the
+5 round-5 VALUE/oracle changes (content-anchored + 60-bit substring
+dedup twins, weighted-sample rounding fix, loop-generated k-means
+oracles).  Tier 2 = the 36 names whose newest row is from ROUND 2 —
+the oldest record.  Tier 3 = the first 7 of the 39 r3-latest names,
+filling the 50-slot window; the remaining 32 r3-latest names follow in
+registration order and front-load round 6.
 """
 
 from __future__ import annotations
@@ -31,76 +32,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-4 window: see module docstring for the tier rationale.
+# Round-5 window: see module docstring for the tier rationale.
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0: round-4 second-pass additions (never driver-checked) ----
-    "text_substring_dedup",       # token-window substring dedup (Lee et al.)
-    "docs_weighted_sample",       # Efraimidis-Spirakis priority sampling
-    "emb_random_projection",      # JL projection 64->8, map-side only
-    "emb_kmeans_lloyd",           # distributed Lloyd, integer-exact oracle
-    "text_bpe_pairs",             # tokenizer-training pair counts
-    "text_bigram_logprob",        # bigram-LM surprise (add-one smoothing)
-    "docs_quality_pct_rank",      # per-source quantile normalization
-    "corpus_shard_checksums",     # order-free export integrity manifest
-    "events_windowed_topk",       # trending top-k per day bucket
-    "text_dedup_spans",           # keep-one duplicated-span removal
-    "events_user_features",       # per-user feature matrix (one keyed agg)
-    "emb_kmeans_sse",             # Lloyd inertia diagnostics
-    # -- tier 1: no driver row from any round / results changed ----------
-    "dedup_cluster_sizes",        # never driver-checked (VERDICT r3 #1)
-    "text_decontaminate_bloom",   # new this round
-    "corpus_prep_decisions",      # new this round (composed prep recipe)
-    "text_train_split",           # new this round (hash split)
-    "docs_domain_quota",          # new this round (sharded per-source cap)
-    "text_shuffle_shards",        # new this round (shuffle-shard export)
-    "emb_quantize_int8",          # new this round (int8 quantization)
-    "scd2_orders_snapshot",       # new this round (SCD-2 from history)
-    "dedup_incremental_batch",    # new this round (batch-vs-corpus dedup)
-    "corpus_mixture_plan",        # new this round (mixture budget math)
-    "corpus_mixture_sample",      # new this round (mixture application)
-    "corpus_stats",               # new this round (per-source report)
-    "emb_dedup_decisions",        # new this round (semantic decision table)
-    "text_pack_sequences",        # sharded window: new shard_id column
-    "events_retention",           # floor-division fix (value-affecting)
-    "events_mad_anomalies",       # mad=0 guard (value-affecting)
-    "join_asof_purchase_view",    # struct payload carry (value-affecting)
-    "join_asof_next_purchase",
-    # -- tier 2: round-3-edited names on stale r2 rows (VERDICT r3 #1) ---
-    "text_repetition",
-    "user_activity_gaps",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_components",
-    # -- tier 3: round-4-edited code (F.expr conversions, parallelism
-    #    guards, funnel parameterization) — values replica-identical but
-    #    the executing code is new ---------------------------------------
-    "payments_daily_mart",
-    "sales_by_ticket_mart",
-    "dedup_minhash_verified",
-    "dedup_decisions",
-    "dedup_minhash_components",
-    "sim_cosine_topk",
-    "sim_lsh_bucket_topk",
-    "sim_lsh_buckets_histogram",
-    "sim_ivf_topk",
-    "events_funnel",
-    "window_rolling_mean",
-    "window_lag_delta",
-    "calendar_zero_fill",
-    "forecast_naive_lastweek",
-    "forecast_deposit_schedule",
-    "deposit_cash_flow",
-    "forecast_loglinear",
-    "qa_duplicates",
-    "qa_nulls",
-    "qa_non_negative",
-    "qa_revenue_consistency",
-    "qa_per_sucursal_ranges",
-    "qa_missing_days",
-    "qa_zscore_anomalies",
-    "qa_monthly_sales",
-    "qa_sample_months",
-    # -- tier 4: oldest r2-only rows, code untouched ---------------------
+    # -- tier 0: new round-5 queries (never driver-checked) --------------
+    "dedup_simhash_banded",       # pigeonhole-banded SimHash near-pairs
+    "docs_quality_pct_approx",    # percentile_approx twin + tolerance contract
+    # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
+    "text_substring_dedup",       # content-defined anchors + 60-bit wid
+    "text_dedup_spans",           # same anchor/wid change (destructive twin)
+    "docs_weighted_sample",       # unrounded rank + 32-bit u (ADVICE r4)
+    "emb_kmeans_lloyd",           # oracle now loop-generated from KMEANS_ITERS
+    "emb_kmeans_sse",
+    # -- tier 2: the 36 names whose newest driver row is from round 2 ----
     "scan_filter_project",
     "agg_pricing_summary",
     "silver_clean_payments",
@@ -112,13 +55,74 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality",
     "text_token_counts",
     "events_tumbling_counts",
-    # The remaining r2-green names (lang-id/fingerprint/vocab/tfidf/pii,
-    # exact+ngram+simhash dedup, multimodal, order-times, small filters,
-    # cardinality sketch, events_dedup, sql_interface_revenue,
-    # qa_zero_method_flags, fn_* scalars, relational/set ops) are
-    # untouched since their last driver-green row and re-verified
-    # replica-green at sf0.01 AND sf0.1 this round; they front-load the
-    # round-5 window.
+    "events_sessionization",
+    "events_dedup",
+    "sql_interface_revenue",
+    "order_times_summary",
+    "order_times_approx",
+    "drop_null_rows",
+    "sorted_distinct_dates",
+    "bounded_sample",
+    "branch_substring_filter",
+    "events_cardinality_sketch",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_vocabulary",
+    "text_tfidf_topk",
+    "text_decontaminate",
+    "text_pii_scan",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "text_unigram_logprob",
+    "dedup_simhash",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "deposit_cash_flow",
+    "forecast_loglinear",
+    # -- tier 3: r3-latest names — first 7 fit the 50-slot window --------
+    "fn_clean_strings",
+    "fn_to_float_locale",
+    "fn_to_float_expr",
+    "fn_to_int",
+    "fn_to_date_multi",
+    "fn_accent_bucket",
+    "fn_coerce_bool",
+    # -- remaining r3-latest names: front-load round 6 -------------------
+    "fn_safe_unit_cost",
+    "fn_json_extract",
+    "qa_duplicates",
+    "qa_nulls",
+    "qa_non_negative",
+    "qa_revenue_consistency",
+    "qa_per_sucursal_ranges",
+    "qa_missing_days",
+    "qa_zscore_anomalies",
+    "qa_monthly_sales",
+    "qa_sample_months",
+    "qa_zero_method_flags",
+    "join_broadcast_dims",
+    "join_bigbig_revenue",
+    "join_left_flag",
+    "join_validity_window",
+    "join_validity_window_bucketed",
+    "agg_count_distinct",
+    "dedup_keep_first",
+    "duplicate_detection",
+    "topk_orders",
+    "topk_per_group",
+    "set_except_keys",
+    "union_by_name",
+    "pivot_status_by_priority",
+    "unpivot_measures",
+    "monthly_rollup",
+    "grand_totals_rollup",
+    "horizontal_sum",
+    "value_mode",
+    "stratified_sample",
+    "text_chunk_windows",
+    # Everything after this point has a round-4 driver-green row on
+    # unchanged code and is re-verified replica-green this round.
 )
 
 

@@ -379,62 +379,131 @@ def run_attribution_join_incremental(
     q.awaitTermination()
 
 
-def dedup_index_batch(
-    batch_df: DataFrame, batch_id: int, out_dir: str, index_dir: str
-) -> None:
-    """foreachBatch body for streaming incremental dedup: label the
-    micro-batch against the accumulated corpus fingerprint index, then
-    fold the batch into the index — both writes per-batch-id
-    idempotent (at-least-once replay converges, same contract as
-    :func:`write_batch_idempotent`).
-
-    The index is an append-only parquet table (doc_id, fp) partitioned
-    by the batch that contributed it — exactly the "precomputed
-    fingerprint index" the batch operator
-    (operators/dedup.py::incremental_batch_decisions) says a deployment
-    maintains; this is the maintainer. Decisions use the index state
-    BEFORE this batch (strict arrival-order semantics: a doc is a dup
-    iff an EARLIER batch contained its fingerprint; in-batch duplicates
-    resolve against the batch's own min id).
-    """
+def _prior_partitions(base_dir: str, batch_id: int) -> list[str]:
+    """Index partitions from batches BEFORE ``batch_id`` (this batch's
+    own partition may exist from a failed attempt — excluded)."""
     import os
 
+    return [
+        os.path.join(base_dir, d)
+        for d in (os.listdir(base_dir) if os.path.isdir(base_dir) else [])
+        if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+    ]
+
+
+def dedup_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    band_index_dir: str | None = None,
+) -> None:
+    """foreachBatch body for streaming incremental dedup: label the
+    micro-batch against the accumulated corpus indexes, then fold the
+    batch into them — every write per-batch-id idempotent
+    (at-least-once replay converges, same contract as
+    :func:`write_batch_idempotent`).
+
+    Two append-only parquet indexes, partitioned by the batch that
+    contributed them — exactly the "precomputed indexes" the batch
+    operator (operators/dedup.py::incremental_batch_decisions) says a
+    deployment maintains; this is the maintainer:
+
+    - ``index_dir``: (doc_id, fp) fingerprint index → ``dup_exact``
+    - ``band_index_dir`` (optional): (doc_id, band, bucket_key) MinHash
+      LSH band-bucket index → ``dup_near``, computed one-sided for
+      exact-miss docs only, with the same ``LSH_MAX_BUCKET`` cap on
+      prior-corpus buckets as the batch operator — never batch × batch,
+      never corpus × corpus
+
+    Decisions use the index state BEFORE this batch (strict
+    arrival-order semantics: a doc is a dup iff an EARLIER batch
+    contained its fingerprint / a near bucket-mate; in-batch exact
+    duplicates resolve against the batch's own min id). Precedence
+    mirrors the batch operator: dup_exact, then dup_near, then
+    dup_in_batch (the streaming-only refinement — the batch operator
+    leaves batch-internal duplicates to the fold-in), then new.
+    """
+    from pos_pipeline_core_etl_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_MAX_BUCKET,
+        LSH_ROWS,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
     from pos_pipeline_core_etl_spark.operators.text import fingerprint
 
     spark = batch_df.sparkSession
     fp = fingerprint(batch_df).select("doc_id", "fp")
 
-    # index state from PRIOR batches only (this batch's partition may
-    # exist from a failed attempt — excluded by the pure-function path)
-    prior = [
-        os.path.join(index_dir, d)
-        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
-        if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
-    ]
+    prior = _prior_partitions(index_dir, batch_id)
     if prior:
         idx = spark.read.option("basePath", index_dir).parquet(*prior)
-        canon = idx.groupBy("fp").agg(F.min("doc_id").alias("dup_of"))
+        canon = idx.groupBy("fp").agg(F.min("doc_id").alias("exact_dup_of"))
     else:
-        canon = fp.select("fp").limit(0).withColumn("dup_of", F.lit(None).cast("long"))
+        canon = (
+            fp.select("fp").limit(0).withColumn("exact_dup_of", F.lit(None).cast("long"))
+        )
 
     in_batch = fp.groupBy("fp").agg(F.min("doc_id").alias("batch_min"))
-    decided = (
-        fp.join(canon, "fp", "left")
-        .join(in_batch, "fp")
-        .select(
-            "doc_id",
-            F.when(F.col("dup_of").isNotNull(), F.lit("dup_exact"))
-            .when(F.col("doc_id") != F.col("batch_min"), F.lit("dup_in_batch"))
-            .otherwise(F.lit("new"))
-            .alias("decision"),
-            F.coalesce(
-                F.col("dup_of"),
-                F.when(F.col("doc_id") != F.col("batch_min"), F.col("batch_min")),
-            ).alias("dup_of"),
+    exact = fp.join(canon, "fp", "left").join(in_batch, "fp").select(
+        "doc_id", "exact_dup_of", "batch_min"
+    )
+
+    bb = None
+    if band_index_dir is not None:
+        # near leg for exact-miss docs only (batch-operator staging);
+        # the full batch's buckets still fold into the index below
+        exact = exact.localCheckpoint(eager=False)
+        miss = exact.where(F.col("exact_dup_of").isNull()).select("doc_id")
+        bb_all = lsh_band_buckets(
+            minhash_signatures(batch_df, "text", k=LSH_BANDS * LSH_ROWS)
         )
+        bb = bb_all.localCheckpoint(eager=False)
+        prior_bands = _prior_partitions(band_index_dir, batch_id)
+        if prior_bands:
+            cb = (
+                spark.read.option("basePath", band_index_dir)
+                .parquet(*prior_bands)
+                .select(F.col("doc_id").alias("corpus_id"), "band", "bucket_key")
+            )
+            ok = (
+                cb.groupBy("band", "bucket_key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") <= LSH_MAX_BUCKET)
+                .select("band", "bucket_key")
+            )
+            near = (
+                bb.join(miss, "doc_id")
+                .join(cb.join(ok, ["band", "bucket_key"]), ["band", "bucket_key"])
+                .groupBy("doc_id")
+                .agg(F.min("corpus_id").alias("near_dup_of"))
+            )
+        else:
+            near = miss.limit(0).withColumn("near_dup_of", F.lit(None).cast("long"))
+        exact = exact.join(near, "doc_id", "left")
+    else:
+        exact = exact.withColumn("near_dup_of", F.lit(None).cast("long"))
+
+    decided = exact.select(
+        "doc_id",
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("dup_exact"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("dup_near"))
+        .when(F.col("doc_id") != F.col("batch_min"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("decision"),
+        F.coalesce(
+            F.col("exact_dup_of"),
+            F.col("near_dup_of"),
+            F.when(F.col("doc_id") != F.col("batch_min"), F.col("batch_min")),
+        )
+        .cast("long")
+        .alias("dup_of"),
     )
     write_batch_idempotent(decided, batch_id, out_dir)
     write_batch_idempotent(fp, batch_id, index_dir)
+    if band_index_dir is not None and bb is not None:
+        write_batch_idempotent(bb, batch_id, band_index_dir)
 
 
 def run_streaming_incremental_dedup(
@@ -443,21 +512,29 @@ def run_streaming_incremental_dedup(
     out_dir: str,
     index_dir: str,
     checkpoint_dir: str,
+    band_index_dir: str | None = None,
 ) -> DataFrame:
     """Streaming twin of `dedup_incremental_batch`: drain a document
     stream through :func:`dedup_index_batch` with availableNow, then
-    read back the consolidated decision table.
+    read back the consolidated decision table. Carries the batch
+    operator's FULL decision semantics — dup_exact / dup_near / new
+    (plus the streaming-only dup_in_batch) — by maintaining both the
+    fingerprint index and the LSH band-bucket index across batches
+    (``band_index_dir`` defaults to ``index_dir + "_bands"``).
 
     Scale shape: each micro-batch costs one batch-sized fingerprint
-    projection plus one equi-join against the index (at deployment the
-    index groupBy is a compacted table, not a per-batch re-agg); the
-    corpus is never re-deduped. The LSH near-dup leg composes the same
-    way (band-bucket index instead of fp index) — demonstrated on the
-    batch operator."""
+    projection plus equi-joins against the two indexes (at deployment
+    the index groupBys are compacted tables, not per-batch re-aggs);
+    the corpus is never re-deduped and the near leg is one-sided —
+    never corpus × corpus."""
+    if band_index_dir is None:
+        band_index_dir = index_dir + "_bands"
     raw = spark.readStream.schema("doc_id long, text string").parquet(stream_dir)
     q = (
         raw.writeStream.foreachBatch(
-            lambda df, bid: dedup_index_batch(df, bid, out_dir, index_dir)
+            lambda df, bid: dedup_index_batch(
+                df, bid, out_dir, index_dir, band_index_dir=band_index_dir
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

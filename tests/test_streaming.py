@@ -326,6 +326,93 @@ class TestStreamingIncrementalDedup:
         after = sorted((r["doc_id"], r["decision"]) for r in out2.collect())
         assert before == after
 
+    def test_near_dup_leg_labels_against_prior_batches(self, spark, tmp_path):
+        """A later batch's doc that shares LSH band buckets (but not the
+        exact fingerprint) with an earlier batch's doc must come back
+        dup_near with the earlier doc as canonical — the band-bucket
+        index accumulates across batches just like the fp index."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            lsh_band_buckets,
+            minhash_signatures,
+        )
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_incremental_dedup,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        near = base + " iota"  # shares most shingles with base
+        # pin the fixture's premise: the pair really does share a band
+        pair = spark.createDataFrame(
+            [(1, base), (9, near)], "doc_id long, text string"
+        )
+        bk = lsh_band_buckets(minhash_signatures(pair, "text"))
+        shared = (
+            bk.groupBy("band", "bucket_key")
+            .count()
+            .where("count > 1")
+            .count()
+        )
+        assert shared >= 1, "fixture must share at least one LSH band"
+
+        stream_dir = str(tmp_path / "stream")
+        out_dir = str(tmp_path / "out")
+        index_dir = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_batch(spark, stream_dir, [(1, base), (2, "unrelated words here")])
+        run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        self._write_batch(spark, stream_dir, [(9, near)])
+        out = run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        got = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in out.collect()}
+        assert got[9] == ("dup_near", 1)
+
+    def test_stream_equals_batch_operator(self, spark, tmp_path):
+        """Stream ≡ dedup_incremental_batch on the same arrival order
+        (corpus first, then the doc_id%10==7 slice): identical
+        dup_exact / dup_near / new decisions AND canonicals for every
+        slice doc (VERDICT r4). Restart with the same checkpoint
+        changes nothing."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            incremental_batch_decisions,
+        )
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_incremental_dedup,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        stream_dir = str(tmp_path / "stream")
+        out_dir = str(tmp_path / "out")
+        index_dir = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
+
+        docs.where("doc_id % 10 != 7").coalesce(1).write.mode("append").parquet(
+            stream_dir
+        )
+        run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        docs.where("doc_id % 10 = 7").coalesce(1).write.mode("append").parquet(
+            stream_dir
+        )
+        out = run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        got = {
+            r["doc_id"]: (r["decision"], r["dup_of"])
+            for r in out.where("doc_id % 10 = 7").collect()
+        }
+        want = {
+            r["doc_id"]: (r["decision"], r["dup_of"])
+            for r in incremental_batch_decisions(docs).collect()
+        }
+        assert got == want
+        # the fixture exercises every decision kind
+        assert {"dup_exact", "dup_near", "new"} <= {d for d, _ in want.values()}
+
+        out2 = run_streaming_incremental_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        got2 = {
+            r["doc_id"]: (r["decision"], r["dup_of"])
+            for r in out2.where("doc_id % 10 = 7").collect()
+        }
+        assert got2 == got
+
     def test_batch_body_idempotent_on_replay(self, spark, tmp_path):
         """At-least-once replay: re-running the SAME batch id must leave
         decisions and index unchanged (per-batch-id overwrite), and the
