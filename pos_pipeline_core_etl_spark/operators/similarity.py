@@ -830,6 +830,136 @@ def _kmeans_assignments(
     return assigned
 
 
+# ---------------------------------------------------------------------------
+# product quantization (Jégou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — round 5
+
+PQ_M = 8          # subspaces (64-d vector → 8 subvectors of 8 dims)
+PQ_K = 8          # codewords per subspace (real deployments use 256)
+PQ_ITERS = 2      # Lloyd iterations per subspace codebook
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codes: per-subspace k-means codebooks
+    trained on the FULL corpus, every vector encoded as ``m`` codebook
+    ids → (vec_id, sub, code). PQ compresses a 64-d float vector to
+    ``m * log2(k)`` bits while supporting asymmetric distance search —
+    the memory layer under billion-scale ANN (IVF-PQ).
+
+    Scale shape mirrors :func:`_kmeans_assignments`, with the subspace
+    id joining the centroid broadcast instead of a cross join: slicing
+    is map-side (one explode → m subvector rows per vector), each Lloyd
+    iteration is ONE keyed hash-agg on (sub, cluster, component) for
+    all ``m`` codebooks simultaneously — codebooks don't train
+    sequentially, the shuffle count is independent of ``m``. Same
+    integer-quantization determinism contract as k-means: exact
+    integer centroid sums, ties to the lowest cluster id, bit-exact
+    cross-engine.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub_d = dim // m
+    qf = float(quant)
+
+    vq = _quantize_vec(F.col(vec_col), quant)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(vq, s * sub_d + 1, sub_d).alias("svq"),
+            )
+            for s in range(m)
+        ]
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.explode(subs).alias("x")
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.svq").alias("svq"))
+
+    # seed codebooks: the k lowest-id vectors' subvectors (TakeOrdered +
+    # broadcast join — no per-subspace window sort over the corpus)
+    seed_ids = embeddings.select(F.col(id_col).alias("vec_id")).orderBy("vec_id").limit(k)
+    seeds = base.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub",
+        F.col("vec_id").alias("cluster"),
+        F.transform(F.col("svq"), lambda x: x / F.lit(qf)).alias("centroid"),
+    )
+
+    def pack(centroids: DataFrame) -> DataFrame:
+        """m rows, one per subspace, each holding its sorted codebook."""
+        return centroids.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "centroid"))).alias(
+                "cents"
+            )
+        )
+
+    def assign(packed: DataFrame) -> DataFrame:
+        joined = base.join(F.broadcast(packed), "sub")
+        v = F.transform(F.col("svq"), lambda x: x / F.lit(qf))
+        d2 = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, d: s + d,
+        )
+        best = F.aggregate(
+            F.col("cents"),
+            F.struct(
+                F.lit(float("inf")).alias("d2"),
+                F.lit(-1).cast("long").alias("cluster"),
+            ),
+            lambda acc, c: F.when(
+                d2(c) < acc["d2"],
+                F.struct(d2(c).alias("d2"), c["cluster"].alias("cluster")),
+            ).otherwise(acc),
+        )
+        return joined.select("vec_id", "sub", "svq", best["cluster"].alias("cluster"))
+
+    def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+        comp = assigned.select(
+            "sub", "cluster", F.posexplode(F.col("svq")).alias("comp", "val")
+        )
+        fresh = (
+            comp.groupBy("sub", "cluster", "comp")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("mean", F.col("s") / (F.col("n") * F.lit(qf)))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("comp", "mean"))),
+                    lambda st: st["mean"],
+                ).alias("centroid")
+            )
+        )
+        return (
+            prev.select("sub", "cluster", F.col("centroid").alias("prev_centroid"))
+            .join(fresh, ["sub", "cluster"], "left")
+            .select(
+                "sub",
+                "cluster",
+                F.coalesce("centroid", "prev_centroid").alias("centroid"),
+            )
+        )
+
+    centroids = seeds
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(pack(centroids))
+        centroids = update(assigned, centroids)
+    return assigned.select(
+        "vec_id", "sub", F.col("cluster").cast("long").alias("code")
+    )
+
+
 def kmeans_sse(
     embeddings: DataFrame,
     k: int = KMEANS_K,

@@ -552,3 +552,84 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         hround(F.avg("nll"), 6).alias("mean_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (Sennrich, Haddow & Birch, "Neural Machine
+# Translation of Rare Words with Subword Units", ACL 2016) — the merge
+# loop itself, distributed. text_bpe_pairs counts the first iteration's
+# candidates; this runs the actual iterative trainer.
+
+BPE_MERGES = 6
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn ``merges`` BPE merge rules over the corpus; returns the
+    merge table (merge_rank, pair, merged, n) — the artifact a tokenizer
+    ships.
+
+    Scale shape (the standard distributed formulation): token
+    frequencies collapse the corpus into a VOCABULARY table once (one
+    keyed agg — the only corpus-sized shuffle), each word segmented as
+    a space-delimited symbol string with a ``</w>`` end marker. Each
+    merge iteration is then one pair-count hash-agg over the vocabulary
+    plus a map-side literal string replace — vocabulary-sized, not
+    corpus-sized, so iterations cost the same at 100 TB as at 1 GB once
+    the vocab is built. The per-iteration ``localCheckpoint`` keeps the
+    plan flat (same discipline as connected_components); the winning
+    pair is a single collected row per iteration (bounded by
+    ``merges``). Merge application is leftmost non-overlapping literal
+    replacement — identical semantics in any engine, so the DuckDB
+    oracle reproduces the merge table bit-for-bit (ties broken by
+    (count desc, pair asc)).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias(
+                "w"
+            )
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seg = words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w> ")
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, merges + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pair_col = F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        top = (
+            seg.select("freq", F.explode(pair_col).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word fully merged — corpus exhausted
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        merged = pair.replace(" ", "")
+        out.append((rank, pair, merged, n))
+        seg = seg.select(
+            F.replace(
+                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "merge_rank int, pair string, merged string, n long"
+    )

@@ -2194,6 +2194,85 @@ EMB_KMEANS_LLOYD_SQL = _kmeans_oracle()
 QUERIES["emb_kmeans_lloyd"] = (emb_kmeans_lloyd, EMB_KMEANS_LLOYD_SQL)
 
 
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): per-subspace
+    k-means codebooks trained on the full corpus in parallel, every
+    vector compressed to m codebook ids — the memory layer under
+    billion-scale IVF-PQ ANN. See operators/similarity.py::pq_encode
+    for the one-shuffle-per-iteration shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb).orderBy("vec_id", "sub")
+
+
+def _pq_codes_oracle() -> str:
+    m, k, iters = similarity.PQ_M, similarity.PQ_K, similarity.PQ_ITERS
+    q = float(similarity.KMEANS_QUANT)
+    dim = 64
+    sub_d = dim // m
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {sd}),"
+        " i -> (b.svq[i] / {q} - s.centroid[i]) * (b.svq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(sd=sub_d, q=q)
+
+    def assign(base: str, cents: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, sub, svq, cluster FROM (
+    SELECT b.vec_id, b.sub, b.svq, s.cluster,
+           row_number() OVER (PARTITION BY b.vec_id, b.sub
+                              ORDER BY {d2}, s.cluster) AS rn
+    FROM {base} b JOIN {cents} s ON b.sub = s.sub)
+  WHERE rn = 1
+)"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""
+{out}_sums AS (
+  SELECT sub, cluster, u.i AS comp, sum(svq[u.i]) AS s, count(*) AS n
+  FROM {assigned}, unnest(generate_series(1, {sub_d})) AS u(i)
+  GROUP BY sub, cluster, u.i
+),
+{out}_fresh AS (
+  SELECT sub, cluster, list(s / (n * {q}) ORDER BY comp) AS centroid
+  FROM {out}_sums GROUP BY sub, cluster
+),
+{out} AS (
+  SELECT p.sub, p.cluster, coalesce(f.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN {out}_fresh f USING (sub, cluster)
+)"""
+
+    # loop-generated chain driven by the operator's constants
+    chain, cents = [], "seeds"
+    for i in range(iters):
+        chain.append(assign("base", cents, f"assign{i}"))
+        if i < iters - 1:
+            chain.append(update(f"assign{i}", cents, f"cent{i + 1}"))
+            cents = f"cent{i + 1}"
+    return f"""
+WITH base AS (
+  SELECT vec_id, u.sub AS sub,
+         list_transform(generate_series(1, {sub_d}),
+             i -> CAST(floor(CAST(embedding AS DOUBLE[])[u.sub * {sub_d} + i]
+                             * {q} + 0.5) AS BIGINT)) AS svq
+  FROM embeddings, unnest(generate_series(0, {m - 1})) AS u(sub)
+),
+seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
+seeds AS (
+  SELECT sub, b.vec_id AS cluster, list_transform(svq, x -> x / {q}) AS centroid
+  FROM base b JOIN seed_ids USING (vec_id)
+),{",".join(chain)}
+SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(cluster AS BIGINT) AS code
+FROM assign{iters - 1}
+ORDER BY vec_id, sub
+"""
+
+
+EMB_PQ_CODES_SQL = _pq_codes_oracle()
+
+QUERIES["emb_pq_codes"] = (emb_pq_codes, EMB_PQ_CODES_SQL)
+
+
 # ---------------------------------------------------------------------------
 # BPE-style adjacent-pair counting — round 4 second pass
 
@@ -2248,6 +2327,63 @@ LIMIT {BPE_PAIRS_K}
 """
 
 QUERIES["text_bpe_pairs"] = (text_bpe_pairs, TEXT_BPE_PAIRS_SQL)
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE tokenizer-training merge loop (Sennrich et al.
+    2016), distributed: vocabulary-collapse once, then per-merge
+    pair-count hash-aggs + map-side literal replaces — see
+    operators/text.py::bpe_train for the 100 TB shape. Emits the merge
+    table a tokenizer ships."""
+    return text.bpe_train(load_table(spark, sf_dir, "documents")).orderBy("merge_rank")
+
+
+def _bpe_train_oracle() -> str:
+    merges = text.BPE_MERGES
+    chain = [
+        r"""
+words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents) t0
+  WHERE w <> '' GROUP BY w
+),
+seg0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS s, freq
+  FROM words
+)"""
+    ]
+    # loop-generated CTE chain driven by the SAME constant as the Spark
+    # operator (k-means oracle discipline — ADVICE r4)
+    for i in range(1, merges + 1):
+        chain.append(
+            f"""
+pairs{i} AS (
+  SELECT u.p AS pair, sum(freq) AS n FROM (
+    SELECT freq,
+           list_transform(generate_series(1, len(a) - 1),
+                          j -> a[j] || ' ' || a[j + 1]) AS ps
+    FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM seg{i - 1}) t{i}a
+  ) t{i}b, unnest(ps) AS u(p) GROUP BY u.p
+),
+m{i} AS (SELECT pair, n FROM pairs{i} ORDER BY n DESC, pair LIMIT 1),
+seg{i} AS (
+  SELECT replace(s, ' ' || m{i}.pair || ' ',
+                 ' ' || replace(m{i}.pair, ' ', '') || ' ') AS s, freq
+  FROM seg{i - 1} CROSS JOIN m{i}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, pair, replace(pair, ' ', '') AS merged,"
+        f" CAST(n AS BIGINT) AS n FROM m{i}"
+        for i in range(1, merges + 1)
+    )
+    return f"WITH {','.join(chain)}\n{selects}\nORDER BY merge_rank"
+
+
+TEXT_BPE_TRAIN_SQL = _bpe_train_oracle()
+
+QUERIES["text_bpe_train"] = (text_bpe_train, TEXT_BPE_TRAIN_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -14,14 +14,15 @@ the value-affecting r4 fixes.
 
 Round-5 window (this file): after r4, 75 names' newest driver row
 predates round-4 code (VERDICT r4 #2 — replica-green on current code,
-but the artifact of record is stale).  Tier 0 = the 2 new round-5
-queries (banded SimHash, percentile-approx quality rank).  Tier 1 = the
-5 round-5 VALUE/oracle changes (content-anchored + 60-bit substring
-dedup twins, weighted-sample rounding fix, loop-generated k-means
-oracles).  Tier 2 = the 36 names whose newest row is from ROUND 2 —
-the oldest record.  Tier 3 = the first 7 of the 39 r3-latest names,
-filling the 50-slot window; the remaining 32 r3-latest names follow in
-registration order and front-load round 6.
+but the artifact of record is stale).  Tier 0 = the 4 new round-5
+queries (banded SimHash, percentile-approx quality rank, BPE trainer,
+PQ codes).  Tier 1 = the 5 round-5 VALUE/oracle changes
+(content-anchored + 60-bit substring dedup twins, weighted-sample
+rounding fix, loop-generated k-means oracles).  Tier 2 = the 36 names
+whose newest row is from ROUND 2 — the oldest record.  Tier 3 = the
+first 5 of the 39 r3-latest names, filling the 50-slot window; the
+remaining 34 r3-latest names follow in registration order and
+front-load round 6.
 """
 
 from __future__ import annotations
@@ -37,6 +38,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- tier 0: new round-5 queries (never driver-checked) --------------
     "dedup_simhash_banded",       # pigeonhole-banded SimHash near-pairs
     "docs_quality_pct_approx",    # percentile_approx twin + tolerance contract
+    "text_bpe_train",             # BPE merge-loop trainer (Sennrich 2016)
+    "emb_pq_codes",               # product-quantization codes (Jégou 2011)
     # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
     "text_substring_dedup",       # content-defined anchors + 60-bit wid
     "text_dedup_spans",           # same anchor/wid change (destructive twin)

@@ -1393,6 +1393,70 @@ class TestSubstringDedup:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestBpeTrain:
+    """Distributed BPE merge-loop trainer (operators/text.py::bpe_train)
+    vs a plain-Python reference implementation of Sennrich et al. 2016."""
+
+    @staticmethod
+    def _python_bpe(texts, merges):
+        from collections import Counter
+
+        vocab = Counter()
+        for t in texts:
+            for w in t.strip().lower().split():
+                vocab[" ".join(list(w)) + " </w>"] += 1
+        out = []
+        for rank in range(1, merges + 1):
+            pairs = Counter()
+            for seg, freq in vocab.items():
+                syms = seg.split(" ")
+                for a, b in zip(syms, syms[1:]):
+                    pairs[f"{a} {b}"] += freq
+            if not pairs:
+                break
+            # (count desc, pair asc) tie-break, as the operator
+            pair = min(pairs, key=lambda p: (-pairs[p], p))
+            merged = pair.replace(" ", "")
+            out.append((rank, pair, merged, pairs[pair]))
+            vocab = Counter(
+                {
+                    (" " + seg + " ").replace(f" {pair} ", f" {merged} ").strip(): f
+                    for seg, f in vocab.items()
+                }
+            )
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from pos_pipeline_core_etl_spark.operators.text import bpe_train
+
+        texts = [
+            "low low low low lower lower",
+            "newest newest newest widest widest",
+            "low newest",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = [
+            (r["merge_rank"], r["pair"], r["merged"], r["n"])
+            for r in bpe_train(df, merges=5).orderBy("merge_rank").collect()
+        ]
+        want = self._python_bpe(texts, 5)
+        assert got == want
+
+    def test_stops_when_corpus_fully_merged(self, spark):
+        """A corpus whose every word collapses before the merge budget
+        is spent must return the shorter merge table, not crash."""
+        from pos_pipeline_core_etl_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+        got = bpe_train(df, merges=10).collect()
+        # " a b </w> " → merge1 "a b"→"ab", merge2 "ab </w>" → done
+        assert len(got) == 2
+        assert got[0]["pair"] == "a b"
+        assert got[1]["merged"] == "ab</w>"
+
+
 class TestKmeansLloyd:
     """Distributed Lloyd k-means (operators/similarity.py::kmeans_lloyd):
     semantics vs a numpy reference with identical init/quantization, and
@@ -1559,6 +1623,81 @@ class TestDedupSpanRemoval:
         out = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
         assert out[2]["n_removed_tokens"] == 16  # matched case-insensitively
         assert out[2]["cleaned_text"] == "Tail"  # original case survives
+
+
+class TestProductQuantization:
+    """PQ encoding (operators/similarity.py::pq_encode) vs a numpy
+    reference running the identical per-subspace quantized Lloyd."""
+
+    @staticmethod
+    def _numpy_pq(vecs, m, k, iters, quant=1 << 20):
+        import numpy as np
+
+        n, dim = vecs.shape
+        sub_d = dim // m
+        vq = np.floor(vecs * quant + 0.5).astype("int64")
+        codes = np.zeros((n, m), dtype="int64")
+        for s in range(m):
+            sv = vq[:, s * sub_d : (s + 1) * sub_d]
+            v = sv / float(quant)
+            cents = {i: v[i].copy() for i in range(k)}
+            assign = None
+            for _ in range(iters):
+                keys = sorted(cents)
+                d2 = np.stack(
+                    [((v - cents[c]) ** 2).sum(axis=1) for c in keys], axis=1
+                )
+                assign = np.array([keys[i] for i in np.argmin(d2, axis=1)])
+                new = {}
+                for c in keys:
+                    mask = assign == c
+                    new[c] = (
+                        sv[mask].sum(axis=0) / (mask.sum() * float(quant))
+                        if mask.any()
+                        else cents[c]
+                    )
+                cents = new
+            codes[:, s] = assign
+        return codes
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from pos_pipeline_core_etl_spark.operators.similarity import pq_encode
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(0, 1, (40, 8))
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = (
+            pq_encode(df, m=4, k=3, iters=2, dim=8)
+            .orderBy("vec_id", "sub")
+            .toPandas()
+        )
+        want = self._numpy_pq(vecs, m=4, k=3, iters=2)
+        got_codes = got["code"].to_numpy().reshape(len(vecs), 4)
+        assert (got_codes == want).all()
+
+    def test_invalid_args_rejected(self, spark):
+        import pytest
+
+        from pos_pipeline_core_etl_spark.operators.similarity import pq_encode
+
+        df = spark.createDataFrame([(0, [0.0] * 8)], ["vec_id", "embedding"])
+        with pytest.raises(ValueError, match="iters"):
+            pq_encode(df, iters=0, dim=8, m=4)
+        with pytest.raises(ValueError, match="divisible"):
+            pq_encode(df, m=3, dim=8)
+
+    def test_no_data_sized_join(self, spark):
+        """Codebooks ride an m-row broadcast; the corpus must never hit
+        a SortMergeJoin or cartesian."""
+        from pos_pipeline_core_etl_spark.operators.similarity import pq_encode
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
 
 
 class TestKmeansDeterminism:
