@@ -865,6 +865,29 @@ def pq_encode(
     integer centroid sums, ties to the lowest cluster id, bit-exact
     cross-engine.
     """
+    _base, assigned, _cents = _pq_fit(
+        embeddings, m, k, iters, id_col, vec_col, quant, dim
+    )
+    return assigned.select(
+        "vec_id", "sub", F.col("cluster").cast("long").alias("code")
+    )
+
+
+def _pq_fit(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+):
+    """PQ training internals: returns ``(base, assigned, centroids)``
+    where base = (vec_id, sub, svq quantized subvectors), assigned =
+    the final per-subspace assignment, centroids = the codebooks that
+    PRODUCED that assignment (what ADC search must look distances up
+    against)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if dim % m != 0:
@@ -953,10 +976,83 @@ def pq_encode(
     centroids = seeds
     assigned = None
     for _ in range(iters):
+        at_assign = centroids
         assigned = assign(pack(centroids))
         centroids = update(assigned, centroids)
-    return assigned.select(
-        "vec_id", "sub", F.col("cluster").cast("long").alias("code")
+    return base, assigned, at_assign
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the
+    query side of :func:`pq_encode` and the scan IVF-PQ runs inside
+    each probed list (Jégou et al. 2011 §IV): per query, one distance
+    TABLE of m × n_codes exact query-to-codeword distances, then every
+    candidate is scored as a sum of m table lookups — never a
+    full-dimension distance per candidate.
+
+    Scale shape: the distance table (n_queries × m × n_codes rows) is
+    a broadcast; scoring is a broadcast equi-join on (sub, code) plus
+    ONE keyed agg on (query, candidate) — linear in corpus × queries
+    with O(m) work per candidate; top-k is a per-query window over
+    k-bounded rows. Determinism: per-candidate sums left-fold the m
+    partials in subspace order (sorted collect_list), so doubles are
+    bit-exact cross-engine; ranking uses the unrounded sum with a
+    candidate-id tie-break.
+    """
+    base, assigned, cents = _pq_fit(
+        embeddings, m, n_codes, iters, id_col, vec_col, quant, dim
+    )
+    qf = float(quant)
+    qsubs = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.transform(F.col("svq"), lambda x: x / F.lit(qf)).alias("qv"),
+    )
+    pd2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, d: s + d,
+    )
+    dtab = qsubs.join(cents, "sub").select("query_id", "sub", "cluster", pd2.alias("pd2"))
+    scored = (
+        assigned.join(F.broadcast(dtab), ["sub", "cluster"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "pd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["pd2"],
+            ).alias("adc_d2")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("vec_id").alias("cand_id"),
+            hround(F.col("adc_d2"), 6).alias("adc_d2"),
+        )
     )
 
 

@@ -633,3 +633,53 @@ def bpe_train(
     return spark.createDataFrame(
         out, "merge_rank int, pair string, merged string, n long"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge table → per-doc
+    subword statistics (doc_id, n_chars_seg, n_bpe_tokens,
+    compression): the apply side of :func:`bpe_train`, i.e. what the
+    tokenizer does to every document at training-data-prep time.
+
+    ``merges`` is the ordered (pair, merged) list; when None it is
+    learned from the SAME corpus via :func:`bpe_train` (end-to-end
+    train→apply). Application is a chain of ``n_merges`` map-side
+    literal replaces over the space-delimited segmentation — zero
+    shuffles beyond the per-doc projection, because a learned pair can
+    never span a word boundary (pairs are learned inside
+    ``</w>``-terminated words, so no pair starts with the end marker).
+    """
+    if merges is None:
+        merges = [
+            (r["pair"], r["merged"])
+            for r in bpe_train(docs, text_col, merges=n_merges).collect()
+        ]
+    words = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    seg = F.concat(
+        F.array_join(
+            F.transform(
+                words,
+                lambda w: F.concat(
+                    F.lit(" "), F.regexp_replace(w, "(.)", "$1 "), F.lit("</w>")
+                ),
+            ),
+            "",
+        ),
+        F.lit(" "),
+    )
+    for pair, merged in merges:
+        seg = F.replace(seg, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    toks = F.split(F.trim(seg), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_seg"),
+        n_tokens.cast("long").alias("n_bpe_tokens"),
+        hround(n_chars / n_tokens, 6).alias("chars_per_token"),
+    )

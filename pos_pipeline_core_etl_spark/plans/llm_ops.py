@@ -2204,7 +2204,10 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(emb).orderBy("vec_id", "sub")
 
 
-def _pq_codes_oracle() -> str:
+def _pq_chain() -> tuple[str, str, str]:
+    """Shared PQ training CTE chain (base/seed_ids/seeds/assign_i/
+    cent_i), loop-generated from the operator's constants; returns
+    (chain_sql, last_assign_cte, last_centroids_cte)."""
     m, k, iters = similarity.PQ_M, similarity.PQ_K, similarity.PQ_ITERS
     q = float(similarity.KMEANS_QUANT)
     dim = 64
@@ -2249,8 +2252,7 @@ def _pq_codes_oracle() -> str:
         if i < iters - 1:
             chain.append(update(f"assign{i}", cents, f"cent{i + 1}"))
             cents = f"cent{i + 1}"
-    return f"""
-WITH base AS (
+    sql = f"""base AS (
   SELECT vec_id, u.sub AS sub,
          list_transform(generate_series(1, {sub_d}),
              i -> CAST(floor(CAST(embedding AS DOUBLE[])[u.sub * {sub_d} + i]
@@ -2261,9 +2263,16 @@ seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
 seeds AS (
   SELECT sub, b.vec_id AS cluster, list_transform(svq, x -> x / {q}) AS centroid
   FROM base b JOIN seed_ids USING (vec_id)
-),{",".join(chain)}
+),{",".join(chain)}"""
+    return sql, f"assign{iters - 1}", cents
+
+
+def _pq_codes_oracle() -> str:
+    chain, last_assign, _cents = _pq_chain()
+    return f"""
+WITH {chain}
 SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(cluster AS BIGINT) AS code
-FROM assign{iters - 1}
+FROM {last_assign}
 ORDER BY vec_id, sub
 """
 
@@ -2271,6 +2280,59 @@ ORDER BY vec_id, sub
 EMB_PQ_CODES_SQL = _pq_codes_oracle()
 
 QUERIES["emb_pq_codes"] = (emb_pq_codes, EMB_PQ_CODES_SQL)
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — per query, one
+    m × k distance table of exact query-to-codeword distances, every
+    candidate scored as a sum of m table lookups (the scan IVF-PQ runs
+    inside probed lists; operators/similarity.py::pq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb).orderBy("query_id", "rnk")
+
+
+def _pq_adc_oracle(k: int = 3, n_queries: int = 10) -> str:
+    chain, last_assign, cents = _pq_chain()
+    m = similarity.PQ_M
+    q = float(similarity.KMEANS_QUANT)
+    sub_d = 64 // m
+    pd2 = (
+        "list_reduce(list_transform(generate_series(1, {sd}),"
+        " i -> (qs.qv[i] - s.centroid[i]) * (qs.qv[i] - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(sd=sub_d)
+    return f"""
+WITH {chain},
+qsubs AS (
+  SELECT vec_id AS query_id, sub, list_transform(svq, x -> x / {q}) AS qv
+  FROM base WHERE vec_id < {n_queries}
+),
+dtab AS (
+  SELECT qs.query_id, s.sub, s.cluster, {pd2} AS pd2
+  FROM qsubs qs JOIN {cents} s ON qs.sub = s.sub
+),
+scored AS (
+  SELECT d.query_id, a.vec_id AS cand_id,
+         list_reduce(list(pd2 ORDER BY d.sub), (x, y) -> x + y) AS adc_d2
+  FROM {last_assign} a
+  JOIN dtab d ON d.sub = a.sub AND d.cluster = a.cluster
+  WHERE a.vec_id != d.query_id
+  GROUP BY d.query_id, a.vec_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id,
+       {hround_sql("adc_d2", 6)} AS adc_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, cand_id) AS rnk
+  FROM scored)
+WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+SIM_PQ_ADC_TOPK_SQL = _pq_adc_oracle()
+
+QUERIES["sim_pq_adc_topk"] = (sim_pq_adc_topk, SIM_PQ_ADC_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -2384,6 +2446,60 @@ seg{i} AS (
 TEXT_BPE_TRAIN_SQL = _bpe_train_oracle()
 
 QUERIES["text_bpe_train"] = (text_bpe_train, TEXT_BPE_TRAIN_SQL)
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to every document → per-doc
+    subword statistics (the tokenize-the-corpus step that follows
+    training; operators/text.py::bpe_apply). Map-side replace chain —
+    learned pairs cannot span word boundaries, so doc-level
+    application is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_apply(docs).orderBy("doc_id")
+
+
+def _bpe_apply_oracle() -> str:
+    merges = text.BPE_MERGES
+    # the trainer chain (words/seg0/pairs_i/m_i/seg_i) re-learns the
+    # merge table, then a doc-wise replace chain applies it
+    train = _bpe_train_oracle()
+    train_ctes = train[len("WITH ") : train.index("\nSELECT 1 AS merge_rank")]
+    chain = [
+        r"""
+docs_seg0 AS (
+  SELECT doc_id,
+         length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS n_chars_seg,
+         array_to_string(
+           list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          w -> ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'),
+           '') || ' ' AS s
+  FROM documents
+)"""
+    ]
+    for i in range(1, merges + 1):
+        chain.append(
+            f"""
+docs_seg{i} AS (
+  SELECT doc_id, n_chars_seg,
+         replace(s, ' ' || m{i}.pair || ' ',
+                 ' ' || replace(m{i}.pair, ' ', '') || ' ') AS s
+  FROM docs_seg{i - 1} CROSS JOIN m{i}
+)"""
+        )
+    return f"""WITH {train_ctes},{",".join(chain)}
+SELECT doc_id,
+       CAST(n_chars_seg AS BIGINT) AS n_chars_seg,
+       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_bpe_tokens,
+       {hround_sql("n_chars_seg / len(string_split(trim(s), ' '))", 6)}
+         AS chars_per_token
+FROM docs_seg{merges}
+ORDER BY doc_id
+"""
+
+
+TEXT_BPE_APPLY_SQL = _bpe_apply_oracle()
+
+QUERIES["text_bpe_apply"] = (text_bpe_apply, TEXT_BPE_APPLY_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_banded",       # pigeonhole-banded SimHash near-pairs
     "docs_quality_pct_approx",    # percentile_approx twin + tolerance contract
     "text_bpe_train",             # BPE merge-loop trainer (Sennrich 2016)
+    "text_bpe_apply",             # tokenize the corpus with the merge table
     "emb_pq_codes",               # product-quantization codes (Jégou 2011)
+    "sim_pq_adc_topk",            # asymmetric-distance top-k over PQ codes
     # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
     "text_substring_dedup",       # content-defined anchors + 60-bit wid
     "text_dedup_spans",           # same anchor/wid change (destructive twin)

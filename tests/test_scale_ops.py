@@ -1444,6 +1444,36 @@ class TestBpeTrain:
         want = self._python_bpe(texts, 5)
         assert got == want
 
+    def test_apply_with_known_merges(self, spark):
+        """bpe_apply with an explicit merge table: 'low' under merges
+        (l o → lo, lo w → low, low </w> → low</w>) collapses to ONE
+        token; an untouched word stays at chars+1 symbols."""
+        from pos_pipeline_core_etl_spark.operators.text import bpe_apply
+
+        df = spark.createDataFrame([(1, "low xyz")], ["doc_id", "text"])
+        merges = [("l o", "lo"), ("lo w", "low"), ("low </w>", "low</w>")]
+        row = bpe_apply(df, merges=merges).collect()[0]
+        # 'low</w>' = 1 token; 'x y z </w>' = 4 tokens
+        assert row["n_bpe_tokens"] == 1 + 4
+        assert row["n_chars_seg"] == 6  # lowxyz
+
+    def test_train_then_apply_consistent(self, spark):
+        """End-to-end: applying the learned table must never produce
+        MORE tokens than the unmerged segmentation (chars + one marker
+        per word), and merges strictly reduce the count on a corpus
+        with repeated words."""
+        from pos_pipeline_core_etl_spark.operators.text import bpe_apply
+
+        texts = ["low low low lower lower", "lowest lowest low"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r for r in bpe_apply(df, n_merges=4).collect()}
+        for i, t in enumerate(texts):
+            words = t.split()
+            unmerged = sum(len(w) + 1 for w in words)
+            assert out[i]["n_bpe_tokens"] < unmerged
+
     def test_stops_when_corpus_fully_merged(self, spark):
         """A corpus whose every word collapses before the merge budget
         is spent must return the shorter merge table, not crash."""
@@ -1698,6 +1728,31 @@ class TestProductQuantization:
         plan = pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+    def test_adc_identical_vector_ranks_first(self, spark):
+        """ADC lower bound: a candidate sharing ALL the query's codes
+        achieves the minimal possible table-lookup distance, so an
+        exact copy of the query must rank first."""
+        import numpy as np
+
+        from pos_pipeline_core_etl_spark.operators.similarity import pq_adc_topk
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(0, 1, (24, 8))
+        vecs[20] = vecs[3]  # exact copy of query 3
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = pq_adc_topk(df, k=1, n_queries=10, m=4, n_codes=4, dim=8).collect()
+        top1 = {r["query_id"]: r["cand_id"] for r in out}
+        assert top1[3] == 20
+
+    def test_adc_no_quadratic_join(self, spark):
+        from pos_pipeline_core_etl_spark.operators.similarity import pq_adc_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = pq_adc_topk(emb)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestKmeansDeterminism:
