@@ -811,3 +811,109 @@ def remove_duplicate_spans(
             F.array_join(kept, " ").alias("cleaned_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints — Schleimer, Wilkerson & Aiken, "Winnowing:
+# Local Algorithms for Document Fingerprinting" (SIGMOD 2003; the MOSS
+# algorithm). Selects the MIN k-gram hash inside every window of w
+# consecutive hashes; the selected-value set is position-robust and
+# GUARANTEES any shared token run of >= k + w - 1 tokens contributes a
+# shared fingerprint — the coverage guarantee the simpler mod-stride
+# anchoring (window_grams) trades away for cheaper windows.
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (consecutive hashes per selection)
+
+
+def winnow_fingerprints_col(
+    text: Column, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Sorted distinct winnowing fingerprints (60-bit k-gram hashes) of
+    the lowercased text; empty array when the doc has < k + w - 1
+    tokens (no full window). Pure map-side array expressions."""
+    t = F.split(F.trim(F.lower(text)), TOKEN_SPLIT_RE)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: window_id(F.array_join(F.slice(t, i + 1, k), " ")),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), n - k - w + 1),
+        lambda j: F.array_min(F.slice(grams, j + 1, w)),
+    )
+    return F.when(
+        n >= k + w - 1, F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Per-doc winnowing fingerprint statistics: k-gram count,
+    fingerprint count, and selection density (expected ≈ 2 / (w + 1)
+    on random text — Schleimer et al. §3). All-integer except the
+    hround(6) density, so the oracle is bit-exact."""
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    n_kgrams = F.greatest(F.size(t) - k + 1, F.lit(0))
+    fps = winnow_fingerprints_col(F.col(text_col), k, w)
+    return _ensure_parallelism(docs.select("doc_id", text_col)).select(
+        "doc_id",
+        n_kgrams.cast("long").alias("n_kgrams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.when(n_kgrams > 0, hround(F.size(fps) / n_kgrams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("density"),
+    )
+
+
+def winnow_shared_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """MOSS-style near-dup detection: doc pairs sharing >= ``min_shared``
+    winnowing fingerprints → (doc_a, doc_b, n_shared). The coverage
+    guarantee makes this alignment-proof: ANY copied run of
+    >= k + w - 1 tokens shares a fingerprint regardless of offset.
+
+    Scale shape: explode to (doc_id, fp), pairs expanded INSIDE capped
+    fp buckets exactly like :func:`minhash_lsh_candidates` (one keyed
+    groupBy — never doc × doc), then one keyed count per pair. Buckets
+    above the cap (boilerplate fingerprints shared by thousands of
+    docs — headers, license text) are EXCLUDED, which is also standard
+    winnowing practice (drop too-common fingerprints as noise)."""
+    fps = _ensure_parallelism(docs.select("doc_id", text_col)).select(
+        "doc_id", F.explode(winnow_fingerprints_col(F.col(text_col), k, w)).alias("fp")
+    )
+    keep = F.size("ids") > 1
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(keep)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

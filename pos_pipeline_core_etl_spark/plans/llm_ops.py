@@ -659,6 +659,100 @@ ORDER BY doc_a, doc_b
 DEDUP_SIMHASH_BANDED_SQL = _simhash_banded_oracle()
 
 
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint stats (Schleimer et al. 2003, the
+    MOSS selection rule): min k-gram hash per window of w consecutive
+    hashes — position-robust with a guaranteed shared fingerprint for
+    any copied run of >= k + w - 1 tokens. Map-side array expressions
+    only; see operators/dedup.py::winnow_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_stats(docs).orderBy("doc_id")
+
+
+def _winnow_fps_sql(k: int, w: int) -> str:
+    """DuckDB expression chain: toks → k-gram hashes → window minima →
+    sorted distinct fingerprints (columns t/n/hs/fps)."""
+    gram_hash = (
+        "CAST(('0x' || substr(md5(array_to_string("
+        f"list_slice(t, i, i + {k - 1}), ' ')), 1, 15)) AS BIGINT)"
+    )
+    return rf"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= {k}
+              THEN list_transform(generate_series(1, n - {k} + 1), i -> {gram_hash})
+              ELSE [] END AS hs
+  FROM toks
+),
+fps AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= {k + w - 1}
+              THEN list_sort(list_distinct(
+                     list_transform(generate_series(1, len(hs) - {w} + 1),
+                                    j -> list_min(list_slice(hs, j, j + {w - 1})))))
+              ELSE [] END AS fp_list
+  FROM grams
+)"""
+
+
+def _winnow_stats_oracle() -> str:
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    return f"""
+WITH {_winnow_fps_sql(k, w)}
+SELECT doc_id,
+       CAST(greatest(n - {k} + 1, 0) AS BIGINT) AS n_kgrams,
+       CAST(len(fp_list) AS BIGINT) AS n_fingerprints,
+       CASE WHEN n - {k} + 1 > 0
+            THEN {hround_sql(f"len(fp_list) / (n - {k} + 1)", 6)}
+            ELSE 0.0 END AS density
+FROM fps
+ORDER BY doc_id
+"""
+
+
+TEXT_WINNOW_FINGERPRINTS_SQL = _winnow_stats_oracle()
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs: docs sharing >= 2 winnowing
+    fingerprints, pairs expanded inside capped fingerprint buckets —
+    alignment-proof by the winnowing coverage guarantee
+    (operators/dedup.py::winnow_shared_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.winnow_shared_pairs(docs)
+    return df.select(
+        "doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _winnow_pairs_oracle(min_shared: int = 2) -> str:
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    cap = dedup.LSH_MAX_BUCKET
+    return f"""
+WITH {_winnow_fps_sql(k, w)},
+ex AS (SELECT doc_id, u.fp FROM fps, unnest(fp_list) AS u(fp)),
+ok AS (
+  SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND {cap}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ex a
+JOIN ok ON ok.fp = a.fp
+JOIN ex b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_WINNOW_PAIRS_SQL = _winnow_pairs_oracle()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -1011,6 +1105,11 @@ QUERIES: dict[str, tuple] = {
     "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_banded": (dedup_simhash_banded, DEDUP_SIMHASH_BANDED_SQL),
+    "text_winnow_fingerprints": (
+        text_winnow_fingerprints,
+        TEXT_WINNOW_FINGERPRINTS_SQL,
+    ),
+    "dedup_winnow_pairs": (dedup_winnow_pairs, DEDUP_WINNOW_PAIRS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_embedding_components": (
         dedup_embedding_components,

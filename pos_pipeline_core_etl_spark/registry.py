@@ -42,6 +42,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_apply",             # tokenize the corpus with the merge table
     "emb_pq_codes",               # product-quantization codes (Jégou 2011)
     "sim_pq_adc_topk",            # asymmetric-distance top-k over PQ codes
+    "text_winnow_fingerprints",   # MOSS winnowing selection (Schleimer 2003)
+    "dedup_winnow_pairs",         # shared-fingerprint near-dup pairs
     # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
     "text_substring_dedup",       # content-defined anchors + 60-bit wid
     "text_dedup_spans",           # same anchor/wid change (destructive twin)

@@ -1393,6 +1393,77 @@ class TestSubstringDedup:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestWinnowing:
+    """Winnowing fingerprints (operators/dedup.py::winnow_stats /
+    winnow_shared_pairs): the Schleimer et al. 2003 coverage guarantee
+    and density bound."""
+
+    def test_guaranteed_detection_any_offset(self, spark):
+        """ANY copied run of >= k + w - 1 tokens must share a
+        fingerprint, for EVERY offset — the guarantee mod-stride
+        anchoring lacks. Doc 2 copies doc 1 with o junk tokens
+        prepended, for every o in 1..8."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            WINNOW_K,
+            WINNOW_W,
+            winnow_shared_pairs,
+        )
+
+        span = " ".join(f"s{i}" for i in range(30))
+        rows = [(0, span)]
+        for o in range(1, 9):
+            prefix = " ".join(f"junk{o}x{j}" for j in range(o))
+            rows.append((o, prefix + " " + span))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in winnow_shared_pairs(df, min_shared=1).collect()
+        }
+        assert 30 >= WINNOW_K + WINNOW_W - 1
+        for o in range(1, 9):
+            assert (0, o) in pairs, f"offset {o} copy missed"
+
+    def test_density_near_expected(self, spark):
+        """Selection density on the real corpus ≈ 2/(w+1) (random-text
+        expectation) — sanity that the window minima dedup as designed."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            WINNOW_W,
+            winnow_stats,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pdf = winnow_stats(docs).toPandas()
+        big = pdf[pdf["n_kgrams"] >= 50]
+        assert len(big) > 0
+        mean_density = big["density"].mean()
+        expected = 2.0 / (WINNOW_W + 1)
+        # duplicated fixture text lowers distinct counts; generous band
+        assert 0.5 * expected <= mean_density <= 1.5 * expected
+
+    def test_short_doc_empty(self, spark):
+        from pos_pipeline_core_etl_spark.operators.dedup import winnow_stats
+
+        df = spark.createDataFrame(
+            [(1, "only three tokens"), (2, "a b c d e f g")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r for r in winnow_stats(df).collect()}
+        assert out[1]["n_fingerprints"] == 0  # 3 < k + w - 1
+        assert out[2]["n_fingerprints"] == 1  # exactly one full window
+
+    def test_no_quadratic_join(self, spark):
+        from pos_pipeline_core_etl_spark.operators.dedup import winnow_shared_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            winnow_shared_pairs(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestBpeTrain:
     """Distributed BPE merge-loop trainer (operators/text.py::bpe_train)
     vs a plain-Python reference implementation of Sennrich et al. 2016."""
