@@ -1056,6 +1056,45 @@ def pq_adc_topk(
     )
 
 
+def pq_sse(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ training diagnostics: per-subspace vector count and
+    reconstruction SSE (distance from each subvector to its assigned
+    codeword) — the quantization-distortion number you watch when
+    choosing m and k. Same plan as the encoder plus one codebook join
+    and a tiny agg; SSE hround(4)-ed (per-row d2 is exact shared
+    arithmetic, only the cross-row sum can differ in the last bits —
+    kmeans_sse convention)."""
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    _base, assigned, cents = _pq_fit(
+        embeddings, m, k, iters, id_col, vec_col, quant, dim
+    )
+    qf = float(quant)
+    v = F.transform(F.col("svq"), lambda x: x / F.lit(qf))
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, d: s + d,
+    )
+    return (
+        assigned.join(F.broadcast(cents), ["sub", "cluster"])
+        .select("sub", d2.alias("d2"))
+        .groupBy("sub")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), hround(F.sum("d2"), 4).alias("sse"))
+        .select(F.col("sub").cast("int").alias("sub"), "n_vecs", "sse")
+        .orderBy("sub")
+    )
+
+
 def kmeans_sse(
     embeddings: DataFrame,
     k: int = KMEANS_K,

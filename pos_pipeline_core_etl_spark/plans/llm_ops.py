@@ -1396,11 +1396,12 @@ def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_decisions_oracle() -> str:
+def _dedup_decisions_ctes() -> tuple[str, str]:
+    """(WITH-body, final-decision-select) so composed reports can reuse
+    the full recursive chain (DuckDB allows WITH RECURSIVE only at the
+    statement top, so wrapping the finished query is not an option)."""
     cand = _minhash_oracle().strip().replace("FROM documents", "FROM survivors")
-    return rf"""
-WITH RECURSIVE
-fpx AS (
+    ctes = rf"""fpx AS (
   SELECT doc_id,
          md5(array_to_string(
            list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
@@ -1421,8 +1422,8 @@ reach(id, lbl) AS (
   UNION
   SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
 ),
-comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
-SELECT l.doc_id,
+comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)"""
+    select = """SELECT l.doc_id,
        CASE WHEN l.doc_id != l.exact_keep THEN 'dropped_exact'
             WHEN k.component_id IS NOT NULL AND k.component_id != l.doc_id
               THEN 'dropped_near'
@@ -1433,13 +1434,112 @@ SELECT l.doc_id,
                  ELSE l.doc_id END AS BIGINT) AS canonical_id
 FROM labeled l
 LEFT JOIN comps k ON k.doc_id = l.doc_id
-LEFT JOIN comps k2 ON k2.doc_id = l.exact_keep
-"""
+LEFT JOIN comps k2 ON k2.doc_id = l.exact_keep"""
+    return ctes, select
+
+
+def _dedup_decisions_oracle() -> str:
+    ctes, select = _dedup_decisions_ctes()
+    return f"\nWITH RECURSIVE\n{ctes}\n{select}\n"
 
 
 DEDUP_DECISIONS_SQL = _dedup_decisions_oracle()
 
 QUERIES["dedup_decisions"] = (dedup_decisions, DEDUP_DECISIONS_SQL)
+
+
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup observability: decision counts and keep rate
+    from the staged decision table — the report a data curator reads
+    after a dedup run (which domains are boilerplate-heavy, which are
+    clean). One conditional agg on top of dedup_decisions."""
+    decisions = dedup_decisions(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = decisions.join(src, "doc_id")
+    n = F.count(F.lit(1))
+    kept = F.sum((F.col("decision") == "kept").cast("long"))
+    return (
+        joined.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            kept.alias("n_kept"),
+            F.sum((F.col("decision") == "dropped_exact").cast("long")).alias(
+                "n_dropped_exact"
+            ),
+            F.sum((F.col("decision") == "dropped_near").cast("long")).alias(
+                "n_dropped_near"
+            ),
+            hround(kept / n, 6).alias("pct_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_report_oracle() -> str:
+    ctes, select = _dedup_decisions_ctes()
+    return f"""
+WITH RECURSIVE
+{ctes},
+decisions AS ({select})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN decision = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN decision = 'dropped_exact' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_exact,
+       CAST(sum(CASE WHEN decision = 'dropped_near' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_near,
+       {hround_sql("sum(CASE WHEN decision = 'kept' THEN 1 ELSE 0 END) / count(*)", 6)}
+         AS pct_kept
+FROM decisions x JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+CORPUS_DEDUP_REPORT_SQL = _dedup_report_oracle()
+
+QUERIES["corpus_dedup_report"] = (corpus_dedup_report, CORPUS_DEDUP_REPORT_SQL)
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per source on power-of-two buckets — the
+    length-distribution snapshot curation teams check before choosing
+    context lengths and packing budgets. One map-side bucket expr +
+    one keyed agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    # integer-exact power-of-two bucket: 2^(binary digits - 1); float
+    # log2 drifts on exact powers across libm implementations.
+    # (F.expr: shiftleft's distance must be a column here)
+    bucket = F.expr(
+        r"CAST(shiftleft(1L, length(conv(greatest(size(split(trim(text),"
+        r" '\\s+')), 1), 10, 2)) - 1) AS BIGINT)"
+    )
+    return (
+        docs.select("source", bucket.alias("len_bucket"))
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "len_bucket")
+    )
+
+
+CORPUS_LENGTH_HISTOGRAM_SQL = r"""
+WITH t AS (
+  SELECT source,
+         1::BIGINT << (length(bin(greatest(
+           len(regexp_split_to_array(trim(text), '\s+')), 1)::BIGINT)) - 1)
+           AS len_bucket
+  FROM documents
+)
+SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM t GROUP BY source, len_bucket
+ORDER BY source, len_bucket
+"""
+
+QUERIES["corpus_length_histogram"] = (
+    corpus_length_histogram,
+    CORPUS_LENGTH_HISTOGRAM_SQL,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2432,6 +2532,40 @@ ORDER BY query_id, rnk
 SIM_PQ_ADC_TOPK_SQL = _pq_adc_oracle()
 
 QUERIES["sim_pq_adc_topk"] = (sim_pq_adc_topk, SIM_PQ_ADC_TOPK_SQL)
+
+
+def emb_pq_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction SSE — the quantization-distortion
+    diagnostic for choosing m and k (operators/similarity.py::pq_sse)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_sse(emb)
+
+
+def _pq_sse_oracle() -> str:
+    chain, last_assign, cents = _pq_chain()
+    m = similarity.PQ_M
+    q = float(similarity.KMEANS_QUANT)
+    sub_d = 64 // m
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {sd}),"
+        " i -> (a.svq[i] / {q} - s.centroid[i]) * (a.svq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(sd=sub_d, q=q)
+    return f"""
+WITH {chain}
+SELECT CAST(a.sub AS INTEGER) AS sub,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {hround_sql(f"sum({d2})", 4)} AS sse
+FROM {last_assign} a
+JOIN {cents} s ON s.sub = a.sub AND s.cluster = a.cluster
+GROUP BY a.sub
+ORDER BY a.sub
+"""
+
+
+EMB_PQ_SSE_SQL = _pq_sse_oracle()
+
+QUERIES["emb_pq_sse"] = (emb_pq_sse, EMB_PQ_SSE_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_topk",            # asymmetric-distance top-k over PQ codes
     "text_winnow_fingerprints",   # MOSS winnowing selection (Schleimer 2003)
     "dedup_winnow_pairs",         # shared-fingerprint near-dup pairs
+    "corpus_dedup_report",        # per-source decision counts + keep rate
+    "corpus_length_histogram",    # power-of-two token-length histogram
+    "emb_pq_sse",                 # per-subspace PQ reconstruction SSE
     # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
     "text_substring_dedup",       # content-defined anchors + 60-bit wid
     "text_dedup_spans",           # same anchor/wid change (destructive twin)
