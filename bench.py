@@ -55,10 +55,12 @@ HEADLINE = (
     "text_substring_dedup",
     "emb_kmeans_lloyd",
     # round-5 additions: pigeonhole-banded SimHash (the scale path that
-    # replaces the bounded all-pairs twin) and the percentile_approx
-    # quality normalization under its tolerance contract
+    # replaces the bounded all-pairs twin), the percentile_approx
+    # quality normalization under its tolerance contract, and the full
+    # IVF-PQ ANN composition (lists + residual PQ + ADC)
     "dedup_simhash_banded",
     "docs_quality_pct_approx",
+    "sim_ivfpq_topk",
 )
 
 

@@ -882,12 +882,21 @@ def _pq_fit(
     vec_col: str = "embedding",
     quant: int = KMEANS_QUANT,
     dim: int = 64,
+    reuse: bool = False,
 ):
     """PQ training internals: returns ``(base, assigned, centroids)``
     where base = (vec_id, sub, svq quantized subvectors), assigned =
     the final per-subspace assignment, centroids = the codebooks that
     PRODUCED that assignment (what ADC search must look distances up
-    against)."""
+    against).
+
+    ``reuse=True`` lazily localCheckpoints base / per-iteration
+    centroids / the final assignment — for callers that fan the
+    returned frames into several consumers (ADC tables, SSE joins,
+    IVF-PQ's residual pipeline), where plan re-execution otherwise
+    multiplies the training cost (measured 6× on IVF-PQ at sf0.1).
+    Single-consumer encoding leaves it off: materialization costs more
+    than the one extra lazy pass."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if dim % m != 0:
@@ -905,9 +914,12 @@ def _pq_fit(
             for s in range(m)
         ]
     )
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.explode(subs).alias("x")
-    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.svq").alias("svq"))
+    ckpt = (lambda df: df.localCheckpoint(eager=False)) if reuse else (lambda df: df)
+    base = ckpt(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.explode(subs).alias("x")
+        ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.svq").alias("svq"))
+    )
 
     # seed codebooks: the k lowest-id vectors' subvectors (TakeOrdered +
     # broadcast join — no per-subspace window sort over the corpus)
@@ -976,10 +988,13 @@ def _pq_fit(
     centroids = seeds
     assigned = None
     for _ in range(iters):
-        at_assign = centroids
-        assigned = assign(pack(centroids))
-        centroids = update(assigned, centroids)
-    return base, assigned, at_assign
+        # under reuse, the m×k-row centroid checkpoint collapses the
+        # per-iteration plan nesting so consumers of (assigned,
+        # centroids) don't re-run the whole training chain per reference
+        at_assign = ckpt(centroids)
+        assigned = assign(pack(at_assign))
+        centroids = update(assigned, at_assign)
+    return base, ckpt(assigned), at_assign
 
 
 def pq_adc_topk(
@@ -1011,7 +1026,7 @@ def pq_adc_topk(
     candidate-id tie-break.
     """
     base, assigned, cents = _pq_fit(
-        embeddings, m, n_codes, iters, id_col, vec_col, quant, dim
+        embeddings, m, n_codes, iters, id_col, vec_col, quant, dim, reuse=True
     )
     qf = float(quant)
     qsubs = base.where(F.col("vec_id") < n_queries).select(
@@ -1076,7 +1091,7 @@ def pq_sse(
     from pos_pipeline_core_etl_spark.functions.rounding import hround
 
     _base, assigned, cents = _pq_fit(
-        embeddings, m, k, iters, id_col, vec_col, quant, dim
+        embeddings, m, k, iters, id_col, vec_col, quant, dim, reuse=True
     )
     qf = float(quant)
     v = F.transform(F.col("svq"), lambda x: x / F.lit(qf))
@@ -1119,4 +1134,164 @@ def kmeans_sse(
         )
         .select(F.col("cluster").cast("long").alias("cluster"), "n_vecs", "sse")
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the full billion-scale ANN architecture (Jégou et al. 2011
+# §V): fixed coarse quantizer partitions the corpus into inverted
+# lists, residuals (vector − coarse centroid) are product-quantized,
+# search probes nprobe lists and scores candidates by ADC over the
+# query's RESIDUAL in each probed list.
+
+
+def _residual_expr(dim: int = 64, vec: str = "vec") -> str:
+    """SQL expr: vector minus the fixed coarse centroid of the row's
+    ``cluster`` column (the same integer-mixed literal family as
+    centroid_d2, with cluster as a column instead of a literal)."""
+    comp = (
+        f"((({CENT_MIX}L * (CAST(cluster AS BIGINT) * {dim} + i + 1))"
+        f" % {PLANE_MOD}L) / 2147483648.0D - 1.0D)"
+    )
+    return f"zip_with({vec}, sequence(0, {dim - 1}), (x, i) -> x - {comp})"
+
+
+def ivfpq_search_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_clusters: int = IVF_N_CLUSTERS,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ top-k: coarse-assign every vector to a fixed-quantizer
+    inverted list, product-quantize the RESIDUALS, probe each query's
+    ``nprobe`` nearest lists and ADC-score only their members — the
+    composition that holds a billion vectors in RAM (m·log2(k) bits
+    each) while touching ~nprobe/n_clusters of the corpus per query.
+
+    Everything is one relational plan (fixed quantizer = literal grid,
+    no driver collect): coarse assignment is a codegen ``least()`` over
+    literal distances; residuals are a map-side zip_with; PQ training
+    is the shared :func:`_pq_fit` (one keyed agg per iteration);
+    scoring joins a broadcast (query × probed-list × sub × code)
+    distance table and folds per-candidate sums in subspace order —
+    bit-exact cross-engine, same discipline as :func:`pq_adc_topk`."""
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(embeddings, id_col).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    d2_structs = [
+        F.struct(centroid_d2("vec", c).alias("d"), F.lit(c).alias("c"))
+        for c in range(n_clusters)
+    ]
+    # coarse assignment costs n_clusters × dim folds per row and fans
+    # out four ways (residuals, list map, query leg, probes) — run once
+    assigned = base.select(
+        "vec_id", "vec", F.least(*d2_structs).getField("c").alias("cluster")
+    ).localCheckpoint(eager=False)
+    resid = assigned.select(
+        "vec_id", "cluster", F.expr(_residual_expr(dim)).alias("resid")
+    )
+    _rbase, rassigned, rcents = _pq_fit(
+        resid.select("vec_id", F.col("resid").alias("embedding")),
+        m,
+        n_codes,
+        iters,
+        quant=quant,
+        dim=dim,
+        reuse=True,
+    )
+    codes = rassigned.select("vec_id", "sub", F.col("cluster").alias("code"))
+    coarse = assigned.select("vec_id", F.col("cluster").alias("coarse"))
+
+    queries = assigned.where(F.col("vec_id") < n_queries)
+    probe_structs = [
+        F.struct(centroid_d2("vec", c).alias("d"), F.lit(c).alias("c"))
+        for c in range(n_clusters)
+    ]
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        "vec",
+        F.explode(
+            F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+        ).alias("pc"),
+    ).select("query_id", "vec", F.col("pc.c").alias("cluster"))
+
+    qf = float(quant)
+    qres = probes.select(
+        "query_id",
+        F.col("cluster").alias("pcluster"),
+        _quantize_vec(F.expr(_residual_expr(dim)), quant).alias("rvq"),
+    )
+    sub_d = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.transform(
+                    F.slice(F.col("rvq"), s * sub_d + 1, sub_d),
+                    lambda x: x / F.lit(qf),
+                ).alias("qv"),
+            )
+            for s in range(m)
+        ]
+    )
+    qsubs = qres.select(
+        "query_id", "pcluster", F.explode(subs).alias("x")
+    ).select("query_id", "pcluster", F.col("x.sub").alias("sub"), F.col("x.qv").alias("qv"))
+    pd2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, d: s + d,
+    )
+    dtab = qsubs.join(rcents, "sub").select(
+        "query_id",
+        "pcluster",
+        F.col("sub").alias("dsub"),
+        F.col("cluster").alias("dcode"),
+        pd2.alias("pd2"),
+    )
+
+    scored = (
+        codes.join(coarse, "vec_id")
+        .join(
+            F.broadcast(dtab),
+            (F.col("coarse") == F.col("pcluster"))
+            & (F.col("sub") == F.col("dsub"))
+            & (F.col("code") == F.col("dcode")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "pd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["pd2"],
+            ).alias("adc_d2")
+        )
+    )
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("vec_id").alias("cand_id"),
+            hround(F.col("adc_d2"), 6).alias("adc_d2"),
+        )
     )

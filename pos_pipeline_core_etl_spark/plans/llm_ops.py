@@ -2403,10 +2403,14 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(emb).orderBy("vec_id", "sub")
 
 
-def _pq_chain() -> tuple[str, str, str]:
+def _pq_chain(base_section: str | None = None) -> tuple[str, str, str]:
     """Shared PQ training CTE chain (base/seed_ids/seeds/assign_i/
     cent_i), loop-generated from the operator's constants; returns
-    (chain_sql, last_assign_cte, last_centroids_cte)."""
+    (chain_sql, last_assign_cte, last_centroids_cte).
+
+    ``base_section`` overrides the leading CTEs up to and including the
+    ``base`` CTE (which must yield vec_id, sub, svq) — the IVF-PQ
+    oracle injects a residual-based base through here."""
     m, k, iters = similarity.PQ_M, similarity.PQ_K, similarity.PQ_ITERS
     q = float(similarity.KMEANS_QUANT)
     dim = 64
@@ -2451,13 +2455,15 @@ def _pq_chain() -> tuple[str, str, str]:
         if i < iters - 1:
             chain.append(update(f"assign{i}", cents, f"cent{i + 1}"))
             cents = f"cent{i + 1}"
-    sql = f"""base AS (
+    if base_section is None:
+        base_section = f"""base AS (
   SELECT vec_id, u.sub AS sub,
          list_transform(generate_series(1, {sub_d}),
              i -> CAST(floor(CAST(embedding AS DOUBLE[])[u.sub * {sub_d} + i]
                              * {q} + 0.5) AS BIGINT)) AS svq
   FROM embeddings, unnest(generate_series(0, {m - 1})) AS u(sub)
-),
+)"""
+    sql = f"""{base_section},
 seed_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
 seeds AS (
   SELECT sub, b.vec_id AS cluster, list_transform(svq, x -> x / {q}) AS centroid
@@ -2566,6 +2572,113 @@ ORDER BY a.sub
 EMB_PQ_SSE_SQL = _pq_sse_oracle()
 
 QUERIES["emb_pq_sse"] = (emb_pq_sse, EMB_PQ_SSE_SQL)
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ search (Jégou et al. 2011 §V): fixed coarse
+    quantizer → inverted lists, product-quantized RESIDUALS, nprobe
+    list probing, ADC scoring of list members only — the architecture
+    that holds a billion vectors in RAM while touching a fraction of
+    the corpus per query (operators/similarity.py::ivfpq_search_topk;
+    one relational plan, no driver collect)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_search_topk(emb).orderBy("query_id", "rnk")
+
+
+def _ivfpq_oracle(k: int = 3, n_queries: int = 10) -> str:
+    m = similarity.PQ_M
+    q = float(similarity.KMEANS_QUANT)
+    nprobe, n_clusters = similarity.IVF_NPROBE, similarity.IVF_N_CLUSTERS
+    dim = 64
+    sub_d = dim // m
+
+    def rcomp(cluster: str) -> str:
+        return (
+            f"((({similarity.CENT_MIX} * ({cluster} * {dim} + i))"
+            f" % {similarity.PLANE_MOD}) / {float(2**31)} - 1.0)"
+        )
+
+    base_section = f"""vbase AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cl AS (SELECT unnest(generate_series(0, {n_clusters - 1})) AS c),
+coarse AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT b.vec_id, b.v, cl.c AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cent_d2_sql("b.v", "cl.c")} ASC,
+                                       cl.c ASC) AS rn
+    FROM vbase b, cl) t WHERE rn = 1
+),
+resid AS (
+  SELECT vec_id, cluster,
+         list_transform(generate_series(1, {dim}),
+                        i -> v[i] - {rcomp("cluster")}) AS r
+  FROM coarse
+),
+base AS (
+  SELECT vec_id, u.sub AS sub,
+         list_transform(generate_series(1, {sub_d}),
+             i -> CAST(floor(r[u.sub * {sub_d} + i] * {q} + 0.5) AS BIGINT)) AS svq
+  FROM resid, unnest(generate_series(0, {m - 1})) AS u(sub)
+)"""
+    chain, last_assign, cents = _pq_chain(base_section)
+    pd2 = (
+        "list_reduce(list_transform(generate_series(1, {sd}),"
+        " i -> (qs.qv[i] - s.centroid[i]) * (qs.qv[i] - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(sd=sub_d)
+    return f"""
+WITH {chain},
+qprobes AS (
+  SELECT query_id, cluster FROM (
+    SELECT b.vec_id AS query_id, cl.c AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cent_d2_sql("b.v", "cl.c")} ASC,
+                                       cl.c ASC) AS pr
+    FROM vbase b, cl WHERE b.vec_id < {n_queries}) t WHERE pr <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cluster AS pcluster,
+         list_transform(generate_series(1, {dim}),
+             i -> CAST(floor((b.v[i] - {rcomp("p.cluster")}) * {q} + 0.5)
+                       AS BIGINT)) AS rvq
+  FROM qprobes p JOIN vbase b ON b.vec_id = p.query_id
+),
+qsubs AS (
+  SELECT query_id, pcluster, u.sub AS sub,
+         list_transform(generate_series(1, {sub_d}),
+                        i -> rvq[u.sub * {sub_d} + i] / {q}) AS qv
+  FROM qres, unnest(generate_series(0, {m - 1})) AS u(sub)
+),
+dtab AS (
+  SELECT qs.query_id, qs.pcluster, qs.sub, s.cluster AS code, {pd2} AS pd2
+  FROM qsubs qs JOIN {cents} s ON s.sub = qs.sub
+),
+scored AS (
+  SELECT d.query_id, a.vec_id AS cand_id,
+         list_reduce(list(pd2 ORDER BY d.sub), (x, y) -> x + y) AS adc_d2
+  FROM {last_assign} a
+  JOIN coarse co ON co.vec_id = a.vec_id
+  JOIN dtab d ON d.pcluster = co.cluster AND d.sub = a.sub
+             AND d.code = a.cluster
+  WHERE a.vec_id != d.query_id
+  GROUP BY d.query_id, a.vec_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id,
+       {hround_sql("adc_d2", 6)} AS adc_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, cand_id) AS rnk
+  FROM scored) t
+WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+SIM_IVFPQ_TOPK_SQL = _ivfpq_oracle()
+
+QUERIES["sim_ivfpq_topk"] = (sim_ivfpq_topk, SIM_IVFPQ_TOPK_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -14,15 +14,17 @@ the value-affecting r4 fixes.
 
 Round-5 window (this file): after r4, 75 names' newest driver row
 predates round-4 code (VERDICT r4 #2 — replica-green on current code,
-but the artifact of record is stale).  Tier 0 = the 4 new round-5
-queries (banded SimHash, percentile-approx quality rank, BPE trainer,
-PQ codes).  Tier 1 = the 5 round-5 VALUE/oracle changes
+but the artifact of record is stale).  Tier 0 = the 12 NEW round-5
+queries (banded SimHash, percentile-approx quality rank, BPE
+trainer/applier, PQ codes + ADC + IVF-PQ + PQ SSE, winnowing ×2,
+dedup report, length histogram) — never driver-checked, so they
+outrank everything.  Tier 1 = the 5 round-5 VALUE/oracle changes
 (content-anchored + 60-bit substring dedup twins, weighted-sample
 rounding fix, loop-generated k-means oracles).  Tier 2 = the 36 names
-whose newest row is from ROUND 2 — the oldest record.  Tier 3 = the
-first 5 of the 39 r3-latest names, filling the 50-slot window; the
-remaining 34 r3-latest names follow in registration order and
-front-load round 6.
+whose newest row is from ROUND 2 — the oldest record; 12 + 5 + 36 =
+53, so the LAST 3 of them spill past the 50-slot window and lead
+round 6 together with the tier-3 r3-latest names that follow in
+order.
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_dedup_report",        # per-source decision counts + keep rate
     "corpus_length_histogram",    # power-of-two token-length histogram
     "emb_pq_sse",                 # per-subspace PQ reconstruction SSE
+    "sim_ivfpq_topk",             # full IVF-PQ: lists + residual PQ + ADC
     # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
     "text_substring_dedup",       # content-defined anchors + 60-bit wid
     "text_dedup_spans",           # same anchor/wid change (destructive twin)

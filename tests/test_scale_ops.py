@@ -1825,6 +1825,69 @@ class TestProductQuantization:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_ivfpq_candidates_only_from_probed_lists(self, spark):
+        """Structural IVF contract: every returned candidate's coarse
+        cluster must be one of its query's nprobe probed clusters —
+        the corpus outside the probed inverted lists is never scored."""
+        from pyspark.sql import functions as F2
+
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            IVF_N_CLUSTERS,
+            IVF_NPROBE,
+            _as_double,
+            centroid_d2,
+            ivfpq_search_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = ivfpq_search_topk(emb).collect()
+        assert out, "fixture must produce results"
+
+        base = emb.select(
+            F2.col("vec_id"), _as_double(F2.col("embedding")).alias("vec")
+        )
+        structs = [
+            F2.struct(centroid_d2("vec", c).alias("d"), F2.lit(c).alias("c"))
+            for c in range(IVF_N_CLUSTERS)
+        ]
+        assigned = {
+            r["vec_id"]: r["cluster"]
+            for r in base.select(
+                "vec_id", F2.least(*structs).getField("c").alias("cluster")
+            ).collect()
+        }
+        probed = {
+            r["vec_id"]: [p["c"] for p in r["probes"]]
+            for r in base.select(
+                "vec_id",
+                F2.slice(F2.array_sort(F2.array(*structs)), 1, IVF_NPROBE).alias(
+                    "probes"
+                ),
+            ).collect()
+        }
+        for r in out:
+            assert assigned[r["cand_id"]] in probed[r["query_id"]]
+
+    def test_ivfpq_identical_vector_ranks_first(self, spark):
+        """An exact copy of the query lands in the same inverted list
+        with identical residual codes → minimal ADC distance → rank 1."""
+        import numpy as np
+
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            ivfpq_search_topk,
+        )
+
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(0, 1, (30, 8))
+        vecs[25] = vecs[4]
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = ivfpq_search_topk(
+            df, k=1, n_queries=10, nprobe=2, n_clusters=4, m=4, n_codes=4, dim=8
+        ).collect()
+        top1 = {r["query_id"]: r["cand_id"] for r in out}
+        assert top1[4] == 25
+
 
 class TestKmeansDeterminism:
     def test_partition_order_invariant(self, spark):
