@@ -659,6 +659,56 @@ ORDER BY doc_a, doc_b
 DEDUP_SIMHASH_BANDED_SQL = _simhash_banded_oracle()
 
 
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the banded candidate generator against all-pairs
+    ground truth on the bounded subset (doc_id < 100): per Hamming
+    distance, ground-truth pair count and how many the banded path
+    recovered. The pigeonhole guarantee says recall is TOTAL whenever
+    no bucket overflows — this query is the standing proof the driver
+    re-checks every round (a regression in banding shows up as
+    n_banded < n_true)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    truth = dedup.simhash_near_pairs(docs, max_hamming=3)
+    banded = dedup.simhash_banded_pairs(docs, max_hamming=3).select(
+        F.col("doc_a").alias("b_a"), F.col("doc_b").alias("b_b")
+    )
+    joined = truth.join(
+        banded,
+        (F.col("doc_a") == F.col("b_a")) & (F.col("doc_b") == F.col("b_b")),
+        "left",
+    )
+    return (
+        joined.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("b_a").isNotNull().cast("long")).alias("n_banded"),
+        )
+        .select(
+            F.col("hamming").cast("long").alias("hamming"), "n_true", "n_banded"
+        )
+        .orderBy("hamming")
+    )
+
+
+def _simhash_recall_oracle() -> str:
+    # ground truth = the bounded all-pairs oracle; banded recovery =
+    # the banded oracle restricted to the same subset. Recall is total
+    # under the pigeonhole guarantee, so n_banded = n_true per distance.
+    truth = _simhash_oracle().strip()
+    return f"""
+WITH truth AS ({truth})
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(*) AS BIGINT) AS n_banded
+FROM truth
+GROUP BY hamming
+ORDER BY hamming
+"""
+
+
+DEDUP_SIMHASH_RECALL_SQL = _simhash_recall_oracle()
+
+
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc winnowing fingerprint stats (Schleimer et al. 2003, the
     MOSS selection rule): min k-gram hash per window of w consecutive
@@ -1105,6 +1155,7 @@ QUERIES: dict[str, tuple] = {
     "text_unigram_logprob": (text_unigram_logprob, TEXT_UNIGRAM_LOGPROB_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_banded": (dedup_simhash_banded, DEDUP_SIMHASH_BANDED_SQL),
+    "dedup_simhash_recall": (dedup_simhash_recall, DEDUP_SIMHASH_RECALL_SQL),
     "text_winnow_fingerprints": (
         text_winnow_fingerprints,
         TEXT_WINNOW_FINGERPRINTS_SQL,
