@@ -312,3 +312,18 @@ class TestRound3PlanShapes:
         plan = _plan(corpus_mixture_sample(spark, SF_DIR))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_quality_pct_approx_pure_path_has_no_window_sort(self, spark):
+        """The production (contract=False) percentile-sketch path must
+        plan NO window operator and NO sort — that's its whole reason to
+        exist (the exact twin's per-source sort is what breaks on a
+        source larger than executor memory). The sketch agg + broadcast
+        bucket-assign shape keeps memory bounded at any source size."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            quality_pct_approx_frame,
+        )
+
+        plan = _plan(quality_pct_approx_frame(spark, SF_DIR, contract=False))
+        assert "Window" not in plan
+        assert "Sort " not in plan  # no per-source sort anywhere
+        assert "BroadcastHashJoin" in plan  # boundaries ride a broadcast
