@@ -147,3 +147,77 @@ def test_connected_components_match_union_find(spark, edges_py):
     df = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
     got = {r["id"]: r["component_id"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-5 guarantees: pigeonhole banding and winnowing coverage. Both
+# properties are proven on the exact integer/hash models the Spark
+# operators implement (band widths come from the operator itself; the
+# winnowing mirror uses the same md5 windows the oracle-parity tests
+# pin to the engine).
+
+
+@given(st.integers(min_value=4, max_value=32), st.integers(min_value=1, max_value=3), st.data())
+@settings(max_examples=300)
+def test_pigeonhole_banding_guarantee(bits, h, data):
+    """Any pair within Hamming distance h shares at least one of the
+    h+1 bands — the correctness foundation of simhash_banded_pairs, for
+    EVERY (bits, h) the width partitioner accepts."""
+    from pos_pipeline_core_etl_spark.operators.dedup import simhash_band_widths
+
+    if bits < h + 1:
+        return
+    widths = simhash_band_widths(bits, h)
+    a = data.draw(st.integers(min_value=0, max_value=2**bits - 1))
+    n_flips = data.draw(st.integers(min_value=0, max_value=h))
+    flips = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=bits - 1),
+            min_size=n_flips,
+            max_size=n_flips,
+            unique=True,
+        )
+    )
+    b = a
+    for p in flips:
+        b ^= 1 << p
+    bands_a = [(a >> s) & ((1 << w) - 1) for s, w in widths]
+    bands_b = [(b >> s) & ((1 << w) - 1) for s, w in widths]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+def _winnow_fps_py(tokens, k=4, w=4):
+    """Python mirror of winnow_fingerprints_col (the engine parity is
+    pinned separately by the oracle and offset tests)."""
+    import hashlib
+
+    if len(tokens) < k + w - 1:
+        return set()
+    hs = [
+        int(
+            hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()[:15], 16
+        )
+        for i in range(len(tokens) - k + 1)
+    ]
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+_TOK = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@given(
+    st.lists(_TOK, min_size=7, max_size=20),  # shared run >= k + w - 1 = 7
+    st.lists(_TOK, min_size=0, max_size=8),
+    st.lists(_TOK, min_size=0, max_size=8),
+    st.lists(_TOK, min_size=0, max_size=8),
+    st.lists(_TOK, min_size=0, max_size=8),
+)
+@settings(max_examples=200)
+def test_winnowing_coverage_guarantee(shared, p1, s1, p2, s2):
+    """Schleimer et al. 2003 theorem: two documents sharing any token
+    run of >= k + w - 1 tokens share at least one winnowing
+    fingerprint, regardless of the surrounding context on either
+    side."""
+    a = _winnow_fps_py(p1 + shared + s1)
+    b = _winnow_fps_py(p2 + shared + s2)
+    assert a & b
