@@ -542,3 +542,43 @@ def run_streaming_incremental_dedup(
     )
     q.awaitTermination()
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+
+
+def run_streaming_windowed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "events_topk_out",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming twin of events_windowed_topk (trending types per day):
+    a watermarked day-tumbling count aggregation drains through a
+    complete-mode memory sink, then the per-day top-k rank runs on the
+    finished snapshot — ranks are not incrementally maintainable in a
+    streaming agg, so the rank is the read-back step, exactly like the
+    stateful-counter snapshot post-processing above. Day buckets use
+    ``F.window('1 day')`` (epoch-aligned UTC), matching the batch
+    query's ``to_date`` under the UTC session contract."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date(F.col("window.start")).alias("day"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    snap = spark.sql(f"SELECT * FROM {query_name}")
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        snap.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("day", F.col("rnk").cast("long").alias("rnk"), "event_type", "n")
+    )

@@ -25,6 +25,29 @@ def test_streaming_matches_batch(spark):
     assert len(_norm(stream)) > 0
 
 
+def test_streaming_windowed_topk_matches_batch(spark):
+    """The trending-per-day top-k: the watermarked day-window streaming
+    aggregation + snapshot rank must equal the oracle-checked batch
+    query exactly (round 5)."""
+    from pos_pipeline_core_etl_spark.plans.llm_ops import events_windowed_topk
+    from pos_pipeline_core_etl_spark.streaming.events import (
+        run_streaming_windowed_topk,
+    )
+
+    batch = {
+        (str(r["day"]), r["rnk"], r["event_type"], r["n"])
+        for r in events_windowed_topk(spark, SF_DIR).collect()
+    }
+    stream = {
+        (str(r["day"]), r["rnk"], r["event_type"], r["n"])
+        for r in run_streaming_windowed_topk(
+            spark, SF_DIR, query_name="t_topk_eq"
+        ).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
 def test_foreach_batch_exactly_once(spark, tmp_path):
     """foreachBatch sink: equals the batch twin; batch replay is
     idempotent; checkpointed restart writes nothing new."""
