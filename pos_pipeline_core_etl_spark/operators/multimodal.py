@@ -413,3 +413,82 @@ def resize_images(
 from pos_pipeline_core_etl_spark.functions.serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash — difference hash): the standard
+# near-duplicate-image signal for multimodal training-data dedup. Real
+# over the stdlib PNG decoder; deterministic md5 stub for non-image
+# payloads so the relational plumbing is oracle-checkable on any corpus.
+
+DHASH_W, DHASH_H = 9, 8  # 9×8 grayscale grid → 64 horizontal gradients
+
+
+def dhash_png(payload: bytes) -> tuple[int, str]:
+    """(dhash, decoder) for a payload: REAL difference hash for PNG
+    bytes (decode → grayscale → nearest-neighbor 9×8 resample → 64
+    left-vs-right gradient bits), else a deterministic 60-bit md5 stub.
+
+    dHash survives re-encoding, resizing and small edits — equal or
+    near-equal (small Hamming distance) hashes mark near-duplicate
+    images; the banded near-pair machinery (operators/dedup.py::
+    simhash_banded_pairs) applies to this signature unchanged."""
+    import hashlib
+
+    decoded = None
+    if payload.startswith(PNG_MAGIC):
+        decoded = decode_png_pixels(payload)
+    if decoded is None:
+        stub = int(hashlib.md5(payload).hexdigest()[:15], 16)
+        return stub, "stub"
+    sw, sh, ch, px = decoded
+    # grayscale nearest-neighbor resample to DHASH_W × DHASH_H
+    gray = []
+    for y in range(DHASH_H):
+        sy = min(sh - 1, (y * sh) // DHASH_H)
+        row = []
+        for x in range(DHASH_W):
+            sx = min(sw - 1, (x * sw) // DHASH_W)
+            src = (sy * sw + sx) * ch
+            if ch >= 3:
+                # integer luma (ITU-R 601-ish, pure int math)
+                v = (
+                    299 * px[src] + 587 * px[src + 1] + 114 * px[src + 2]
+                ) // 1000
+            else:
+                v = px[src]
+            row.append(v)
+        gray.append(row)
+    h = 0
+    bit = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if gray[y][x] > gray[y][x + 1]:
+                h |= 1 << bit
+            bit += 1
+    if h >= 1 << 63:
+        # reinterpret as signed so the 64-bit hash fits a BIGINT column
+        # (Hamming distance over XOR is unaffected by the sign bit's
+        # two's-complement reading)
+        h -= 1 << 64
+    return h, "png"
+
+
+DHASH_SCHEMA = "doc_id long, dhash long, decoder string"
+
+
+def image_dhash(binary_docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → (doc_id, dhash, decoder) via
+    mapInPandas — Arrow-batched like :func:`extract_features`; the
+    per-row cost is the codec, exactly as a real image pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                h, dec = dhash_png(payload)
+                rows.append({"doc_id": doc_id, "dhash": h, "decoder": dec})
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash", "decoder"])
+
+    return binary_docs.mapInPandas(batches, schema=DHASH_SCHEMA)

@@ -1081,6 +1081,30 @@ FROM documents
 """
 
 
+def multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (dHash) over binary payloads — the
+    near-duplicate-image signal for multimodal dedup
+    (operators/multimodal.py::image_dhash). Same oracle note as
+    multimodal_features: documents-as-binary payloads are UTF-8 text,
+    which can never start with the PNG magic byte 0x89, so the stub
+    branch is structurally the only reachable one here; the REAL PNG
+    dhash (decode → 9×8 grayscale → gradient bits) is exercised on
+    genuine PNGs in tests/test_scale_ops.py (TestRealPngDecode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_dhash(multimodal.documents_as_binary(docs)).orderBy(
+        "doc_id"
+    )
+
+
+MULTIMODAL_DHASH_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS dhash,
+       'stub' AS decoder
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (1 row → N frame rows via
     mapInPandas); frames are hashed for the compare — text is ASCII by
@@ -1174,6 +1198,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "multimodal_dhash": (multimodal_dhash, MULTIMODAL_DHASH_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }

@@ -598,6 +598,75 @@ class TestLshParameterization:
             simhash_band_widths(3, 3)
 
 
+class TestImageDhash:
+    """Perceptual dHash over REAL PNG pixels (operators/multimodal.py::
+    dhash_png): the near-duplicate-image signal, with its defining
+    scale-invariance property exercised through the stdlib codec."""
+
+    @staticmethod
+    def _img(f, w=20, h=16):
+        from pos_pipeline_core_etl_spark.operators.multimodal import encode_png
+
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = f(x, y) % 256
+                px += bytes([v, v, v])
+        return encode_png(w, h, 3, bytes(px))
+
+    def test_perceptual_properties(self):
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            dhash_png,
+            resize_png,
+        )
+
+        base = self._img(lambda x, y: x * 37 + y * 11)
+        tweaked = self._img(
+            lambda x, y: (x * 37 + y * 11) + (3 if (x + y) % 7 == 0 else 0)
+        )
+        other = self._img(lambda x, y: x * 11 + y * 53 + 97)
+        hb, db = dhash_png(base)
+        ht, dt = dhash_png(tweaked)
+        ho, _ = dhash_png(other)
+        assert db == dt == "png"
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(hb, ht) <= 4  # small perturbation: near-identical hash
+        assert ham(hb, ho) >= 10  # unrelated content: far
+        # the defining dHash property: a RESIZED copy hashes (near-)equal
+        resized = resize_png(base, 40, 32)
+        hr, dr = dhash_png(resized)
+        assert dr == "png" and ham(hb, hr) <= 4
+
+    def test_stub_branch_deterministic(self):
+        import hashlib
+
+        from pos_pipeline_core_etl_spark.operators.multimodal import dhash_png
+
+        payload = "hello world".encode()
+        h, dec = dhash_png(payload)
+        assert dec == "stub"
+        assert h == int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+    def test_spark_map_mixed_payloads(self, spark):
+        """The mapInPandas op routes PNG payloads through the real
+        decoder and everything else through the stub, per row."""
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            dhash_png,
+            image_dhash,
+        )
+
+        png = self._img(lambda x, y: x * 37 + y * 11)
+        rows = [(1, bytearray(png)), (2, bytearray(b"plain text payload"))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in image_dhash(df).collect()}
+        assert out[1]["decoder"] == "png"
+        assert out[2]["decoder"] == "stub"
+        assert out[1]["dhash"] == dhash_png(png)[0]
+
+
 class TestRealPngDecode:
     """The multimodal decode leg handles REAL image bytes (VERDICT r1
     item 8): a genuine PNG is constructed and decoded (stdlib codec) —
