@@ -419,9 +419,32 @@ def simhash_banded_pairs(
     2^(bits/(h+1)).
     """
     sigs = simhash(docs, text_col, bits=bits)
+    return banded_hamming_pairs(
+        sigs, "simhash", max_hamming=max_hamming, bits=bits,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Generic pigeonhole-banded Hamming near-pair generator over ANY
+    integer signature column (SimHash, perceptual image dHash, …):
+    (id_col, sig_col) → (doc_a, doc_b, hamming ≤ max_hamming). The
+    engine of :func:`simhash_banded_pairs`, factored so every
+    fixed-width-signature family shares one implementation. Masking
+    after the (arithmetic) shiftright makes banding correct for
+    signed-reinterpreted 64-bit hashes too.
+    """
+    sigs = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"))
     structs = [
         f"named_struct('band', {b}, "
-        f"'val', shiftright(simhash, {shift}) & {(1 << width) - 1}L)"
+        f"'val', shiftright(sig, {shift}) & {(1 << width) - 1}L)"
         for b, (shift, width) in enumerate(simhash_band_widths(bits, max_hamming))
     ]
     buckets = sigs.select(
@@ -459,10 +482,10 @@ def simhash_banded_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(
             F.max(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("simhash"))
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sig"))
             ).alias("sig_a"),
             F.max(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("simhash"))
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sig"))
             ).alias("sig_b"),
         )
     )

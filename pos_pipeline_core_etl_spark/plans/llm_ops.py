@@ -1105,6 +1105,76 @@ ORDER BY doc_id
 """
 
 
+DHASH_DUP_SLICE = 50  # injected duplicate payloads: doc_id < 50 re-keyed
+DHASH_DUP_OFFSET = 1_000_000
+
+
+def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by perceptual hash: banded Hamming pairs
+    over the dHash signatures (the generic pigeonhole machinery,
+    operators/dedup.py::banded_hamming_pairs, applied to a 64-bit image
+    hash). Duplicates are injected deterministically (the first 50
+    payloads re-keyed +10⁶ — same convention as events_dedup's
+    self-union) because the text-as-binary fixture has no byte-equal
+    payloads of its own; survivors are exactly the equal-payload pairs,
+    oracle-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.where(F.col("doc_id") < DHASH_DUP_SLICE).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(DHASH_DUP_OFFSET)
+    )
+    sigs = multimodal.image_dhash(
+        multimodal.documents_as_binary(docs.unionByName(dup))
+    ).select("doc_id", "dhash")
+    df = dedup.banded_hamming_pairs(sigs, "dhash", max_hamming=3, bits=64)
+    return df.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _dhash_pairs_oracle(max_hamming: int = 3) -> str:
+    cap = dedup.LSH_MAX_BUCKET
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, (dhash >> {s}) & {(1 << w) - 1}"
+        f" AS val FROM sig"
+        for b, (s, w) in enumerate(dedup.simhash_band_widths(64, max_hamming))
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DHASH_DUP_OFFSET}, text FROM documents
+  WHERE doc_id < {DHASH_DUP_SLICE}
+),
+sig AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS dhash
+  FROM corpus
+),
+bands AS (
+  {band_union}
+),
+ok AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.val = a.val
+  JOIN bands b ON b.band = a.band AND b.val = a.val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.dhash, sb.dhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.dhash, sb.dhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+MULTIMODAL_DHASH_PAIRS_SQL = _dhash_pairs_oracle()
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (1 row → N frame rows via
     mapInPandas); frames are hashed for the compare — text is ASCII by
@@ -1199,6 +1269,7 @@ QUERIES: dict[str, tuple] = {
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_dhash": (multimodal_dhash, MULTIMODAL_DHASH_SQL),
+    "multimodal_dhash_pairs": (multimodal_dhash_pairs, MULTIMODAL_DHASH_PAIRS_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }
