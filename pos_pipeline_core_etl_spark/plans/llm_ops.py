@@ -1649,6 +1649,58 @@ CORPUS_DEDUP_REPORT_SQL = _dedup_report_oracle()
 QUERIES["corpus_dedup_report"] = (corpus_dedup_report, CORPUS_DEDUP_REPORT_SQL)
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the changelog a
+    data-versioning layer (Delta/Iceberg-style) derives per commit:
+    every doc labeled added / removed / changed / unchanged by a full
+    outer join on doc_id with content-fingerprint comparison. One
+    shuffle on the id key; fingerprints are map-side md5.
+
+    Versions are deterministic transforms of the fixture (same
+    convention as dedup_incremental_batch's slice): OLD = docs with
+    doc_id % 10 != 7; NEW = all docs except doc_id % 13 == 5, with
+    every doc_id % 17 == 3 text edited (uppercased)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("old_fp")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 17 == 3, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.md5(F.encode(new_text, "UTF-8")).alias("new_fp")
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("doc_id", status.alias("status")).orderBy("doc_id")
+
+
+CORPUS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 10 != 7
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 3 THEN upper(text) ELSE text END) AS new_fp
+  FROM documents WHERE doc_id % 13 != 5
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old_fp != new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["corpus_snapshot_diff"] = (corpus_snapshot_diff, CORPUS_SNAPSHOT_DIFF_SQL)
+
+
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram per source on power-of-two buckets — the
     length-distribution snapshot curation teams check before choosing

@@ -14,15 +14,15 @@ the value-affecting r4 fixes.
 
 Round-5 window (this file): after r4, 75 names' newest driver row
 predates round-4 code (VERDICT r4 #2 — replica-green on current code,
-but the artifact of record is stale).  Tier 0 = the 15 NEW round-5
+but the artifact of record is stale).  Tier 0 = the 16 NEW round-5
 queries (banded SimHash, percentile-approx quality rank, BPE
 trainer/applier, PQ codes + ADC + IVF-PQ + PQ SSE, winnowing ×2,
 dedup report, length histogram, banded-recall audit) — never driver-checked, so they
 outrank everything.  Tier 1 = the 5 round-5 VALUE/oracle changes
 (content-anchored + 60-bit substring dedup twins, weighted-sample
 rounding fix, loop-generated k-means oracles).  Tier 2 = the 36 names
-whose newest row is from ROUND 2 — the oldest record; 15 + 5 + 36 =
-56, so the LAST 6 of them spill past the 50-slot window and lead
+whose newest row is from ROUND 2 — the oldest record; 16 + 5 + 36 =
+57, so the LAST 7 of them spill past the 50-slot window and lead
 round 6 together with the tier-3 r3-latest names that follow in
 order.
 """
@@ -53,6 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_recall",       # banded-vs-exact recall audit (standing proof)
     "multimodal_dhash",           # perceptual image hash (real PNG / stub dual)
     "multimodal_dhash_pairs",     # duplicate-image pairs via banded Hamming
+    "corpus_snapshot_diff",       # version-to-version changelog (full outer diff)
     # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
     "text_substring_dedup",       # content-defined anchors + 60-bit wid
     "text_dedup_spans",           # same anchor/wid change (destructive twin)
