@@ -495,6 +495,60 @@ def banded_hamming_pairs(
     )
 
 
+def banded_hamming_overflow(
+    sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Buckets the banded-Hamming candidate stage SKIPPED: (band, val,
+    n_docs) for every pigeonhole bucket over ``max_bucket_size`` — the
+    observability twin of :func:`minhash_lsh_overflow` for the
+    SimHash/dHash family (ADVICE r5: at narrow signatures a large
+    corpus can overflow EVERY bucket, silently collapsing recall to
+    zero; this report is how a run detects that).  Empty on healthy
+    corpora; non-empty means stage exact dedup first, widen ``bits``
+    (buckets per band ≈ 2^(bits/(max_hamming+1)), so band values stop
+    being selective once the corpus outgrows them), or raise the cap.
+    """
+    sigs = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"))
+    structs = [
+        f"named_struct('band', {b}, "
+        f"'val', shiftright(sig, {shift}) & {(1 << width) - 1}L)"
+        for b, (shift, width) in enumerate(simhash_band_widths(bits, max_hamming))
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({', '.join(structs)})")).alias("bv")
+    ).select(F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    return (
+        buckets.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def simhash_banded_overflow(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`banded_hamming_overflow` over the corpus's SimHash
+    signatures — the standing health check to run alongside
+    :func:`simhash_banded_pairs` (same signatures, one extra keyed
+    agg)."""
+    return banded_hamming_overflow(
+        simhash(docs, text_col, bits=bits),
+        "simhash",
+        max_hamming=max_hamming,
+        bits=bits,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 # ---------------------------------------------------------------------------
 # transitive-closure survivorship (connected components)
 

@@ -432,15 +432,28 @@ def dhash_png(payload: bytes) -> tuple[int, str]:
     dHash survives re-encoding, resizing and small edits — equal or
     near-equal (small Hamming distance) hashes mark near-duplicate
     images; the banded near-pair machinery (operators/dedup.py::
-    simhash_banded_pairs) applies to this signature unchanged."""
+    simhash_banded_pairs) applies to this signature unchanged.
+
+    A payload that LOOKS like a PNG (magic bytes) but fails to decode
+    (truncated, corrupt CRC, unsupported 16-bit/interlaced variants —
+    decode_png_pixels raises on all of these) yields an explicit
+    ``decoder='error'`` row with the same deterministic md5-derived
+    hash as the stub branch, mirroring ``_try_decode_image``'s
+    convention — one bad image must never fail the whole mapInPandas
+    job (ADVICE r5)."""
     import hashlib
 
     decoded = None
+    decoder_on_miss = "stub"
     if payload.startswith(PNG_MAGIC):
-        decoded = decode_png_pixels(payload)
+        try:
+            decoded = decode_png_pixels(payload)
+        except Exception:
+            decoded = None
+            decoder_on_miss = "error"
     if decoded is None:
         stub = int(hashlib.md5(payload).hexdigest()[:15], 16)
-        return stub, "stub"
+        return stub, decoder_on_miss
     sw, sh, ch, px = decoded
     # grayscale nearest-neighbor resample to DHASH_W × DHASH_H
     gray = []

@@ -123,6 +123,48 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k per query vector — the brute-force ground
+    truth for the IVF-PQ recall audit (same metric as ADC scoring, so
+    recall@k measures exactly what the approximate index trades away).
+    Broadcast the bounded query set, fold the distance map-side, one
+    per-query window for the rank — the verify twin, not the scale
+    path."""
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    embeddings = _ensure_parallelism(embeddings, id_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cvec")
+    )
+    queries = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = corpus.join(
+        F.broadcast(queries), F.col("cand_id") != F.col("query_id")
+    ).select("query_id", "cand_id", hround(d2, 6).alias("d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "cand_id", "d2")
+    )
+
+
 def plane_component(plane: int, comp: Column | int, dim: int = 64) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1).
 
@@ -713,6 +755,7 @@ def _kmeans_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = KMEANS_QUANT,
+    with_centroids: bool = False,
 ) -> DataFrame:
     """Fully-distributed Lloyd k-means: every step is a DataFrame op.
 
@@ -825,8 +868,14 @@ def _kmeans_assignments(
     centroids = seeds
     assigned = None
     for _ in range(iters):
+        last_centroids = centroids
         assigned = assign(pack(centroids))
         centroids = update(assigned, centroids)
+    if with_centroids:
+        # the centroids the FINAL assignment was computed against —
+        # what an IVF index stores alongside its lists (the post-loop
+        # update is never seen by any assignment)
+        return assigned, last_centroids
     return assigned
 
 
@@ -837,6 +886,7 @@ def _kmeans_assignments(
 PQ_M = 8          # subspaces (64-d vector → 8 subvectors of 8 dims)
 PQ_K = 8          # codewords per subspace (real deployments use 256)
 PQ_ITERS = 2      # Lloyd iterations per subspace codebook
+IVFPQ_REFINE = 32  # ADC shortlist size for the exact re-rank (refine) stage
 
 
 def pq_encode(
@@ -1293,5 +1343,203 @@ def ivfpq_search_topk(
             "rnk",
             F.col("vec_id").alias("cand_id"),
             hround(F.col("adc_d2"), 6).alias("adc_d2"),
+        )
+    )
+
+
+def ivfpq_kmeans_search_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_clusters: int = KMEANS_K,
+    coarse_iters: int = KMEANS_ITERS,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    refine: int = IVFPQ_REFINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ with a LEARNED (k-means) coarse quantizer and an exact
+    re-rank ("refine") stage — the quality fix the sim_ivfpq_recall
+    audit demanded (round 6). Two measured failure modes of the
+    fixed-grid :func:`ivfpq_search_topk` on this data, two standard
+    fixes:
+
+    - the pseudo-random grid co-locates true neighbors at chance level
+      (coverage of the exact top-3 ≈ nprobe/n_clusters, recall@3 = 0);
+      full-corpus Lloyd centroids raise coverage to ~0.87 at the same
+      nprobe;
+    - small codebooks (k=8 per subspace) make ADC a noisy RANKER even
+      when the neighbor is in a probed list, so — the FAISS IVFPQR
+      convention — ADC only SHORTLISTS ``refine`` candidates and the
+      final k are ranked by exact distance on the original vectors
+      (one shortlist-sized equi-join back to the index).
+
+    Same relational shape as the grid version — the new legs are joins
+    against the (n_clusters-row, broadcast) learned-centroid frame
+    where the grid version folds literal expressions: full-corpus
+    Lloyd training via :func:`_kmeans_assignments` (integer-exact, one
+    keyed agg per iteration), residuals by centroid join, shared
+    :func:`_pq_fit` codebooks, broadcast ADC distance table confined
+    to probed lists.  Zero driver collect; the corpus-sized legs are
+    map-side folds + the Lloyd/PQ keyed aggs."""
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(embeddings, id_col)
+    assigned, cents = _kmeans_assignments(
+        base,
+        k=n_clusters,
+        iters=coarse_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        quant=quant,
+        with_centroids=True,
+    )
+    # the assignment fans out 4 ways (residuals, list map, query leg,
+    # probes) and the centroid frame 3 ways — materialize both once
+    assigned = assigned.localCheckpoint(eager=False)
+    cents = cents.localCheckpoint(eager=False)
+
+    qf = float(quant)
+    v = F.transform(F.col("vq"), lambda x: x / F.lit(qf))
+    resid = assigned.join(F.broadcast(cents), "cluster").select(
+        "vec_id",
+        "cluster",
+        F.zip_with(v, F.col("centroid"), lambda x, y: x - y).alias("resid"),
+    )
+    _rbase, rassigned, rcents = _pq_fit(
+        resid.select("vec_id", F.col("resid").alias("embedding")),
+        m,
+        n_codes,
+        iters,
+        quant=quant,
+        dim=dim,
+        reuse=True,
+    )
+    codes = rassigned.select("vec_id", "sub", F.col("cluster").alias("code"))
+    coarse = assigned.select("vec_id", F.col("cluster").alias("coarse"))
+
+    # query probes: nprobe nearest LEARNED centroids — an
+    # (n_queries × n_clusters)-row broadcast join + per-query window;
+    # the centroid table is tiny by contract
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "vq"
+    )
+    qd2 = F.aggregate(
+        F.zip_with(v, F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, d: s + d,
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "vq", "cluster", "centroid", qd2.alias("cd2"))
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= nprobe)
+    )
+    qres = probes.select(
+        "query_id",
+        F.col("cluster").alias("pcluster"),
+        _quantize_vec(
+            F.zip_with(v, F.col("centroid"), lambda x, y: x - y), quant
+        ).alias("rvq"),
+    )
+    sub_d = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.transform(
+                    F.slice(F.col("rvq"), s * sub_d + 1, sub_d),
+                    lambda x: x / F.lit(qf),
+                ).alias("qv"),
+            )
+            for s in range(m)
+        ]
+    )
+    qsubs = qres.select("query_id", "pcluster", F.explode(subs).alias("x")).select(
+        "query_id", "pcluster", F.col("x.sub").alias("sub"), F.col("x.qv").alias("qv")
+    )
+    pd2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, d: s + d,
+    )
+    dtab = qsubs.join(rcents, "sub").select(
+        "query_id",
+        "pcluster",
+        F.col("sub").alias("dsub"),
+        F.col("cluster").alias("dcode"),
+        pd2.alias("pd2"),
+    )
+    scored = (
+        codes.join(coarse, "vec_id")
+        .join(
+            F.broadcast(dtab),
+            (F.col("coarse") == F.col("pcluster"))
+            & (F.col("sub") == F.col("dsub"))
+            & (F.col("code") == F.col("dcode")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "pd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["pd2"],
+            ).alias("adc_d2")
+        )
+    )
+    # refine stage (FAISS IVFPQR convention): ADC is a SHORTLISTER, not
+    # a ranker — with small codebooks its quantization noise swamps the
+    # gaps between true-neighbor distances. Keep the ADC top-``refine``
+    # per query, fetch those candidates' ORIGINAL vectors (one bounded
+    # equi-join back to the index — shortlist-sized, not corpus-sized)
+    # and rank the final k by exact distance.
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(aw))
+        .where(F.col("arnk") <= refine)
+        .select("query_id", "vec_id")
+    )
+    qv = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("vq").alias("qvq")
+    )
+    cv = assigned.select("vec_id", F.col("vq").alias("cvq"))
+    exact_d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("qvq"), lambda x: x / F.lit(qf)),
+            F.transform(F.col("cvq"), lambda x: x / F.lit(qf)),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda s, d: s + d,
+    )
+    refined = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select("query_id", "vec_id", hround(exact_d2, 6).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("vec_id").alias("cand_id"),
+            "d2",
         )
     )

@@ -580,10 +580,15 @@ def bpe_train(
     the vocab is built. The per-iteration ``localCheckpoint`` keeps the
     plan flat (same discipline as connected_components); the winning
     pair is a single collected row per iteration (bounded by
-    ``merges``). Merge application is leftmost non-overlapping literal
-    replacement — identical semantics in any engine, so the DuckDB
-    oracle reproduces the merge table bit-for-bit (ties broken by
-    (count desc, pair asc)).
+    ``merges``). Symbols are DOUBLE-space delimited with single-space
+    string ends, so the literal replace `` a  b `` → `` ab `` consumes
+    only its own boundary spaces and adjacent repeated occurrences all
+    merge in one left-to-right pass (``a a a a`` → ``aa aa``) — the
+    canonical Sennrich ``re.sub`` greedy-pass semantics (ADVICE r5;
+    single-space delimiters couldn't match back-to-back occurrences
+    because consecutive matches shared the delimiter space). Identical
+    semantics in any engine, so the DuckDB oracle reproduces the merge
+    table bit-for-bit (ties broken by (count desc, pair asc)).
     """
     spark = docs.sparkSession
     words = (
@@ -598,14 +603,14 @@ def bpe_train(
     )
     seg = words.select(
         F.concat(
-            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w> ")
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1  "), F.lit("</w> ")
         ).alias("s"),
         "freq",
     ).localCheckpoint(eager=True)
 
     out: list[tuple[int, str, str, int]] = []
     for rank in range(1, merges + 1):
-        arr = F.split(F.trim(F.col("s")), " ")
+        arr = F.split(F.trim(F.col("s")), "  ")
         pair_col = F.zip_with(
             F.slice(arr, 1, F.size(arr) - 1),
             F.slice(arr, 2, F.size(arr) - 1),
@@ -623,16 +628,126 @@ def bpe_train(
             break  # every word fully merged — corpus exhausted
         pair, n = top[0]["pair"], int(top[0]["n"])
         merged = pair.replace(" ", "")
-        out.append((rank, pair, merged, n))
+        pat = pair.replace(" ", "  ")
         seg = seg.select(
             F.replace(
-                F.col("s"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+                F.col("s"), F.lit(f" {pat} "), F.lit(f" {merged} ")
             ).alias("s"),
             "freq",
         ).localCheckpoint(eager=True)
+        out.append((rank, pair, merged, n))
     return spark.createDataFrame(
         out, "merge_rank int, pair string, merged string, n long"
     )
+
+
+BPE_MAX_VOCAB = 5_000_000  # driver-side trainer guard (IVF_MAX_QUERIES style)
+
+
+def bpe_train_fast(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = BPE_MERGES,
+    max_vocab: int = BPE_MAX_VOCAB,
+) -> DataFrame:
+    """Driver-side BPE trainer with incremental pair-delta counting —
+    the 32K-merge-scale twin of :func:`bpe_train` (VERDICT r5 #4).
+
+    :func:`bpe_train` launches one vocabulary-sized Spark job per merge;
+    at a production vocabulary (32K merges) that is 32K sequential jobs
+    whose driver/scheduler floor (~0.1 s each) dominates. The standard
+    answer — what every production tokenizer trainer does — is to
+    collapse the corpus to the (word, freq) VOCABULARY with one
+    corpus-sized Spark agg (the only part that sees 100 TB), collect
+    that bounded table (guarded by ``max_vocab``; real-corpus
+    vocabularies are 10⁵–10⁷ rows ≪ corpus size), and run the merge
+    loop in memory with incremental pair statistics: each merge
+    re-counts only the words that CONTAIN the merged pair (indexed,
+    delta update), not the whole vocabulary — the subword-nmt
+    ``update_pair_statistics`` optimization. Output is identical to
+    :func:`bpe_train` (pinned by test and by sharing the registry
+    oracle); per-merge cost is O(words containing the pair), so 32K
+    merges take seconds, not hours.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias(
+                "w"
+            )
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_vocab = words.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary has {n_vocab} words > max_vocab={max_vocab}; "
+            "raise the cap or pre-truncate the long tail"
+        )
+    vocab = [(tuple(r["w"]) + ("</w>",), int(r["freq"])) for r in words.collect()]
+    out = _bpe_merge_loop_inmem(vocab, merges)
+    return spark.createDataFrame(
+        out, "merge_rank int, pair string, merged string, n long"
+    )
+
+
+def _bpe_merge_loop_inmem(
+    vocab: list[tuple[tuple[str, ...], int]], merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The in-memory merge loop with delta-maintained pair statistics.
+
+    ``stats[pair]`` is the corpus-weighted count of adjacent
+    occurrences; ``where[pair]`` indexes which vocab entries contain
+    it. A merge touches only the indexed entries: their old pair
+    contributions are subtracted, the pair is merged left-to-right
+    greedily (the canonical single-pass semantics, matching
+    :func:`bpe_train`'s double-space literal replace), and the new
+    contributions added back.
+    """
+    from collections import Counter, defaultdict
+
+    syms: list[list[str]] = [list(w) for w, _f in vocab]
+    freqs: list[int] = [f for _w, f in vocab]
+    stats: Counter[tuple[str, str]] = Counter()
+    where: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, (w, f) in enumerate(zip(syms, freqs)):
+        for a, b in zip(w, w[1:]):
+            stats[(a, b)] += f
+            where[(a, b)].add(i)
+
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, merges + 1):
+        live = [(p, n) for p, n in stats.items() if n > 0]
+        if not live:
+            break
+        # (count desc, pair asc) — the distributed trainer's tie-break
+        best, n = min(live, key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        merged = best[0] + best[1]
+        out.append((rank, f"{best[0]} {best[1]}", merged, n))
+        for i in sorted(where.pop(best, ())):
+            w, f = syms[i], freqs[i]
+            if f == 0:
+                continue
+            for a, b in zip(w, w[1:]):
+                stats[(a, b)] -= f
+                if stats[(a, b)] <= 0:
+                    del stats[(a, b)]
+            new: list[str] = []
+            j = 0
+            while j < len(w):  # greedy left-to-right single pass
+                if j + 1 < len(w) and (w[j], w[j + 1]) == best:
+                    new.append(merged)
+                    j += 2
+                else:
+                    new.append(w[j])
+                    j += 1
+            syms[i] = new
+            for a, b in zip(new, new[1:]):
+                stats[(a, b)] += f
+                where[(a, b)].add(i)
+    return out
 
 
 def bpe_apply(
@@ -649,10 +764,14 @@ def bpe_apply(
     ``merges`` is the ordered (pair, merged) list; when None it is
     learned from the SAME corpus via :func:`bpe_train` (end-to-end
     train→apply). Application is a chain of ``n_merges`` map-side
-    literal replaces over the space-delimited segmentation — zero
-    shuffles beyond the per-doc projection, because a learned pair can
-    never span a word boundary (pairs are learned inside
-    ``</w>``-terminated words, so no pair starts with the end marker).
+    literal replaces over the segmentation — zero shuffles beyond the
+    per-doc projection, because a learned pair can never span a word
+    boundary (pairs are learned inside ``</w>``-terminated words, so
+    no pair starts with the end marker). Same double-space delimiter
+    scheme as :func:`bpe_train` (ADVICE r5): the replace consumes only
+    its own boundary spaces, so back-to-back occurrences of the pair
+    inside one word all merge in a single left-to-right pass —
+    canonical Sennrich ``re.sub`` semantics.
     """
     if merges is None:
         merges = [
@@ -660,21 +779,19 @@ def bpe_apply(
             for r in bpe_train(docs, text_col, merges=n_merges).collect()
         ]
     words = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
-    seg = F.concat(
-        F.array_join(
-            F.transform(
-                words,
-                lambda w: F.concat(
-                    F.lit(" "), F.regexp_replace(w, "(.)", "$1 "), F.lit("</w>")
-                ),
+    seg = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.lit(" "), F.regexp_replace(w, "(.)", "$1  "), F.lit("</w> ")
             ),
-            "",
         ),
-        F.lit(" "),
+        "",
     )
     for pair, merged in merges:
-        seg = F.replace(seg, F.lit(f" {pair} "), F.lit(f" {merged} "))
-    toks = F.split(F.trim(seg), " ")
+        pat = pair.replace(" ", "  ")
+        seg = F.replace(seg, F.lit(f" {pat} "), F.lit(f" {merged} "))
+    toks = F.split(F.trim(seg), " +")
     n_tokens = F.size(toks)
     n_chars = F.length(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", ""))
     return docs.select(

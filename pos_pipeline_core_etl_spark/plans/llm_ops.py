@@ -598,8 +598,16 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _simhash_banded_oracle(max_hamming: int = 3) -> str:
-    bits = dedup.SIMHASH_BITS
+def _simhash_banded_oracle(
+    max_hamming: int = 3,
+    bits: int | None = None,
+    source: str = "documents",
+    prefix_ctes: str = "",
+) -> str:
+    """SQL twin of simhash_banded_pairs, parameterized over signature
+    width and source relation so composed stages (exact-first staging)
+    can reuse the whole chain."""
+    bits = dedup.SIMHASH_BITS if bits is None else bits
     cap = dedup.LSH_MAX_BUCKET
     bit_cells = ",\n  ".join(
         f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_{j}"
@@ -616,9 +624,9 @@ def _simhash_banded_oracle(max_hamming: int = 3) -> str:
         )
     )
     return rf"""
-WITH tok AS (
+WITH {prefix_ctes}tok AS (
   SELECT d.doc_id, u.tok
-  FROM documents d,
+  FROM {source} d,
        LATERAL (SELECT unnest(list_distinct(
          regexp_split_to_array(trim(lower(d.text)), '\s+'))) AS tok) u
 ),
@@ -707,6 +715,133 @@ ORDER BY hamming
 
 
 DEDUP_SIMHASH_RECALL_SQL = _simhash_recall_oracle()
+
+
+# Cap chosen to be provably non-empty on the fixture (500+ docs over
+# 2^(16/4)=16 band values → some bucket ≥ 32 by pigeonhole), so the
+# driver check exercises the OVERFLOW branch, not the empty frame.
+DEDUP_OVERFLOW_CAP = 24
+
+
+def dedup_simhash_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-overflow observability for the banded SimHash path
+    (operators/dedup.py::simhash_banded_overflow — ADVICE r5): every
+    pigeonhole bucket above the cap, i.e. exactly the document groups
+    the candidate generator SKIPS. At 16-bit signatures a corpus
+    beyond ~16K docs overflows every bucket and recall silently
+    collapses; this report is how a run detects that and knows to
+    stage exact dedup first or widen the signature. One keyed agg over
+    the band projection — same cost class as the candidate stage
+    itself."""
+    df = dedup.simhash_banded_overflow(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        max_bucket_size=DEDUP_OVERFLOW_CAP,
+    )
+    return df.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("val").cast("long").alias("val"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    ).orderBy("band", "val")
+
+
+def _simhash_overflow_oracle(max_hamming: int = 3) -> str:
+    bits = dedup.SIMHASH_BITS
+    bit_cells = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {shift}) & {(1 << width) - 1}"
+        f" AS val FROM sig"
+        for b, (shift, width) in enumerate(
+            dedup.simhash_band_widths(bits, max_hamming)
+        )
+    )
+    return rf"""
+WITH tok AS (
+  SELECT d.doc_id, u.tok
+  FROM documents d,
+       LATERAL (SELECT unnest(list_distinct(
+         regexp_split_to_array(trim(lower(d.text)), '\s+'))) AS tok) u
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+  {bit_cells}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+),
+bands AS (
+  {band_union}
+)
+SELECT CAST(band AS BIGINT) AS band, CAST(val AS BIGINT) AS val,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM bands GROUP BY band, val
+HAVING count(*) > {DEDUP_OVERFLOW_CAP}
+ORDER BY band, val
+"""
+
+
+DEDUP_SIMHASH_OVERFLOW_SQL = _simhash_overflow_oracle()
+
+
+STAGED_SIMHASH_BITS = 32  # wide signatures are affordable once exact dups are gone
+
+
+def dedup_simhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup composition (VERDICT r5 #3): exact dedup
+    FIRST (fingerprint groupBy → keep the min id per group), then
+    banded SimHash near-pairs over the exact SURVIVORS only, at 32-bit
+    signatures. This is the prescription PERFORMANCE.md documents for
+    duplication-heavy corpora promoted to a first-class query: exact
+    staging removes the byte-identical cliques that would otherwise
+    land under the bucket cap and explode the candidate set (the
+    measured degenerate mode where the unstaged 32-bit form dies at
+    100×), and the wider signature keeps band values selective as the
+    corpus grows. Cost: one fingerprint shuffle + the banded path's
+    keyed aggs — never doc × doc."""
+    docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(canon.select("doc_id"), "doc_id")
+    pairs = dedup.simhash_banded_pairs(
+        survivors, max_hamming=3, bits=STAGED_SIMHASH_BITS
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_staged_oracle() -> str:
+    prefix = r"""fpx AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canonx AS (SELECT MIN(doc_id) AS doc_id FROM fpx GROUP BY fp),
+survivors AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN canonx USING (doc_id)
+),
+"""
+    return _simhash_banded_oracle(
+        max_hamming=3,
+        bits=STAGED_SIMHASH_BITS,
+        source="survivors",
+        prefix_ctes=prefix,
+    )
+
+
+DEDUP_SIMHASH_STAGED_SQL = _simhash_staged_oracle()
 
 
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,6 +1385,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_banded": (dedup_simhash_banded, DEDUP_SIMHASH_BANDED_SQL),
     "dedup_simhash_recall": (dedup_simhash_recall, DEDUP_SIMHASH_RECALL_SQL),
+    "dedup_simhash_overflow": (dedup_simhash_overflow, DEDUP_SIMHASH_OVERFLOW_SQL),
+    "dedup_simhash_staged": (dedup_simhash_staged, DEDUP_SIMHASH_STAGED_SQL),
     "text_winnow_fingerprints": (
         text_winnow_fingerprints,
         TEXT_WINNOW_FINGERPRINTS_SQL,
@@ -2880,6 +3017,321 @@ SIM_IVFPQ_TOPK_SQL = _ivfpq_oracle()
 QUERIES["sim_ivfpq_topk"] = (sim_ivfpq_topk, SIM_IVFPQ_TOPK_SQL)
 
 
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing ANN search-quality audit (VERDICT r5 #2): recall@k of
+    the full IVF-PQ pipeline against exact squared-L2 top-k on the
+    bounded query set, per query. The oracle re-derives BOTH legs from
+    the frozen constants (quantizer grid, nprobe, codebook iterations),
+    so any regression in the coarse assignment, residual PQ, or ADC
+    scoring shifts the recovered set and hash-fails the driver check —
+    the dedup_simhash_recall discipline applied to the ANN family.
+    A floor on the recall itself is pinned in
+    tests/test_scale_ops.py::TestIvfPqRecall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = similarity.ivfpq_search_topk(emb).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    exact = similarity.l2_topk(emb, k=3, n_queries=10).select("query_id", "cand_id")
+    joined = exact.join(approx, ["query_id", "cand_id"], "left")
+    n_exact = F.count(F.lit(1))
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            n_exact.cast("long").alias("n_exact"),
+            n_hit.cast("long").alias("n_hit"),
+            hround(n_hit / n_exact, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivfpq_recall_oracle(k: int = 3, n_queries: int = 10, dim: int = 64) -> str:
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (q.qv[i] - b.v[i]) * (q.qv[i] - b.v[i])), (x, y) -> x + y)"
+    )
+    approx = _ivfpq_oracle(k=k, n_queries=n_queries)
+    return f"""
+WITH exact AS (
+  WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+  d AS (
+    SELECT q.query_id, b.vec_id AS cand_id, {hround_sql(l2, 6)} AS d2
+    FROM base b JOIN q ON b.vec_id != q.query_id
+  )
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d2, cand_id) AS rn
+    FROM d) t
+  WHERE rn <= {k}
+),
+approx AS ({approx})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       {hround_sql(
+           "sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)", 6
+       )} AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+SIM_IVFPQ_RECALL_SQL = _ivfpq_recall_oracle()
+
+QUERIES["sim_ivfpq_recall"] = (sim_ivfpq_recall, SIM_IVFPQ_RECALL_SQL)
+
+
+def sim_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with a LEARNED coarse quantizer (operators/similarity.py::
+    ivfpq_kmeans_search_topk) — the round-6 answer to the recall audit:
+    the fixed pseudo-random grid co-locates true neighbors at chance
+    level on this data (measured coverage ≈ nprobe/n_clusters, recall@3
+    = 0), while full-corpus Lloyd centroids recover most of them at the
+    same nprobe. Same relational shape; the learned-centroid frame is a
+    tiny broadcast join where the grid was a literal expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_kmeans_search_topk(emb).orderBy("query_id", "rnk")
+
+
+def _kmeans_coarse_chain(prefix: str = "km") -> tuple[str, str, str]:
+    """Prefixed (CTE-chain, last-assign, last-centroids) for the
+    full-corpus Lloyd coarse quantizer, composable with _pq_chain
+    (whose injected base CTE must itself be named ``base``, so these
+    names can't collide). last-centroids = the table the FINAL
+    assignment was computed against — what the IVF index stores."""
+    kc = similarity.KMEANS_K
+    q = float(similarity.KMEANS_QUANT)
+    iters = similarity.KMEANS_ITERS
+    dim = 64
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (b.vq[i] / {q} - s.centroid[i]) * (b.vq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(dim=dim, q=q)
+
+    def assign(base: str, cents: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, vq, cluster FROM (
+    SELECT b.vec_id, b.vq, s.cluster,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {d2}, s.cluster) AS rn
+    FROM {base} b CROSS JOIN {cents} s)
+  WHERE rn = 1
+)"""
+
+    def update(assigned: str, prev: str, out: str) -> str:
+        return f"""
+{out}_sums AS (
+  SELECT cluster, u.i AS comp, sum(vq[u.i]) AS s, count(*) AS n
+  FROM {assigned}, unnest(generate_series(1, {dim})) AS u(i)
+  GROUP BY cluster, u.i
+),
+{out}_fresh AS (
+  SELECT cluster, list(s / (n * {q}) ORDER BY comp) AS centroid
+  FROM {out}_sums GROUP BY cluster
+),
+{out} AS (
+  SELECT p.cluster, coalesce(f.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN {out}_fresh f USING (cluster)
+)"""
+
+    chain, cents = [], f"{prefix}_seeds"
+    last_cents = cents
+    for i in range(iters):
+        last_cents = cents
+        chain.append(assign(f"{prefix}_base", cents, f"{prefix}_assign{i}"))
+        if i < iters - 1:
+            chain.append(update(f"{prefix}_assign{i}", cents, f"{prefix}_cent{i + 1}"))
+            cents = f"{prefix}_cent{i + 1}"
+    ctes = f"""{prefix}_base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {q} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+{prefix}_seeds AS (
+  SELECT vec_id AS cluster, list_transform(vq, x -> x / {q}) AS centroid
+  FROM {prefix}_base ORDER BY vec_id LIMIT {kc}
+),{",".join(chain)}"""
+    return ctes, f"{prefix}_assign{iters - 1}", last_cents
+
+
+def _ivfpq_kmeans_oracle(k: int = 3, n_queries: int = 10) -> str:
+    m = similarity.PQ_M
+    q = float(similarity.KMEANS_QUANT)
+    nprobe = similarity.IVF_NPROBE
+    refine = similarity.IVFPQ_REFINE
+    dim = 64
+    sub_d = dim // m
+    kch, ka, kc = _kmeans_coarse_chain("km")
+    base_section = f"""{kch},
+coarse AS (SELECT vec_id, vq, cluster FROM {ka}),
+resid AS (
+  SELECT c.vec_id, c.cluster,
+         list_transform(generate_series(1, {dim}),
+                        i -> c.vq[i] / {q} - s.centroid[i]) AS r
+  FROM coarse c JOIN {kc} s USING (cluster)
+),
+base AS (
+  SELECT vec_id, u.sub AS sub,
+         list_transform(generate_series(1, {sub_d}),
+             i -> CAST(floor(r[u.sub * {sub_d} + i] * {q} + 0.5) AS BIGINT)) AS svq
+  FROM resid, unnest(generate_series(0, {m - 1})) AS u(sub)
+)"""
+    chain, last_assign, cents = _pq_chain(base_section)
+    qd2 = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (b.vq[i] / {q} - s.centroid[i]) * (b.vq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(dim=dim, q=q)
+    pd2 = (
+        "list_reduce(list_transform(generate_series(1, {sd}),"
+        " i -> (qs.qv[i] - s.centroid[i]) * (qs.qv[i] - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(sd=sub_d)
+    return f"""
+WITH {chain},
+qprobes AS (
+  SELECT query_id, cluster, centroid FROM (
+    SELECT b.vec_id AS query_id, s.cluster, s.centroid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {qd2} ASC, s.cluster ASC) AS pr
+    FROM km_base b CROSS JOIN {kc} s WHERE b.vec_id < {n_queries}) t
+  WHERE pr <= {nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cluster AS pcluster,
+         list_transform(generate_series(1, {dim}),
+             i -> CAST(floor((b.vq[i] / {q} - p.centroid[i]) * {q} + 0.5)
+                       AS BIGINT)) AS rvq
+  FROM qprobes p JOIN km_base b ON b.vec_id = p.query_id
+),
+qsubs AS (
+  SELECT query_id, pcluster, u.sub AS sub,
+         list_transform(generate_series(1, {sub_d}),
+                        i -> rvq[u.sub * {sub_d} + i] / {q}) AS qv
+  FROM qres, unnest(generate_series(0, {m - 1})) AS u(sub)
+),
+dtab AS (
+  SELECT qs.query_id, qs.pcluster, qs.sub, s.cluster AS code, {pd2} AS pd2
+  FROM qsubs qs JOIN {cents} s ON s.sub = qs.sub
+),
+scored AS (
+  SELECT d.query_id, a.vec_id AS cand_id,
+         list_reduce(list(pd2 ORDER BY d.sub), (x, y) -> x + y) AS adc_d2
+  FROM {last_assign} a
+  JOIN coarse co ON co.vec_id = a.vec_id
+  JOIN dtab d ON d.pcluster = co.cluster AND d.sub = a.sub
+             AND d.code = a.cluster
+  WHERE a.vec_id != d.query_id
+  GROUP BY d.query_id, a.vec_id
+),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, cand_id) AS arnk
+    FROM scored) t
+  WHERE arnk <= {refine}
+),
+refined AS (
+  SELECT s.query_id, s.cand_id,
+         list_reduce(list_transform(generate_series(1, {dim}),
+             i -> (qb.vq[i] / {q} - cb.vq[i] / {q})
+                  * (qb.vq[i] / {q} - cb.vq[i] / {q})),
+           (x, y) -> x + y) AS d2
+  FROM short s
+  JOIN km_base qb ON qb.vec_id = s.query_id
+  JOIN km_base cb ON cb.vec_id = s.cand_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, cand_id,
+       {hround_sql("d2", 6)} AS d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY {hround_sql("d2", 6)}, cand_id) AS rnk
+  FROM refined) t
+WHERE rnk <= {k}
+ORDER BY query_id, rnk
+"""
+
+
+SIM_IVFPQ_KMEANS_TOPK_SQL = _ivfpq_kmeans_oracle()
+
+QUERIES["sim_ivfpq_kmeans_topk"] = (sim_ivfpq_kmeans_topk, SIM_IVFPQ_KMEANS_TOPK_SQL)
+
+
+def sim_ivfpq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LEARNED-quantizer IVF-PQ against exact
+    squared-L2 top-k — the standing pair to sim_ivfpq_recall that
+    proves the learned coarse quantizer actually buys search quality
+    (the recall floor itself is pinned cross-variant in
+    tests/test_scale_ops.py::TestIvfPqRecall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = similarity.ivfpq_kmeans_search_topk(emb).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    exact = similarity.l2_topk(emb, k=3, n_queries=10).select("query_id", "cand_id")
+    joined = exact.join(approx, ["query_id", "cand_id"], "left")
+    n_exact = F.count(F.lit(1))
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            n_exact.cast("long").alias("n_exact"),
+            n_hit.cast("long").alias("n_hit"),
+            hround(n_hit / n_exact, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivfpq_kmeans_recall_oracle(k: int = 3, n_queries: int = 10, dim: int = 64) -> str:
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (q.qv[i] - b.v[i]) * (q.qv[i] - b.v[i])), (x, y) -> x + y)"
+    )
+    approx = _ivfpq_kmeans_oracle(k=k, n_queries=n_queries)
+    return f"""
+WITH exact AS (
+  WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+  d AS (
+    SELECT q.query_id, b.vec_id AS cand_id, {hround_sql(l2, 6)} AS d2
+    FROM base b JOIN q ON b.vec_id != q.query_id
+  )
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d2, cand_id) AS rn
+    FROM d) t
+  WHERE rn <= {k}
+),
+approx AS ({approx})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       {hround_sql(
+           "sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)", 6
+       )} AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+SIM_IVFPQ_KMEANS_RECALL_SQL = _ivfpq_kmeans_recall_oracle()
+
+QUERIES["sim_ivfpq_kmeans_recall"] = (
+    sim_ivfpq_kmeans_recall,
+    SIM_IVFPQ_KMEANS_RECALL_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # BPE-style adjacent-pair counting — round 4 second pass
 
@@ -2956,12 +3408,19 @@ words AS (
   WHERE w <> '' GROUP BY w
 ),
 seg0 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS s, freq
+  SELECT ' ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w> ' AS s, freq
   FROM words
 )"""
     ]
     # loop-generated CTE chain driven by the SAME constant as the Spark
-    # operator (k-means oracle discipline — ADVICE r4)
+    # operator (k-means oracle discipline — ADVICE r4).  Double-space
+    # symbol delimiters with single-space ends: the literal replace
+    # consumes only its own boundary spaces, so adjacent repeated pair
+    # occurrences all merge in one pass — canonical Sennrich semantics,
+    # mirroring operators/text.py::bpe_train (ADVICE r5).  The LEFT
+    # JOIN guard keeps seg{i} populated when an iteration finds no pair
+    # (merge budget outlives the corpus), matching the Spark break
+    # instead of emptying every downstream CTE (ADVICE r5 item 4).
     for i in range(1, merges + 1):
         chain.append(
             f"""
@@ -2970,14 +3429,17 @@ pairs{i} AS (
     SELECT freq,
            list_transform(generate_series(1, len(a) - 1),
                           j -> a[j] || ' ' || a[j + 1]) AS ps
-    FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM seg{i - 1}) t{i}a
+    FROM (SELECT regexp_split_to_array(trim(s), ' +') AS a, freq
+          FROM seg{i - 1}) t{i}a
   ) t{i}b, unnest(ps) AS u(p) GROUP BY u.p
 ),
 m{i} AS (SELECT pair, n FROM pairs{i} ORDER BY n DESC, pair LIMIT 1),
 seg{i} AS (
-  SELECT replace(s, ' ' || m{i}.pair || ' ',
-                 ' ' || replace(m{i}.pair, ' ', '') || ' ') AS s, freq
-  FROM seg{i - 1} CROSS JOIN m{i}
+  SELECT CASE WHEN m{i}.pair IS NULL THEN s
+              ELSE replace(s, ' ' || replace(m{i}.pair, ' ', '  ') || ' ',
+                           ' ' || replace(m{i}.pair, ' ', '') || ' ') END AS s,
+         freq
+  FROM seg{i - 1} LEFT JOIN m{i} ON true
 )"""
         )
     selects = "\nUNION ALL\n".join(
@@ -3016,8 +3478,9 @@ docs_seg0 AS (
          length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS n_chars_seg,
          array_to_string(
            list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
-                          w -> ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w>'),
-           '') || ' ' AS s
+                          w -> ' ' || regexp_replace(w, '(.)', '\1  ', 'g')
+                               || '</w> '),
+           '') AS s
   FROM documents
 )"""
     ]
@@ -3026,16 +3489,18 @@ docs_seg0 AS (
             f"""
 docs_seg{i} AS (
   SELECT doc_id, n_chars_seg,
-         replace(s, ' ' || m{i}.pair || ' ',
-                 ' ' || replace(m{i}.pair, ' ', '') || ' ') AS s
-  FROM docs_seg{i - 1} CROSS JOIN m{i}
+         CASE WHEN m{i}.pair IS NULL THEN s
+              ELSE replace(s, ' ' || replace(m{i}.pair, ' ', '  ') || ' ',
+                           ' ' || replace(m{i}.pair, ' ', '') || ' ') END AS s
+  FROM docs_seg{i - 1} LEFT JOIN m{i} ON true
 )"""
         )
+    toks = "len(regexp_split_to_array(trim(s), ' +'))"
     return f"""WITH {train_ctes},{",".join(chain)}
 SELECT doc_id,
        CAST(n_chars_seg AS BIGINT) AS n_chars_seg,
-       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_bpe_tokens,
-       {hround_sql("n_chars_seg / len(string_split(trim(s), ' '))", 6)}
+       CAST({toks} AS BIGINT) AS n_bpe_tokens,
+       {hround_sql(f"n_chars_seg / {toks}", 6)}
          AS chars_per_token
 FROM docs_seg{merges}
 ORDER BY doc_id

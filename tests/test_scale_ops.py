@@ -582,6 +582,34 @@ class TestLshParameterization:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_banded_overflow_report_catches_collapse(self, spark):
+        """ADVICE r5: a duplication-heavy corpus can overflow EVERY
+        pigeonhole bucket, silently dropping ALL pairs while recall
+        audits on a small subset stay green. The overflow report is the
+        diagnostic: on the degenerate corpus it is non-empty exactly
+        when the pair generator went blind; on a healthy corpus it is
+        empty and the pairs are intact."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            simhash_banded_overflow,
+            simhash_banded_pairs,
+        )
+
+        # 40 byte-identical docs → one clique; cap of 10 excludes it
+        clique = [(i, "same text every time") for i in range(40)]
+        df = spark.createDataFrame(clique, ["doc_id", "text"])
+        pairs = simhash_banded_pairs(df, max_hamming=3, max_bucket_size=10)
+        report = simhash_banded_overflow(df, max_hamming=3, max_bucket_size=10)
+        assert pairs.count() == 0  # recall collapsed...
+        rep = report.collect()
+        assert len(rep) == 4  # ...and the report says so, per band
+        assert all(r["n_docs"] == 40 for r in rep)
+        # healthy corpus: report empty, pairs present
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).where("doc_id < 100")
+        assert simhash_banded_overflow(docs, max_hamming=3).count() == 0
+        assert simhash_banded_pairs(docs, max_hamming=3).count() > 0
+
     def test_simhash_band_widths_partition_bits(self):
         from pos_pipeline_core_etl_spark.operators.dedup import (
             simhash_band_widths,
@@ -664,6 +692,42 @@ class TestImageDhash:
         out = {r["doc_id"]: r for r in image_dhash(df).collect()}
         assert out[1]["decoder"] == "png"
         assert out[2]["decoder"] == "stub"
+        assert out[1]["dhash"] == dhash_png(png)[0]
+
+    def test_corrupt_png_yields_error_row(self):
+        """PNG magic + undecodable body (corrupt CRC / truncated) must
+        produce a deterministic decoder='error' row, never raise —
+        one bad image cannot fail the whole job (ADVICE r5)."""
+        import hashlib
+
+        from pos_pipeline_core_etl_spark.operators.multimodal import dhash_png
+
+        good = self._img(lambda x, y: x * 37 + y * 11)
+        bad_crc = bytearray(good)
+        bad_crc[-5] ^= 0xFF
+        truncated = good[: len(good) // 2]
+        for payload in (bytes(bad_crc), truncated):
+            h, dec = dhash_png(payload)
+            assert dec == "error"
+            assert h == int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+    def test_spark_map_survives_corrupt_png(self, spark):
+        """End-to-end: a corrupt PNG payload inside the batch becomes a
+        failure row, and the good rows around it are unaffected."""
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            dhash_png,
+            image_dhash,
+        )
+
+        png = self._img(lambda x, y: x * 37 + y * 11)
+        bad = bytearray(png)
+        bad[-5] ^= 0xFF
+        rows = [(1, bytearray(png)), (2, bad), (3, bytearray(b"plain text"))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in image_dhash(df).collect()}
+        assert out[1]["decoder"] == "png"
+        assert out[2]["decoder"] == "error"
+        assert out[3]["decoder"] == "stub"
         assert out[1]["dhash"] == dhash_png(png)[0]
 
 
@@ -1539,6 +1603,12 @@ class TestBpeTrain:
 
     @staticmethod
     def _python_bpe(texts, merges):
+        """Sennrich et al. 2016 reference: merge application is re.sub
+        with zero-width symbol boundaries — one greedy left-to-right
+        pass that DOES merge back-to-back occurrences of the pair
+        ('a a a a' → 'aa aa'), the canonical semantics the operator's
+        double-space literal replace mirrors (ADVICE r5)."""
+        import re
         from collections import Counter
 
         vocab = Counter()
@@ -1558,12 +1628,8 @@ class TestBpeTrain:
             pair = min(pairs, key=lambda p: (-pairs[p], p))
             merged = pair.replace(" ", "")
             out.append((rank, pair, merged, pairs[pair]))
-            vocab = Counter(
-                {
-                    (" " + seg + " ").replace(f" {pair} ", f" {merged} ").strip(): f
-                    for seg, f in vocab.items()
-                }
-            )
+            pat = re.compile(r"(?<!\S)" + re.escape(pair) + r"(?!\S)")
+            vocab = Counter({pat.sub(merged, seg): f for seg, f in vocab.items()})
         return out
 
     def test_matches_python_reference(self, spark):
@@ -1583,6 +1649,60 @@ class TestBpeTrain:
         ]
         want = self._python_bpe(texts, 5)
         assert got == want
+
+    def test_repeated_pair_merges_in_one_pass(self, spark):
+        """Back-to-back occurrences of the winning pair inside one word
+        must all merge in a single pass ('a a a a' → 'aa aa'), the
+        canonical Sennrich semantics — the single-space literal replace
+        could not do this because consecutive matches shared the
+        delimiter space (ADVICE r5)."""
+        from pos_pipeline_core_etl_spark.operators.text import bpe_train
+
+        texts = ["aaaa aaaa aaaa", "aa bb"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = [
+            (r["merge_rank"], r["pair"], r["merged"], r["n"])
+            for r in bpe_train(df, merges=4).orderBy("merge_rank").collect()
+        ]
+        want = self._python_bpe(texts, 4)
+        assert got == want
+        # merge 1 is (a,a); the later 'aa aa</w>' merge only exists if
+        # 'aaaa' collapsed to 'aa aa </w>' in ONE pass — the
+        # single-space replace would have produced 'aa a a </w>'
+        assert got[0][1] == "a a"
+        assert "aa aa</w>" in [g[1] for g in got]
+
+    def test_fast_trainer_identical_to_distributed(self, spark):
+        """bpe_train_fast (driver-side incremental pair-delta loop,
+        VERDICT r5 #4) must emit the identical merge table to the
+        distributed per-merge-job trainer."""
+        from pos_pipeline_core_etl_spark.operators.text import (
+            bpe_train,
+            bpe_train_fast,
+        )
+
+        texts = [
+            "low low low low lower lower",
+            "newest newest newest widest widest",
+            "aaaa aaaa low newest",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        slow = [tuple(r) for r in bpe_train(df, merges=8).orderBy("merge_rank").collect()]
+        fast = [
+            tuple(r) for r in bpe_train_fast(df, merges=8).orderBy("merge_rank").collect()
+        ]
+        assert fast == slow == [tuple(t) for t in self._python_bpe(texts, 8)]
+
+    def test_fast_trainer_vocab_guard(self, spark):
+        from pos_pipeline_core_etl_spark.operators.text import bpe_train_fast
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="max_vocab"):
+            bpe_train_fast(df, merges=1, max_vocab=2)
 
     def test_apply_with_known_merges(self, spark):
         """bpe_apply with an explicit merge table: 'low' under merges
@@ -1973,3 +2093,73 @@ class TestKmeansDeterminism:
         )
         b = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(shuffled).collect()}
         assert a == b
+
+
+class TestIvfPqRecall:
+    """Search-QUALITY floor for the ANN family (VERDICT r5 #2): the
+    sim_ivfpq_recall audit measured recall@3 = 0 for the fixed-grid
+    IVF-PQ on this data (chance-level list locality + ADC noise); the
+    learned-quantizer + exact-refine variant is the fix. These pins
+    keep the quality claim honest every round."""
+
+    @staticmethod
+    def _mean_recall(spark, df):
+        rows = df.collect()
+        return sum(r["n_hit"] for r in rows) / sum(r["n_exact"] for r in rows)
+
+    def test_kmeans_variant_beats_grid(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            sim_ivfpq_kmeans_recall,
+            sim_ivfpq_recall,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        grid = self._mean_recall(spark, sim_ivfpq_recall(spark, sf))
+        learned = self._mean_recall(spark, sim_ivfpq_kmeans_recall(spark, sf))
+        # measured this round: grid 0.0, learned 0.83 — require a real
+        # gap, not a tie, and an absolute floor for the learned path
+        assert learned >= grid + 0.3
+        assert learned >= 0.6
+
+    def test_kmeans_ivfpq_no_quadratic_join(self, spark):
+        """The learned-quantizer path must stay relational: no
+        cartesian corpus×corpus leg, no driver collect — the centroid
+        and ADC tables are broadcast, candidates confined to probed
+        lists."""
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            ivfpq_kmeans_search_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            ivfpq_kmeans_search_topk(emb)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_refine_returns_exact_distances(self, spark):
+        """The refine stage ranks by EXACT distance, so every returned
+        (query, cand) distance must equal the brute-force value for
+        that pair — quantization error never leaks into the output."""
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            ivfpq_kmeans_search_topk,
+            l2_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = {
+            (r["query_id"], r["cand_id"]): r["d2"]
+            for r in ivfpq_kmeans_search_topk(emb).collect()
+        }
+        exact = {
+            (r["query_id"], r["cand_id"]): r["d2"]
+            for r in l2_topk(emb, k=200, n_queries=10).collect()
+        }
+        assert got  # non-empty result
+        for pair, d2 in got.items():
+            assert pair in exact
+            # l2_topk uses raw doubles, the index uses vq/Q rationals —
+            # identical to quantization precision (1/2^20 per comp)
+            assert abs(exact[pair] - d2) < 1e-4

@@ -33,6 +33,10 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 queries = mod.queries()
 oracles = mod.oracle_sql()
+only = __import__("os").environ.get("VERIFY_ONLY", "")
+if only:
+    names = [s.strip() for s in only.split(",") if s.strip()]
+    queries = {k: v for k, v in queries.items() if k in names}
 fails = []
 for name, fn in queries.items():
     try:
