@@ -657,11 +657,34 @@ def incremental_batch_decisions(
     """
     docs = _ensure_parallelism(docs)
     is_batch = (F.col("doc_id") % batch_mod) == batch_rem
-    batch = docs.where(is_batch)
-    corpus = docs.where(~is_batch)
+    return incremental_decisions(
+        docs.where(~is_batch),
+        docs.where(is_batch),
+        text_col,
+        bands=bands,
+        rows=rows,
+        max_bucket_size=max_bucket_size,
+    )
 
+
+def incremental_decisions(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """The engine of :func:`incremental_batch_decisions` with the
+    corpus/batch split EXPLICIT, so compositions can feed any slice —
+    e.g. the snapshot-diff flow (round 6): diff a new corpus version
+    against the previous one and dedup ONLY the added/changed docs
+    against the unchanged remainder. Same staging and output contract
+    (dup_exact / dup_near / new + corpus canonical)."""
     from pos_pipeline_core_etl_spark.operators.text import fingerprint
 
+    corpus = _ensure_parallelism(corpus)
+    batch = _ensure_parallelism(batch)
     bfp = fingerprint(batch, text_col).select("doc_id", "fp")
     c_canon = (
         fingerprint(corpus, text_col)

@@ -1310,6 +1310,146 @@ ORDER BY doc_a, doc_b
 MULTIMODAL_DHASH_PAIRS_SQL = _dhash_pairs_oracle()
 
 
+def multimodal_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup decision table (VERDICT r5 #5): every payload in
+    the corpus (plus the injected duplicate slice, same convention as
+    multimodal_dhash_pairs) labeled kept / dropped_near with its
+    canonical id — perceptual-hash near-pairs → connected components →
+    one decision projection, completing the decision-table family
+    (lexical / semantic / full-recipe / image). canonical_id is the
+    component min, which is transitively kept by construction (the min
+    labels its own component), the dedup_decisions contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.where(F.col("doc_id") < DHASH_DUP_SLICE).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(DHASH_DUP_OFFSET)
+    )
+    corpus = docs.unionByName(dup)
+    sigs = multimodal.image_dhash(
+        multimodal.documents_as_binary(corpus)
+    ).select("doc_id", "dhash")
+    pairs = dedup.banded_hamming_pairs(sigs, "dhash", max_hamming=3, bits=64)
+    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    out = corpus.select("doc_id").join(comps, "doc_id", "left")
+    decision = F.when(
+        F.col("component_id").isNotNull()
+        & (F.col("component_id") != F.col("doc_id")),
+        F.lit("dropped_near"),
+    ).otherwise(F.lit("kept"))
+    return out.select(
+        "doc_id",
+        decision.alias("decision"),
+        F.coalesce("component_id", "doc_id").cast("long").alias("canonical_id"),
+    ).orderBy("doc_id")
+
+
+def _multimodal_decisions_oracle(max_hamming: int = 3) -> str:
+    cap = dedup.LSH_MAX_BUCKET
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, (dhash >> {s}) & {(1 << w) - 1}"
+        f" AS val FROM sig"
+        for b, (s, w) in enumerate(dedup.simhash_band_widths(64, max_hamming))
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DHASH_DUP_OFFSET}, text FROM documents
+  WHERE doc_id < {DHASH_DUP_SLICE}
+),
+sig AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS dhash
+  FROM corpus
+),
+bands AS (
+  {band_union}
+),
+ok AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING count(*) BETWEEN 2 AND {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN ok ON ok.band = a.band AND ok.val = a.val
+  JOIN bands b ON b.band = a.band AND b.val = a.val AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE bit_count(xor(sa.dhash, sb.dhash)) <= {max_hamming}
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+SELECT c.doc_id,
+       CASE WHEN k.component_id IS NOT NULL AND k.component_id != c.doc_id
+              THEN 'dropped_near' ELSE 'kept' END AS decision,
+       CAST(COALESCE(k.component_id, c.doc_id) AS BIGINT) AS canonical_id
+FROM corpus c LEFT JOIN comps k ON k.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+MULTIMODAL_DEDUP_DECISIONS_SQL = _multimodal_decisions_oracle()
+
+
+def multimodal_decode_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decoder coverage for the perceptual-hash pipeline
+    (VERDICT r5 #8): how much of each source is REALLY perceptually
+    hashed (decoder='png'), deterministically stubbed (non-image
+    payloads), or failed decode (corrupt image bytes → 'error' rows,
+    ADVICE r5). A user reading multimodal_dhash_pairs needs this
+    denominator — near-dup recall over md5 stubs is only exact-dup
+    recall, and this report is where that shows. One conditional agg
+    over the dhash output.
+
+    Oracle note (same invariant as multimodal_features): this fixture's
+    payloads are UTF-8 text, which can never start with the PNG magic
+    byte 0x89, so coverage here is structurally 100% stub; the
+    png/error branches are pinned on genuine and corrupt PNG bytes in
+    tests/test_scale_ops.py (TestImageDhash, TestDecodeCoverage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = multimodal.image_dhash(multimodal.documents_as_binary(docs)).select(
+        "doc_id", "decoder"
+    )
+    joined = hashed.join(docs.select("doc_id", "source"), "doc_id")
+    n = F.count(F.lit(1))
+    n_png = F.sum((F.col("decoder") == "png").cast("long"))
+    return (
+        joined.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            n_png.alias("n_png"),
+            F.sum((F.col("decoder") == "stub").cast("long")).alias("n_stub"),
+            F.sum((F.col("decoder") == "error").cast("long")).alias("n_error"),
+            hround(n_png / n, 6).alias("pct_real"),
+        )
+        .orderBy("source")
+    )
+
+
+MULTIMODAL_DECODE_COVERAGE_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_png,
+       CAST(count(*) AS BIGINT) AS n_stub,
+       CAST(0 AS BIGINT) AS n_error,
+       0.0 AS pct_real
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (1 row → N frame rows via
     mapInPandas); frames are hashed for the compare — text is ASCII by
@@ -1407,6 +1547,14 @@ QUERIES: dict[str, tuple] = {
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     "multimodal_dhash": (multimodal_dhash, MULTIMODAL_DHASH_SQL),
     "multimodal_dhash_pairs": (multimodal_dhash_pairs, MULTIMODAL_DHASH_PAIRS_SQL),
+    "multimodal_dedup_decisions": (
+        multimodal_dedup_decisions,
+        MULTIMODAL_DEDUP_DECISIONS_SQL,
+    ),
+    "multimodal_decode_coverage": (
+        multimodal_decode_coverage,
+        MULTIMODAL_DECODE_COVERAGE_SQL,
+    ),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }
@@ -1836,6 +1984,149 @@ ORDER BY doc_id
 """
 
 QUERIES["corpus_snapshot_diff"] = (corpus_snapshot_diff, CORPUS_SNAPSHOT_DIFF_SQL)
+
+
+def dedup_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff-driven incremental dedup (VERDICT r5 #6): on a new
+    corpus version, re-dedup ONLY the docs the version diff says are
+    added or changed, against the unchanged remainder — the composition
+    of corpus_snapshot_diff (which slice moved) and the
+    incremental-batch staging (exact fingerprint join first, one-sided
+    LSH for the misses; operators/dedup.py::incremental_decisions).
+    A full re-dedup per version is quadratic over the corpus's life;
+    this touches diff-sized data per version (the unchanged side's
+    fingerprint/bucket recompute stands in for the precomputed index a
+    deployment keeps). Output: one row per added/changed doc with its
+    version status, decision and corpus canonical."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_text = F.when(
+        F.col("doc_id") % 17 == 3, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id", new_text.alias("text")
+    )
+    old = docs.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("old_fp")
+    )
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(
+            F.col("old_fp") != F.md5(F.encode(F.col("text"), "UTF-8")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    # feeds the corpus leg, the batch leg and the status join — one scan
+    marked = (
+        new.join(old, "doc_id", "left")
+        .select("doc_id", "text", status.alias("status"))
+        .localCheckpoint(eager=False)
+    )
+    batch = marked.where(F.col("status") != "unchanged")
+    corpus = marked.where(F.col("status") == "unchanged").select("doc_id", "text")
+    dec = dedup.incremental_decisions(corpus, batch.select("doc_id", "text"))
+    return (
+        dec.join(batch.select("doc_id", "status"), "doc_id")
+        .select("doc_id", "status", "decision", "dup_of")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_diff_oracle() -> str:
+    sh = dedup.shingles_sql("text")
+    xid = dedup.SHINGLE_ID_SQL.format(s="u.s")
+    sig_cells = ",\n  ".join(
+        f"MIN(({a} * x + {b}) % {dedup.HASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup._hash_params())
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh_{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({key}) AS bucket_key FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return rf"""
+WITH newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 3 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 5
+),
+old AS (
+  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 10 != 7
+),
+marked AS (
+  SELECT n.doc_id, n.text,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN o.old_fp != md5(n.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM newdocs n LEFT JOIN old o USING (doc_id)
+),
+fp AS (
+  SELECT doc_id, status,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM marked
+),
+c_canon AS (
+  SELECT fp, MIN(doc_id) AS exact_dup_of
+  FROM fp WHERE status = 'unchanged' GROUP BY fp
+),
+exact AS (
+  SELECT f.doc_id, c.exact_dup_of
+  FROM fp f LEFT JOIN c_canon c USING (fp)
+  WHERE f.status != 'unchanged'
+),
+sh AS (SELECT doc_id, status, {sh} AS s FROM marked),
+x AS (
+  SELECT sh.doc_id, sh.status, {xid} AS x
+  FROM sh, LATERAL (SELECT unnest(sh.s) AS s) u
+),
+sig AS (
+  SELECT doc_id, any_value(status) AS status,
+  {sig_cells}
+  FROM x GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+ok AS (
+  SELECT band, bucket_key FROM bands b
+  JOIN sig g USING (doc_id)
+  WHERE g.status = 'unchanged'
+  GROUP BY band, bucket_key
+  HAVING COUNT(*) <= {dedup.LSH_MAX_BUCKET}
+),
+near AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS near_dup_of
+  FROM bands b
+  JOIN sig gb ON gb.doc_id = b.doc_id AND gb.status != 'unchanged'
+  JOIN bands c ON b.band = c.band AND b.bucket_key = c.bucket_key
+  JOIN sig gc ON gc.doc_id = c.doc_id AND gc.status = 'unchanged'
+  JOIN ok ON ok.band = c.band AND ok.bucket_key = c.bucket_key
+  WHERE b.doc_id IN (SELECT doc_id FROM exact WHERE exact_dup_of IS NULL)
+  GROUP BY b.doc_id
+)
+SELECT e.doc_id, m.status,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'dup_exact'
+            WHEN n.near_dup_of IS NOT NULL THEN 'dup_near'
+            ELSE 'new' END AS decision,
+       CAST(COALESCE(e.exact_dup_of, n.near_dup_of) AS BIGINT) AS dup_of
+FROM exact e
+JOIN marked m USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+ORDER BY e.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_DIFF_SQL = _incremental_diff_oracle()
+
+QUERIES["dedup_incremental_diff"] = (
+    dedup_incremental_diff,
+    DEDUP_INCREMENTAL_DIFF_SQL,
+)
 
 
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3453,6 +3744,25 @@ seg{i} AS (
 TEXT_BPE_TRAIN_SQL = _bpe_train_oracle()
 
 QUERIES["text_bpe_train"] = (text_bpe_train, TEXT_BPE_TRAIN_SQL)
+
+
+def text_bpe_train_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 32K-merge-scale BPE trainer (operators/text.py::
+    bpe_train_fast, VERDICT r5 #4): ONE corpus-sized Spark agg
+    collapses the corpus to the bounded (word, freq) vocabulary, then
+    the merge loop runs driver-side with incremental pair-delta
+    statistics (only words containing the merged pair are re-counted —
+    subword-nmt's optimization), instead of one vocabulary-sized Spark
+    job per merge. Contract-identical to text_bpe_train, so it shares
+    that oracle; the per-merge cost model is measured in
+    PERFORMANCE.md (256 merges in seconds where the job-per-merge loop
+    pays ~0.5 s scheduler floor each)."""
+    return text.bpe_train_fast(load_table(spark, sf_dir, "documents")).orderBy(
+        "merge_rank"
+    )
+
+
+QUERIES["text_bpe_train_fast"] = (text_bpe_train_fast, TEXT_BPE_TRAIN_SQL)
 
 
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,19 +12,19 @@ oldest driver rows.  History: r1 covered the first 50 of 82; r2 the other
 round-3 queries; r4 front-loaded the 24 never-checked round-4 names and
 the value-affecting r4 fixes.
 
-Round-5 window (this file): after r4, 75 names' newest driver row
-predates round-4 code (VERDICT r4 #2 — replica-green on current code,
-but the artifact of record is stale).  Tier 0 = the 16 NEW round-5
-queries (banded SimHash, percentile-approx quality rank, BPE
-trainer/applier, PQ codes + ADC + IVF-PQ + PQ SSE, winnowing ×2,
-dedup report, length histogram, banded-recall audit) — never driver-checked, so they
-outrank everything.  Tier 1 = the 5 round-5 VALUE/oracle changes
-(content-anchored + 60-bit substring dedup twins, weighted-sample
-rounding fix, loop-generated k-means oracles).  Tier 2 = the 36 names
-whose newest row is from ROUND 2 — the oldest record; 16 + 5 + 36 =
-57, so the LAST 7 of them spill past the 50-slot window and lead
-round 6 together with the tier-3 r3-latest names that follow in
-order.
+Round-6 window (this file): r5 went 50/50 green, so the record now
+reads r5×50, r4×45, r3×39, r2×7 across the 141 round-5 names.  Tier 0
+= the NEW round-6 queries (staged SimHash dedup, banding-overflow
+report, learned-quantizer IVF-PQ + its recall audits, grid-IVF-PQ
+recall audit, fast BPE trainer, image dedup decisions, decoder
+coverage, snapshot-diff incremental dedup) — never driver-checked.
+Tier 1 = the round-6 VALUE changes: text_bpe_train / text_bpe_apply
+moved to canonical double-space merge semantics AFTER their r5 row
+was recorded (ADVICE r5 item 2).  Tier 2 = the 7 names whose newest
+row is still from ROUND 2 (the oldest record, VERDICT r5 #1).  Tier 3
+= the 39 r3-latest names; whatever spills past slot 50 leads round 7,
+after which every name's newest driver row is from round-4 code or
+later.
 """
 
 from __future__ import annotations
@@ -35,61 +35,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-5 window: see module docstring for the tier rationale.
+# Round-6 window: see module docstring for the tier rationale.
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0: new round-5 queries (never driver-checked) --------------
-    "dedup_simhash_banded",       # pigeonhole-banded SimHash near-pairs
-    "docs_quality_pct_approx",    # percentile_approx twin + tolerance contract
-    "text_bpe_train",             # BPE merge-loop trainer (Sennrich 2016)
-    "text_bpe_apply",             # tokenize the corpus with the merge table
-    "emb_pq_codes",               # product-quantization codes (Jégou 2011)
-    "sim_pq_adc_topk",            # asymmetric-distance top-k over PQ codes
-    "text_winnow_fingerprints",   # MOSS winnowing selection (Schleimer 2003)
-    "dedup_winnow_pairs",         # shared-fingerprint near-dup pairs
-    "corpus_dedup_report",        # per-source decision counts + keep rate
-    "corpus_length_histogram",    # power-of-two token-length histogram
-    "emb_pq_sse",                 # per-subspace PQ reconstruction SSE
-    "sim_ivfpq_topk",             # full IVF-PQ: lists + residual PQ + ADC
-    "dedup_simhash_recall",       # banded-vs-exact recall audit (standing proof)
-    "multimodal_dhash",           # perceptual image hash (real PNG / stub dual)
-    "multimodal_dhash_pairs",     # duplicate-image pairs via banded Hamming
-    "corpus_snapshot_diff",       # version-to-version changelog (full outer diff)
-    # -- tier 1: round-5 value/oracle changes (r4 rows now stale) --------
-    "text_substring_dedup",       # content-defined anchors + 60-bit wid
-    "text_dedup_spans",           # same anchor/wid change (destructive twin)
-    "docs_weighted_sample",       # unrounded rank + 32-bit u (ADVICE r4)
-    "emb_kmeans_lloyd",           # oracle now loop-generated from KMEANS_ITERS
-    "emb_kmeans_sse",
-    # -- tier 2: the 36 names whose newest driver row is from round 2 ----
-    "scan_filter_project",
-    "agg_pricing_summary",
-    "silver_clean_payments",
-    "fact_payments_ticket",
-    "fact_sales_item_line",
-    "fact_transfers_line",
-    "sales_by_group_mart",
-    "transfers_cube_mart",
-    "text_quality",
-    "text_token_counts",
-    "events_tumbling_counts",
-    "events_sessionization",
-    "events_dedup",
-    "sql_interface_revenue",
-    "order_times_summary",
-    "order_times_approx",
-    "drop_null_rows",
-    "sorted_distinct_dates",
-    "bounded_sample",
-    "branch_substring_filter",
-    "events_cardinality_sketch",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_vocabulary",
-    "text_tfidf_topk",
-    "text_decontaminate",
-    "text_pii_scan",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
+    # -- tier 0: new round-6 queries (never driver-checked) --------------
+    "dedup_simhash_staged",       # exact-first + banded SimHash over survivors (r5 #3)
+    "dedup_simhash_overflow",     # banded-bucket overflow report (ADVICE r5)
+    "sim_ivfpq_kmeans_topk",      # learned coarse quantizer + exact refine
+    "sim_ivfpq_kmeans_recall",    # standing recall audit for the learned index
+    "sim_ivfpq_recall",           # recall audit pinning the grid-IVF-PQ baseline
+    "text_bpe_train_fast",        # driver-side incremental pair-delta trainer (r5 #4)
+    "multimodal_dedup_decisions", # image decision table via dHash components (r5 #5)
+    "multimodal_decode_coverage", # png/stub/error denominator per source (r5 #8)
+    "dedup_incremental_diff",     # snapshot-diff-driven incremental dedup (r5 #6)
+    # -- tier 1: round-6 value changes (r5 rows recorded on the old
+    #    single-space merge semantics) ----------------------------------
+    "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)
+    "text_bpe_apply",             # same merge-semantics change
+    # -- tier 2: the 7 names whose newest driver row is from round 2 -----
     "text_unigram_logprob",
     "dedup_simhash",
     "multimodal_features",
@@ -97,8 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_resize",
     "deposit_cash_flow",
     "forecast_loglinear",
-    # -- tier 3: r3-latest names (outside the round-5 window; these and
-    #    the tier-2 spill lead round 6) -----------------------------------
+    # -- tier 3: the 39 r3-latest names; the tail past slot 50 leads r7 --
     "fn_clean_strings",
     "fn_to_float_locale",
     "fn_to_float_expr",
@@ -138,8 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     "value_mode",
     "stratified_sample",
     "text_chunk_windows",
-    # Everything after this point has a round-4 driver-green row on
-    # unchanged code and is re-verified replica-green this round.
+    # Everything after this point has a round-4-or-5 driver-green row on
+    # unchanged code and is re-verified replica-green each round.
 )
 
 

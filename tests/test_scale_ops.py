@@ -2163,3 +2163,113 @@ class TestIvfPqRecall:
             # l2_topk uses raw doubles, the index uses vq/Q rationals —
             # identical to quantization precision (1/2^20 per comp)
             assert abs(exact[pair] - d2) < 1e-4
+
+
+class TestIncrementalDiffDedup:
+    """Snapshot-diff-driven incremental dedup (plans/llm_ops.py::
+    dedup_incremental_diff): the diff slice is exact, the composition
+    equals hand-wiring the same stages, and the plan never builds a
+    corpus-sized candidate leg."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _snapshot(self, spark):
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        new_text = F.when(
+            F.col("doc_id") % 17 == 3, F.upper(F.col("text"))
+        ).otherwise(F.col("text"))
+        new = docs.where(F.col("doc_id") % 13 != 5).select(
+            "doc_id", new_text.alias("text")
+        )
+        old = docs.where(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+        return old, new
+
+    def test_diff_slice_is_exact(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import dedup_incremental_diff
+
+        old, new = self._snapshot(spark)
+        old_map = {r["doc_id"]: r["text"] for r in old.collect()}
+        want = {}
+        for r in new.collect():
+            if r["doc_id"] not in old_map:
+                want[r["doc_id"]] = "added"
+            elif old_map[r["doc_id"]] != r["text"]:
+                want[r["doc_id"]] = "changed"
+        got = {
+            r["doc_id"]: r["status"]
+            for r in dedup_incremental_diff(spark, self.SF).collect()
+        }
+        assert got == want
+        assert "added" in got.values() and "changed" in got.values()
+
+    def test_composition_equals_hand_wiring(self, spark):
+        """The composed query must decide exactly what
+        incremental_decisions(unchanged, diff) decides when the slices
+        are built independently."""
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            incremental_decisions,
+        )
+        from pos_pipeline_core_etl_spark.plans.llm_ops import dedup_incremental_diff
+
+        old, new = self._snapshot(spark)
+        old_map = {r["doc_id"]: r["text"] for r in old.collect()}
+        rows = new.collect()
+        diff_rows = [
+            (r["doc_id"], r["text"])
+            for r in rows
+            if r["doc_id"] not in old_map or old_map[r["doc_id"]] != r["text"]
+        ]
+        same_rows = [
+            (r["doc_id"], r["text"])
+            for r in rows
+            if r["doc_id"] in old_map and old_map[r["doc_id"]] == r["text"]
+        ]
+        corpus = spark.createDataFrame(same_rows, ["doc_id", "text"])
+        batch = spark.createDataFrame(diff_rows, ["doc_id", "text"])
+        want = {
+            r["doc_id"]: (r["decision"], r["dup_of"])
+            for r in incremental_decisions(corpus, batch).collect()
+        }
+        got = {
+            r["doc_id"]: (r["decision"], r["dup_of"])
+            for r in dedup_incremental_diff(spark, self.SF).collect()
+        }
+        assert got == want
+
+    def test_no_corpus_sized_candidate_leg(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import dedup_incremental_diff
+
+        plan = (
+            dedup_incremental_diff(spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDecodeCoverage:
+    def test_mixed_payload_coverage_counts(self, spark):
+        """The coverage report's png/stub/error branches on a corpus
+        with real, corrupt and non-image payloads — the denominator a
+        user needs before trusting perceptual near-dup results."""
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            encode_png,
+            image_dhash,
+        )
+
+        px = bytes(bytearray(range(16)) * 3)  # 4x4 gray-ish RGB
+        png = encode_png(4, 4, 3, px)
+        bad = bytearray(png)
+        bad[-5] ^= 0xFF
+        rows = [
+            (1, bytearray(png)),
+            (2, bytes(bad)),
+            (3, b"plain text"),
+            (4, b"more text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = image_dhash(df).groupBy("decoder").count().collect()
+        got = {r["decoder"]: r["count"] for r in out}
+        assert got == {"png": 1, "error": 1, "stub": 2}
