@@ -148,6 +148,140 @@ def kalman_forecast(a_pred: np.ndarray, T: np.ndarray, steps: int) -> np.ndarray
     return out
 
 
+def diff_polynomial(d: int, D: int, m: int) -> np.ndarray:
+    """Coefficients ``c`` of the differencing recursion
+    ``y_t = sum_i c_i y_{t-i} + w_t`` where ``w = Δ^d Δ_m^D y``.
+
+    Expands ``(1-L)^d (1-L^m)^D = 1 - sum_i c_i L^i``; ``len(c)`` is the
+    number of integration states ``d + m*D``.
+    """
+    poly = np.array([1.0])
+    for _ in range(d):
+        poly = np.convolve(poly, [1.0, -1.0])
+    seas = np.zeros(m + 1)
+    seas[0], seas[m] = 1.0, -1.0
+    for _ in range(D):
+        poly = np.convolve(poly, seas)
+    return -poly[1:]
+
+
+def augmented_matrices(
+    phi_full: np.ndarray,
+    theta_full: np.ndarray,
+    d: int,
+    D: int,
+    m: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """State-carried differencing: (Z, T, R) for the UNdifferenced series.
+
+    The SARIMAX ``simple_differencing=False`` representation (statsmodels
+    sarimax; Durbin & Koopman §3.2): augment the Harvey ARMA state
+    ``u_t`` (``w_t = u_t[0]``) with ``K = d + m*D`` lag states
+    ``l_{i,t} = y_{t-i}`` so the filter sees the raw series:
+
+    - ``y_t = Z alpha_t`` with ``Z = [c_1..c_K, 1, 0..]``
+      (``y_t = sum c_i y_{t-i} + w_t``),
+    - ``l_{1,t+1} = y_t`` → first transition row is ``Z`` itself;
+      remaining lag rows shift; the ARMA block keeps ``(T_arma, R_arma)``,
+    - innovations enter only the ARMA block (``R = [0..0, R_arma]``).
+
+    With ``d = D = 0`` this reduces exactly to
+    :func:`harvey_matrices` with design ``e_1``.
+    """
+    c = diff_polynomial(d, D, m)
+    K = len(c)
+    Ta, Ra = harvey_matrices(phi_full, theta_full)
+    r = Ta.shape[0]
+    n = K + r
+    Z = np.zeros(n)
+    Z[:K] = c
+    Z[K] = 1.0
+    T = np.zeros((n, n))
+    if K:
+        T[0, :] = Z
+        for i in range(1, K):
+            T[i, i - 1] = 1.0
+    T[K:, K:] = Ta
+    R = np.zeros(n)
+    R[K:] = Ra
+    return Z, T, R
+
+
+def kalman_loglike_design(
+    y: np.ndarray,
+    Z: np.ndarray,
+    T: np.ndarray,
+    R: np.ndarray,
+    kappa: float = KAPPA,
+    burn: int = 0,
+    return_obs: bool = False,
+):
+    """Concentrated log-likelihood for a general design row ``Z``.
+
+    Same prediction-error decomposition as :func:`kalman_loglike` (which
+    is the ``Z = e_1`` special case) for ``y_t = Z alpha_t``,
+    ``alpha_{t+1} = T alpha_t + R eps_{t+1}``, approximate-diffuse
+    ``alpha_1 ~ N(0, sigma2 * kappa * I)``, innovation scale
+    concentrated out.  Returns ``(llf, sigma2_hat, a_pred, T)``; with
+    ``return_obs=True`` appends the per-observation ``(v, F)`` arrays
+    (unit-scale) so callers can reconstruct ``loglikeobs`` for any
+    sigma2 — the statsmodels-parity surface.
+    """
+    Z = np.asarray(Z, dtype=float)
+    r = T.shape[0]
+    RR = np.outer(R, R)
+    a = np.zeros(r)
+    P = kappa * np.eye(r)
+    n = len(y)
+    n_eff = n - burn
+    v_arr = np.empty(n)
+    F_arr = np.empty(n)
+    if n_eff <= 0:
+        return -np.inf, np.nan, a, T
+    sum_logF = 0.0
+    sum_v2F = 0.0
+    for t in range(n):
+        PZ = P @ Z
+        Fv = float(Z @ PZ)
+        if not np.isfinite(Fv) or Fv <= 0.0:
+            return (
+                (-np.inf, np.nan, a, T, v_arr, F_arr)
+                if return_obs
+                else (-np.inf, np.nan, a, T)
+            )
+        v = y[t] - float(Z @ a)
+        v_arr[t] = v
+        F_arr[t] = Fv
+        if t >= burn:
+            sum_logF += np.log(Fv)
+            sum_v2F += v * v / Fv
+        K = T @ PZ / Fv
+        a = T @ a + K * v
+        TP = T @ P
+        P = TP @ T.T + RR - np.outer(K, K) * Fv
+        P = 0.5 * (P + P.T)
+    sigma2 = max(sum_v2F / n_eff, 1e-300)
+    llf = -0.5 * n_eff * (np.log(2.0 * np.pi) + 1.0 + np.log(sigma2)) - 0.5 * sum_logF
+    if return_obs:
+        return float(llf), float(sigma2), a, T, v_arr, F_arr
+    return float(llf), float(sigma2), a, T
+
+
+def kalman_forecast_design(
+    a_pred: np.ndarray, Z: np.ndarray, T: np.ndarray, steps: int
+) -> np.ndarray:
+    """Point forecasts under a general design row: ``Z T^{h} a_pred``.
+
+    For the augmented differencing state this yields forecasts of the
+    RAW series directly — no driver-side differencing inversion."""
+    out = np.empty(steps)
+    a = a_pred
+    for h in range(steps):
+        out[h] = float(Z @ a)
+        a = T @ a
+    return out
+
+
 def direct_mvn_loglike(
     w: np.ndarray,
     phi_full: np.ndarray,
@@ -186,6 +320,43 @@ def direct_mvn_loglike(
         return -np.inf
     sol = np.linalg.solve(cov, w)
     return float(-0.5 * (n * np.log(2.0 * np.pi) + logdet + w @ sol))
+
+
+def direct_mvn_loglike_design(
+    y: np.ndarray,
+    Z: np.ndarray,
+    T: np.ndarray,
+    R: np.ndarray,
+    sigma2: float,
+    kappa: float = KAPPA,
+) -> float:
+    """Dense-MVN oracle for :func:`kalman_loglike_design` (general Z).
+
+    Same construction as :func:`direct_mvn_loglike` with the design row
+    generalized: ``y_t = Z alpha_t``, ``alpha_1 ~ N(0, sigma2*kappa*I)``,
+    ``alpha_{t+1} = T alpha_t + R eps_{t+1}``.  O(n^2 r); short series
+    only.
+    """
+    Z = np.asarray(Z, dtype=float)
+    r = T.shape[0]
+    n = len(y)
+    rows = []
+    powT = np.eye(r)
+    for _t in range(n):
+        rows.append(Z @ powT)
+        powT = T @ powT
+    A = np.zeros((n, r))
+    B = np.zeros((n, n))
+    for t in range(n):
+        A[t] = rows[t]
+        for s in range(1, t + 1):
+            B[t, s] = rows[t - s] @ R
+    cov = sigma2 * (kappa * (A @ A.T) + B @ B.T)
+    sign, logdet = np.linalg.slogdet(cov)
+    if sign <= 0:
+        return -np.inf
+    sol = np.linalg.solve(cov, y)
+    return float(-0.5 * (n * np.log(2.0 * np.pi) + logdet + y @ sol))
 
 
 def nelder_mead(

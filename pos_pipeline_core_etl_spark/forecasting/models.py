@@ -364,6 +364,88 @@ class _KalmanExactMLEFit:
         return pd.Series(fut, index=idx)
 
 
+class _KalmanStateDiffFit:
+    """Exact SARIMA MLE with differencing carried IN THE STATE.
+
+    The ``SARIMAX(simple_differencing=False)`` representation —
+    statsmodels' DEFAULT, hence the reference's effective configuration
+    (``/root/reference/src/pos_core/forecasting/models/arima.py:118-141``
+    passes no ``simple_differencing``): instead of differencing the data
+    and fitting the ARMA component (:class:`_KalmanExactMLEFit`), the
+    filter runs on the RAW series with ``d + m*D`` integration states
+    augmenting the ARMA block (:func:`kalman.augmented_matrices`).  The
+    two representations imply the same Gaussian law for the
+    differenced tail; they differ only in how the first ``d + m*D``
+    observations enter the likelihood — the one structural delta
+    VERDICT r5 #7 asked to close.  Forecasts come straight off the
+    augmented state (``Z T^h a_pred``), no inversion chain.
+
+    Burn convention: the whole augmented state is approximate-diffuse,
+    so ``loglikelihood_burn`` = full state dim (integration states +
+    ARMA companion dim), the same "exclude F ≈ kappa errors" rule the
+    simple-differencing twin applies to its ARMA state.
+    """
+
+    def __init__(self, y: pd.Series, order, seasonal_order, start_params=None):
+        from pos_pipeline_core_etl_spark.forecasting import kalman as K
+
+        p, d, q = order
+        P, D, Q, m = seasonal_order
+        self.order = tuple(order)
+        self.seasonal_order = tuple(seasonal_order)
+        self._index_last = y.index[-1]
+        yv = np.asarray(y, dtype=float)
+        self._m = m
+        self._shape = (p, q, P, Q)
+        k = p + q + P + Q
+        n_diff = d + m * D
+        burn = n_diff + max(p + m * P, q + m * Q + 1, 1)
+        if len(yv) - burn < 5:
+            raise ValueError("series too short for this order after burn-in")
+
+        def unpack(x: np.ndarray):
+            return (
+                x[:p],
+                x[p : p + P],
+                x[p + P : p + P + q],
+                x[p + P + q :],
+            )
+
+        def matrices(x: np.ndarray):
+            phi_full, theta_full = K.sarima_polys(*unpack(x), m)
+            return K.augmented_matrices(phi_full, theta_full, d, D, m)
+
+        def neg_llf(x: np.ndarray) -> float:
+            if np.any(np.abs(x) > 50.0):
+                return 1e12
+            Z, T, R = matrices(x)
+            llf, _, _, _ = K.kalman_loglike_design(yv, Z, T, R, burn=burn)
+            return 1e12 if not np.isfinite(llf) else -llf
+
+        x0 = np.zeros(k) if start_params is None else np.asarray(start_params, float)
+        if len(x0) != k:
+            x0 = np.zeros(k)
+        x_best, f_best = K.nelder_mead(neg_llf, x0)
+        if not np.isfinite(f_best) or f_best >= 1e12:
+            raise ValueError("exact-MLE likelihood did not evaluate finitely")
+        self.params = x_best
+        Z, T, R = matrices(x_best)
+        llf, sigma2, a_pred, _ = K.kalman_loglike_design(yv, Z, T, R, burn=burn)
+        self.llf = llf
+        self.sigma2 = sigma2
+        self._a_pred, self._Z, self._T = a_pred, Z, T
+        self.aic = -2.0 * llf + 2.0 * (k + 1)
+
+    def forecast(self, steps: int) -> pd.Series:
+        from pos_pipeline_core_etl_spark.forecasting import kalman as K
+
+        fut = K.kalman_forecast_design(self._a_pred, self._Z, self._T, steps)
+        idx = pd.date_range(
+            self._index_last + pd.Timedelta(days=1), periods=steps, freq="D"
+        )
+        return pd.Series(fut, index=idx)
+
+
 def _hr_start_params(hr: _HannanRissanenFit, order, seasonal_order) -> np.ndarray:
     """Reorder an HR beta into the (phi, Phi, theta, Theta) MLE layout."""
     p, _, q = order
@@ -401,6 +483,21 @@ class LogARIMAModel(ForecastModel):
     #: full MLE (COVERAGE §2.13), at N× the refit cost. 1 = refit the
     #: HR winner only (default, round-4 behavior).
     rescore_top_n: int = 1
+    #: how the numpy MLE backend handles the (d, D) differencing:
+    #: "simple" — difference the data, fit the ARMA component
+    #:            (SARIMAX simple_differencing=True; round-4 default,
+    #:            keeps every pinned fixture bit-stable)
+    #: "state"  — carry the d + m*D integration states in the filter
+    #:            (SARIMAX simple_differencing=False, the statsmodels
+    #:            DEFAULT and hence the reference's effective config;
+    #:            closes the first-(d+mD)-observation delta, VERDICT r5
+    #:            #7). Where statsmodels IS installed the SARIMAX path
+    #:            already uses its own default, so this knob only
+    #:            affects the pure-numpy fallback.
+    differencing: str = "simple"
+
+    def _mle_cls(self):
+        return _KalmanStateDiffFit if self.differencing == "state" else _KalmanExactMLEFit
 
     @staticmethod
     def _sarimax_cls():
@@ -421,7 +518,7 @@ class LogARIMAModel(ForecastModel):
                 enforce_invertibility=False,
             ).fit(disp=False)
         if self.backend == "mle":
-            return _KalmanExactMLEFit(y, order, seasonal_order)
+            return self._mle_cls()(y, order, seasonal_order)
         return _HannanRissanenFit(y, order, seasonal_order)
 
     def train(self, series: pd.Series, **kwargs: Any) -> Any:
@@ -464,7 +561,7 @@ class LogARIMAModel(ForecastModel):
             for _aic, hr_fit, orders in fits[: max(1, self.rescore_top_n)]:
                 try:
                     refits.append(
-                        _KalmanExactMLEFit(
+                        self._mle_cls()(
                             y,
                             *orders,
                             start_params=_hr_start_params(hr_fit, *orders),
