@@ -61,6 +61,14 @@ HEADLINE = (
     "dedup_simhash_banded",
     "docs_quality_pct_approx",
     "sim_ivfpq_topk",
+    # round-6 additions: the staged exact-first + banded-SimHash
+    # composition (the production near-dup prescription as a query),
+    # the learned-quantizer IVF-PQ with exact refine (the index that
+    # actually has recall), and the driver-side incremental-pair-delta
+    # BPE trainer (vocab collapse distributed, merges in memory)
+    "dedup_simhash_staged",
+    "sim_ivfpq_kmeans_topk",
+    "text_bpe_train_fast",
 )
 
 

@@ -251,6 +251,17 @@ def _try_decode_image(payload: bytes) -> dict:
         return {"fake_width": -1, "fake_height": -1, "decoder": "error"}
     if png is not None:
         return png
+    from pos_pipeline_core_etl_spark.operators.jpeg import (
+        JPEG_MAGIC,
+        decode_jpeg_gray,
+    )
+
+    if payload.startswith(JPEG_MAGIC):
+        try:
+            jw, jh, _px = decode_jpeg_gray(payload)
+        except Exception:
+            return {"fake_width": -1, "fake_height": -1, "decoder": "error"}
+        return {"fake_width": jw, "fake_height": jh, "decoder": "jpeg"}
     n = len(payload)
     first = payload[0] if n else 0
     return {
@@ -425,29 +436,48 @@ DHASH_W, DHASH_H = 9, 8  # 9×8 grayscale grid → 64 horizontal gradients
 
 
 def dhash_png(payload: bytes) -> tuple[int, str]:
-    """(dhash, decoder) for a payload: REAL difference hash for PNG
-    bytes (decode → grayscale → nearest-neighbor 9×8 resample → 64
-    left-vs-right gradient bits), else a deterministic 60-bit md5 stub.
+    """(dhash, decoder) for a payload: REAL difference hash for PNG and
+    baseline-JPEG bytes (decode → grayscale → nearest-neighbor 9×8
+    resample → 64 left-vs-right gradient bits), else a deterministic
+    60-bit md5 stub.
 
     dHash survives re-encoding, resizing and small edits — equal or
     near-equal (small Hamming distance) hashes mark near-duplicate
     images; the banded near-pair machinery (operators/dedup.py::
-    simhash_banded_pairs) applies to this signature unchanged.
+    simhash_banded_pairs) applies to this signature unchanged. Because
+    the hash is computed on decoded PIXELS, a PNG and a JPEG of the
+    same image hash near-equal — cross-format near-dup detection, which
+    no byte-level fingerprint can do (pinned by test).
 
-    A payload that LOOKS like a PNG (magic bytes) but fails to decode
-    (truncated, corrupt CRC, unsupported 16-bit/interlaced variants —
-    decode_png_pixels raises on all of these) yields an explicit
+    A payload that LOOKS like an image (PNG or JPEG magic bytes) but
+    fails to decode (truncated, corrupt, unsupported variants — 16-bit
+    or interlaced PNG, progressive or multi-component JPEG; both
+    decoders raise on all of these) yields an explicit
     ``decoder='error'`` row with the same deterministic md5-derived
     hash as the stub branch, mirroring ``_try_decode_image``'s
     convention — one bad image must never fail the whole mapInPandas
     job (ADVICE r5)."""
     import hashlib
 
+    from pos_pipeline_core_etl_spark.operators.jpeg import (
+        JPEG_MAGIC,
+        decode_jpeg_gray,
+    )
+
     decoded = None
+    fmt = "png"
     decoder_on_miss = "stub"
     if payload.startswith(PNG_MAGIC):
         try:
             decoded = decode_png_pixels(payload)
+        except Exception:
+            decoded = None
+            decoder_on_miss = "error"
+    elif payload.startswith(JPEG_MAGIC):
+        fmt = "jpeg"
+        try:
+            jw, jh, jpx = decode_jpeg_gray(payload)
+            decoded = (jw, jh, 1, jpx)
         except Exception:
             decoded = None
             decoder_on_miss = "error"
@@ -484,7 +514,7 @@ def dhash_png(payload: bytes) -> tuple[int, str]:
         # (Hamming distance over XOR is unaffected by the sign bit's
         # two's-complement reading)
         h -= 1 << 64
-    return h, "png"
+    return h, fmt
 
 
 DHASH_SCHEMA = "doc_id long, dhash long, decoder string"

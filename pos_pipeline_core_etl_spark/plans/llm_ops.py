@@ -1318,7 +1318,19 @@ def multimodal_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     one decision projection, completing the decision-table family
     (lexical / semantic / full-recipe / image). canonical_id is the
     component min, which is transitively kept by construction (the min
-    labels its own component), the dedup_decisions contract."""
+    labels its own component), the dedup_decisions contract.
+
+    Staged like every other decision table (round-6 fix): identical
+    signatures (Hamming 0 — byte-identical or stub-identical images)
+    collapse to one representative per dhash FIRST, and the banded
+    pair generation plus components run over distinct signatures only.
+    On a duplication-heavy corpus the unstaged form expands every
+    identical-signature clique quadratically inside its band buckets
+    (measured 93 s at 100× data vs 2 s at 1× before this change); the
+    staged form is equivalent — same-signature docs are each other's
+    near-dups at distance 0, so components over representatives plus
+    group membership reconstruct the full components exactly — and the
+    banding sees each signature once."""
     docs = load_table(spark, sf_dir, "documents")
     dup = docs.where(F.col("doc_id") < DHASH_DUP_SLICE).withColumn(
         "doc_id", F.col("doc_id") + F.lit(DHASH_DUP_OFFSET)
@@ -1327,28 +1339,35 @@ def multimodal_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = multimodal.image_dhash(
         multimodal.documents_as_binary(corpus)
     ).select("doc_id", "dhash")
-    pairs = dedup.banded_hamming_pairs(sigs, "dhash", max_hamming=3, bits=64)
+    canon = sigs.groupBy("dhash").agg(F.min("doc_id").alias("rep_id"))
+    reps = canon.select(F.col("rep_id").alias("doc_id"), "dhash")
+    pairs = dedup.banded_hamming_pairs(reps, "dhash", max_hamming=3, bits=64)
     comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("id").alias("doc_id"), "component_id"
+        F.col("id").alias("rep_id"), "component_id"
     )
-    out = corpus.select("doc_id").join(comps, "doc_id", "left")
+    out = (
+        sigs.join(canon, "dhash")
+        .join(comps, "rep_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "rep_id").alias("canon"),
+        )
+    )
     decision = F.when(
-        F.col("component_id").isNotNull()
-        & (F.col("component_id") != F.col("doc_id")),
-        F.lit("dropped_near"),
+        F.col("canon") != F.col("doc_id"), F.lit("dropped_near")
     ).otherwise(F.lit("kept"))
     return out.select(
         "doc_id",
         decision.alias("decision"),
-        F.coalesce("component_id", "doc_id").cast("long").alias("canonical_id"),
+        F.col("canon").cast("long").alias("canonical_id"),
     ).orderBy("doc_id")
 
 
 def _multimodal_decisions_oracle(max_hamming: int = 3) -> str:
     cap = dedup.LSH_MAX_BUCKET
     band_union = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band, (dhash >> {s}) & {(1 << w) - 1}"
-        f" AS val FROM sig"
+        f"SELECT rep_id, {b} AS band, (dhash >> {s}) & {(1 << w) - 1}"
+        f" AS val FROM canon"
         for b, (s, w) in enumerate(dedup.simhash_band_widths(64, max_hamming))
     )
     return f"""
@@ -1362,6 +1381,9 @@ sig AS (
   SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS dhash
   FROM corpus
 ),
+canon AS (
+  SELECT dhash, MIN(doc_id) AS rep_id FROM sig GROUP BY dhash
+),
 bands AS (
   {band_union}
 ),
@@ -1370,16 +1392,16 @@ ok AS (
   HAVING count(*) BETWEEN 2 AND {cap}
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT DISTINCT a.rep_id AS doc_a, b.rep_id AS doc_b
   FROM bands a
   JOIN ok ON ok.band = a.band AND ok.val = a.val
-  JOIN bands b ON b.band = a.band AND b.val = a.val AND a.doc_id < b.doc_id
+  JOIN bands b ON b.band = a.band AND b.val = a.val AND a.rep_id < b.rep_id
 ),
 pairs AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c
-  JOIN sig sa ON sa.doc_id = c.doc_a
-  JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN canon sa ON sa.rep_id = c.doc_a
+  JOIN canon sb ON sb.rep_id = c.doc_b
   WHERE bit_count(xor(sa.dhash, sb.dhash)) <= {max_hamming}
 ),
 sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -1389,13 +1411,15 @@ reach(id, lbl) AS (
   UNION
   SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
 ),
-comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
-SELECT c.doc_id,
-       CASE WHEN k.component_id IS NOT NULL AND k.component_id != c.doc_id
+comps AS (SELECT id AS rep_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+SELECT s.doc_id,
+       CASE WHEN COALESCE(k.component_id, c.rep_id) != s.doc_id
               THEN 'dropped_near' ELSE 'kept' END AS decision,
-       CAST(COALESCE(k.component_id, c.doc_id) AS BIGINT) AS canonical_id
-FROM corpus c LEFT JOIN comps k ON k.doc_id = c.doc_id
-ORDER BY c.doc_id
+       CAST(COALESCE(k.component_id, c.rep_id) AS BIGINT) AS canonical_id
+FROM sig s
+JOIN canon c USING (dhash)
+LEFT JOIN comps k ON k.rep_id = c.rep_id
+ORDER BY s.doc_id
 """
 
 
@@ -1414,24 +1438,26 @@ def multimodal_decode_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle note (same invariant as multimodal_features): this fixture's
     payloads are UTF-8 text, which can never start with the PNG magic
-    byte 0x89, so coverage here is structurally 100% stub; the
-    png/error branches are pinned on genuine and corrupt PNG bytes in
-    tests/test_scale_ops.py (TestImageDhash, TestDecodeCoverage)."""
+    byte 0x89 or the JPEG SOI byte 0xFF, so coverage here is
+    structurally 100% stub; the png/jpeg/error branches are pinned on
+    genuine and corrupt image bytes in tests/test_scale_ops.py
+    (TestImageDhash, TestDecodeCoverage, TestJpegCodec)."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = multimodal.image_dhash(multimodal.documents_as_binary(docs)).select(
         "doc_id", "decoder"
     )
     joined = hashed.join(docs.select("doc_id", "source"), "doc_id")
     n = F.count(F.lit(1))
-    n_png = F.sum((F.col("decoder") == "png").cast("long"))
+    n_real = F.sum(F.col("decoder").isin("png", "jpeg").cast("long"))
     return (
         joined.groupBy("source")
         .agg(
             n.cast("long").alias("n_docs"),
-            n_png.alias("n_png"),
+            F.sum((F.col("decoder") == "png").cast("long")).alias("n_png"),
+            F.sum((F.col("decoder") == "jpeg").cast("long")).alias("n_jpeg"),
             F.sum((F.col("decoder") == "stub").cast("long")).alias("n_stub"),
             F.sum((F.col("decoder") == "error").cast("long")).alias("n_error"),
-            hround(n_png / n, 6).alias("pct_real"),
+            hround(n_real / n, 6).alias("pct_real"),
         )
         .orderBy("source")
     )
@@ -1441,6 +1467,7 @@ MULTIMODAL_DECODE_COVERAGE_SQL = """
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS n_png,
+       CAST(0 AS BIGINT) AS n_jpeg,
        CAST(count(*) AS BIGINT) AS n_stub,
        CAST(0 AS BIGINT) AS n_error,
        0.0 AS pct_real
@@ -2267,7 +2294,11 @@ def corpus_prep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_prep_oracle() -> str:
+def _corpus_prep_parts() -> tuple[str, str]:
+    """The prep-decisions oracle split into (CTE body, final SELECT) so
+    downstream compositions (corpus_build_manifest) can extend the chain
+    — DuckDB allows WITH RECURSIVE only at statement top, so composition
+    happens by CTE concatenation, not nesting."""
     from pos_pipeline_core_etl_spark.operators.text import LANG_MARKERS, STOPWORDS
 
     cand = _minhash_oracle().strip().replace("FROM documents", "FROM survivors")
@@ -2294,9 +2325,7 @@ def _corpus_prep_oracle() -> str:
         " ELSE (n_tokens - n_distinct) / n_tokens END",
         6,
     )
-    return rf"""
-WITH RECURSIVE
-raw AS (
+    ctes = rf"""raw AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
@@ -2348,8 +2377,8 @@ reach(id, lbl) AS (
   UNION
   SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
 ),
-comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
-SELECT p.doc_id,
+comps AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)"""
+    final = """SELECT p.doc_id,
        CASE WHEN p.pre_decision IS NOT NULL THEN p.pre_decision
             WHEN p.doc_id != l.exact_keep THEN 'dropped_exact'
             WHEN k.component_id IS NOT NULL AND k.component_id != p.doc_id
@@ -2363,8 +2392,13 @@ SELECT p.doc_id,
 FROM pre p
 LEFT JOIN labeled l ON l.doc_id = p.doc_id
 LEFT JOIN comps k ON k.doc_id = p.doc_id
-LEFT JOIN comps k2 ON k2.doc_id = l.exact_keep
-"""
+LEFT JOIN comps k2 ON k2.doc_id = l.exact_keep"""
+    return ctes, final
+
+
+def _corpus_prep_oracle() -> str:
+    ctes, final = _corpus_prep_parts()
+    return f"\nWITH RECURSIVE\n{ctes}\n{final}\n"
 
 
 CORPUS_PREP_DECISIONS_SQL = _corpus_prep_oracle()
@@ -4060,6 +4094,89 @@ CORPUS_SHARD_CHECKSUMS_SQL = _shard_checksums_oracle()
 QUERIES["corpus_shard_checksums"] = (
     corpus_shard_checksums,
     CORPUS_SHARD_CHECKSUMS_SQL,
+)
+
+
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build as ONE artifact (round 6): run the
+    full preprocessing recipe (gates → exact dedup → LSH components,
+    corpus_prep_decisions), keep the survivors, assign them to the
+    shuffle shards the export writes, and emit the per-shard manifest —
+    doc count, token total, order-free integrity checksum — plus the
+    grand-total row (shard_id = -1) in the same single aggregation pass
+    (ROLLUP, the transfers-cube TOTAL-row discipline; no second scan).
+    This is the artifact a 100 TB training-data build publishes next to
+    its shards: what survived curation, how it is sharded, and the
+    checksums both ends of every copy verify. Scale shape: the prep
+    stages are the measured-flat staged pipeline; the manifest itself
+    adds one curated-corpus-sized shuffle on shard_id."""
+    prep = corpus_prep_decisions(spark, sf_dir)
+    kept = prep.where(F.col("decision") == "kept").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").join(kept, "doc_id")
+    shard = sampling.hash_selector(
+        F.col("doc_id"), "shuf", sampling.SHUFFLE_SHARDS
+    )
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    toks = F.size(text.tokens_col(F.col("text")))
+    return (
+        docs.select(
+            shard.alias("shard_id"),
+            digest.alias("digest"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .rollup("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_total"),
+            F.expr("bit_xor(digest)").alias("checksum"),
+        )
+        .select(
+            F.coalesce(F.col("shard_id"), F.lit(-1)).cast("long").alias("shard_id"),
+            "n_docs",
+            "token_total",
+            "checksum",
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _build_manifest_oracle() -> str:
+    ctes, final = _corpus_prep_parts()
+    shard_sql = sampling.hash_selector_sql("doc_id", "shuf", sampling.SHUFFLE_SHARDS)
+    return rf"""
+WITH RECURSIVE
+{ctes},
+prep AS ({final}),
+curated AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN prep p ON p.doc_id = d.doc_id AND p.decision = 'kept'
+),
+m AS (
+  SELECT {shard_sql} AS shard_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+           AS BIGINT) AS digest,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM curated
+)
+SELECT CAST(COALESCE(shard_id, -1) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_total,
+       bit_xor(digest) AS checksum
+FROM m
+GROUP BY ROLLUP (shard_id)
+ORDER BY shard_id
+"""
+
+
+CORPUS_BUILD_MANIFEST_SQL = _build_manifest_oracle()
+
+QUERIES["corpus_build_manifest"] = (
+    corpus_build_manifest,
+    CORPUS_BUILD_MANIFEST_SQL,
 )
 
 

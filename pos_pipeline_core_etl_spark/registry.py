@@ -47,6 +47,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_dedup_decisions", # image decision table via dHash components (r5 #5)
     "multimodal_decode_coverage", # png/stub/error denominator per source (r5 #8)
     "dedup_incremental_diff",     # snapshot-diff-driven incremental dedup (r5 #6)
+    "corpus_build_manifest",      # full curation recipe → sharded export manifest
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)

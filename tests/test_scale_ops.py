@@ -2263,13 +2263,174 @@ class TestDecodeCoverage:
         png = encode_png(4, 4, 3, px)
         bad = bytearray(png)
         bad[-5] ^= 0xFF
+        from pos_pipeline_core_etl_spark.operators.jpeg import encode_jpeg_gray
+
+        jpg = encode_jpeg_gray(8, 8, bytes(range(192, 256)))
+        bad_jpg = jpg[:-10]  # truncated entropy data
         rows = [
             (1, bytearray(png)),
             (2, bytes(bad)),
             (3, b"plain text"),
             (4, b"more text"),
+            (5, jpg),
+            (6, bad_jpg),
         ]
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         out = image_dhash(df).groupBy("decoder").count().collect()
         got = {r["decoder"]: r["count"] for r in out}
-        assert got == {"png": 1, "error": 1, "stub": 2}
+        assert got == {"png": 1, "jpeg": 1, "error": 2, "stub": 2}
+
+
+class TestBuildManifest:
+    def test_total_row_is_consistent_and_single_pass(self, spark):
+        """The grand-total row (shard_id = -1) must equal the shard rows
+        aggregated: same doc count, token total, and xor-combined
+        checksum (bit_xor is associative, so the rollup total IS the
+        xor of the shard checksums). And the TOTAL row comes from the
+        same rollup pass, not a second scan — one Expand, no Union."""
+        from functools import reduce
+
+        from pos_pipeline_core_etl_spark.plans.llm_ops import corpus_build_manifest
+
+        df = corpus_build_manifest(spark, "/root/testdata/sf0.001")
+        rows = {r["shard_id"]: r for r in df.collect()}
+        total = rows.pop(-1)
+        assert total["n_docs"] == sum(r["n_docs"] for r in rows.values())
+        assert total["token_total"] == sum(r["token_total"] for r in rows.values())
+        assert total["checksum"] == reduce(
+            lambda a, b: a ^ b, (r["checksum"] for r in rows.values())
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan
+
+
+class TestMultimodalDedupDecisions:
+    def test_staged_equals_full_graph_components(self, spark):
+        """The staged form (signature groups collapsed before banding)
+        must reproduce EXACTLY the components of the full doc-level
+        near-dup graph: same-signature docs are distance-0 near-dups,
+        so components over representatives + group membership IS the
+        full transitive closure. Reference: python union-find over ALL
+        doc pairs with Hamming <= 3 (the fixture's buckets stay under
+        the cap, where banding is total by the pigeonhole guarantee)."""
+        import hashlib
+
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            DHASH_DUP_OFFSET,
+            DHASH_DUP_SLICE,
+            multimodal_dedup_decisions,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+        sig = {}
+        for r in docs:
+            h = int(hashlib.md5(r["text"].encode()).hexdigest()[:15], 16)
+            sig[r["doc_id"]] = h
+            if r["doc_id"] < DHASH_DUP_SLICE:
+                sig[r["doc_id"] + DHASH_DUP_OFFSET] = h
+        ids = sorted(sig)
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if bin(sig[a] ^ sig[b]).count("1") <= 3:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        want = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in multimodal_dedup_decisions(spark, sf).collect()
+        }
+        assert got == want
+        assert any(v != k for k, v in got.items())  # dup slice exercises drops
+
+
+class TestJpegCodec:
+    """Baseline JFIF grayscale codec (operators/jpeg.py, pure stdlib,
+    public ITU-T T.81 spec): round-trip within quantization error,
+    cross-format perceptual-hash agreement, and loud rejection of the
+    unsupported JPEG subset."""
+
+    def _ramp(self, w, h):
+        return bytes(
+            min(255, (x * 200) // w + (y * 40) // h) for y in range(h) for x in range(w)
+        )
+
+    def test_round_trip_within_quantization_error(self):
+        from pos_pipeline_core_etl_spark.operators.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        w, h = 37, 21  # non-multiple-of-8 exercises edge-replicate padding
+        px = self._ramp(w, h)
+        dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+        assert (dw, dh) == (w, h)
+        errs = [abs(a - b) for a, b in zip(px, out)]
+        assert max(errs) <= 16 and sum(errs) / len(errs) < 4.0
+
+    def test_cross_format_dhash_agreement(self):
+        """A PNG and a JPEG of the SAME image must hash near-equal —
+        the hash is computed on decoded pixels, so near-dup detection
+        works ACROSS container formats (no byte-level fingerprint
+        can)."""
+        from pos_pipeline_core_etl_spark.operators.jpeg import encode_jpeg_gray
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            dhash_png,
+            encode_png,
+        )
+
+        w, h = 64, 48
+        px = self._ramp(w, h)
+        h_png, dec_png = dhash_png(encode_png(w, h, 1, px))
+        h_jpg, dec_jpg = dhash_png(encode_jpeg_gray(w, h, px))
+        assert (dec_png, dec_jpg) == ("png", "jpeg")
+        assert bin(h_png ^ h_jpg).count("1") <= 2
+
+    def test_unsupported_subset_raises(self):
+        import pytest as _pytest
+
+        from pos_pipeline_core_etl_spark.operators.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        jpg = bytearray(encode_jpeg_gray(16, 16, bytes(range(256))))
+        sof = jpg.index(b"\xff\xc0")
+        progressive = bytes(jpg[:sof + 1]) + b"\xc2" + bytes(jpg[sof + 2:])
+        with _pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg_gray(progressive)
+        assert decode_jpeg_gray(b"not an image") is None
+
+    def test_huffman_tables_self_consistent(self):
+        """Annex C construction: codes are prefix-free and complete for
+        the Annex K specs (every encoder symbol decodable)."""
+        from pos_pipeline_core_etl_spark.operators.jpeg import (
+            AC_BITS,
+            AC_VALS,
+            DC_BITS,
+            DC_VALS,
+            _huff_codes,
+            _huff_decode_table,
+        )
+
+        for bits, vals in [(DC_BITS, DC_VALS), (AC_BITS, AC_VALS)]:
+            enc = _huff_codes(bits, vals)
+            dec = _huff_decode_table(bits, vals)
+            assert len(enc) == len(vals) == len(dec)
+            for v, (code, ln) in enc.items():
+                assert dec[(ln, code)] == v
+            # prefix-free: no code is a prefix of a longer one
+            codes = sorted(((ln, code) for code, ln in enc.values()))
+            for ln_a, a in codes:
+                for ln_b, b in codes:
+                    if ln_a < ln_b:
+                        assert (b >> (ln_b - ln_a)) != a
