@@ -320,15 +320,18 @@ SIMHASH_BITS = 16
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """``bits``-wide SimHash over distinct lowercase tokens (pure integer
-    math); bits ≤ 32 with the 8-hex-char token hash."""
-    if not 1 <= bits <= 32:
-        raise ValueError(f"bits must be in [1, 32], got {bits}")
+    math); the token hash is 8 hex chars (32 bits) up to 32-bit
+    signatures and 15 hex chars (60 bits, the repo's signed-BIGINT-safe
+    width) above, so bits ≤ 60."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    hexw = 8 if bits <= 32 else 15
     tokens = _ensure_parallelism(docs).select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE))
         ).alias("tok"),
-    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, hexw), 16, 10).cast("long"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -441,7 +444,13 @@ def banded_hamming_pairs(
     after the (arithmetic) shiftright makes banding correct for
     signed-reinterpreted 64-bit hashes too.
     """
-    sigs = sigs.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"))
+    # two consumers (bucket leg + verify gather join): without a
+    # checkpoint the whole upstream - token explode + bits-wide
+    # signature agg for SimHash, the PYTHON IMAGE CODEC for dHash -
+    # executes twice (the multi-consumer rule, PERFORMANCE.md)
+    sigs = sigs.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
+    ).localCheckpoint(eager=False)
     structs = [
         f"named_struct('band', {b}, "
         f"'val', shiftright(sig, {shift}) & {(1 << width) - 1}L)"
