@@ -223,6 +223,29 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes | None:
     return encode_png(width, height, ch, bytes(out))
 
 
+def resize_jpeg(payload: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor JPEG resize: baseline grayscale decode →
+    resample → re-encode (operators/jpeg.py, pure stdlib). Returns None
+    for non-JPEG input; raises on the unsupported JPEG subset (callers
+    surface an error row), mirroring :func:`resize_png`."""
+    from pos_pipeline_core_etl_spark.operators.jpeg import (
+        JPEG_MAGIC,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    if not payload.startswith(JPEG_MAGIC):
+        return None
+    sw, sh, px = decode_jpeg_gray(payload)
+    out = bytearray(width * height)
+    for y in range(height):
+        sy = min(sh - 1, (y * sh) // height)
+        for x in range(width):
+            sx = min(sw - 1, (x * sw) // width)
+            out[y * width + x] = px[sy * sw + sx]
+    return encode_jpeg_gray(width, height, bytes(out))
+
+
 def _try_decode_image(payload: bytes) -> dict:
     """Real decoder where the format allows, else deterministic fake.
 
@@ -373,12 +396,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing: payload in → resized payload stats out.
 
-    PNG bytes take the REAL path (stdlib decode → nearest-neighbor
-    resample → re-encode, :func:`resize_png`); other payloads use the
-    deterministic stub (keep ``min(n_in, width·height/64)`` bytes — a
-    pure function of the input so the oracle can check it). A production
-    build swaps the codec (PIL/cv2) inside the same batch loop with the
-    same schema.
+    PNG and baseline-JPEG bytes take the REAL path (stdlib decode →
+    nearest-neighbor resample → re-encode, :func:`resize_png` /
+    :func:`resize_jpeg`); other payloads use the deterministic stub
+    (keep ``min(n_in, width·height/64)`` bytes — a pure function of the
+    input so the oracle can check it). A production build swaps the
+    codec (PIL/cv2) inside the same batch loop with the same schema.
     """
     budget = (width * height) // 64
 
@@ -388,13 +411,16 @@ def resize_images(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    png_out = resize_png(payload, width, height)
+                    img_out = resize_png(payload, width, height)
+                    if img_out is not None:
+                        resizer = "png"
+                    else:
+                        img_out = resize_jpeg(payload, width, height)
+                        resizer = "jpeg" if img_out is not None else "stub"
                 except Exception:
-                    png_out = b""
+                    img_out = b""
                     resizer = "error"
-                else:
-                    resizer = "png" if png_out is not None else "stub"
-                out = png_out if png_out else payload[:budget]
+                out = img_out if img_out else payload[:budget]
                 rows.append(
                     {
                         "doc_id": doc_id,

@@ -582,3 +582,145 @@ def run_streaming_windowed_topk(
         .where(F.col("rnk") <= k)
         .select("day", F.col("rnk").cast("long").alias("rnk"), "event_type", "n")
     )
+
+
+def image_dedup_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    max_hamming: int = 3,
+) -> None:
+    """foreachBatch body for streaming IMAGE dedup — the perceptual
+    twin of :func:`dedup_index_batch`, completing the streaming ↔ batch
+    pairing for the image decision family (multimodal_dedup_decisions).
+
+    The accumulated index is one append-only (doc_id, dhash) parquet
+    table: unlike the MinHash maintainer, no separate band index is
+    needed because dHash band keys derive MAP-SIDE from the signature
+    itself (simhash_band_widths shifts/masks — plain column
+    expressions), so the corpus band view is a projection of the same
+    index the exact leg reads. Per batch: decode/hash the payloads
+    ONCE (mapInPandas image codec), label against the prior index —
+    dup_exact (identical dhash seen earlier), dup_near (banded Hamming
+    ≤ max_hamming vs prior signatures, capped buckets, one-sided —
+    never corpus × corpus), dup_in_batch (identical dhash within the
+    batch, min id), else new — then fold the batch's signatures in.
+    Every write is per-batch-id idempotent, so at-least-once replay
+    converges (same contract as the text maintainer)."""
+    from pos_pipeline_core_etl_spark.operators.dedup import (
+        LSH_MAX_BUCKET,
+        simhash_band_widths,
+    )
+    from pos_pipeline_core_etl_spark.operators.multimodal import image_dhash
+
+    spark = batch_df.sparkSession
+    sigs = image_dhash(batch_df).select("doc_id", "dhash").localCheckpoint(
+        eager=False
+    )
+
+    prior = _prior_partitions(index_dir, batch_id)
+    if prior:
+        idx = (
+            spark.read.option("basePath", index_dir)
+            .parquet(*prior)
+            .select(F.col("doc_id").alias("corpus_id"), F.col("dhash").alias("c_dhash"))
+            .localCheckpoint(eager=False)
+        )
+        canon = idx.groupBy("c_dhash").agg(F.min("corpus_id").alias("exact_dup_of"))
+        labeled = sigs.join(
+            canon, sigs["dhash"] == canon["c_dhash"], "left"
+        ).select("doc_id", "dhash", "exact_dup_of")
+    else:
+        idx = None
+        labeled = sigs.withColumn("exact_dup_of", F.lit(None).cast("long"))
+
+    in_batch = sigs.groupBy("dhash").agg(F.min("doc_id").alias("batch_min"))
+    labeled = labeled.join(in_batch, "dhash").localCheckpoint(eager=False)
+
+    if idx is not None:
+        widths = simhash_band_widths(64, max_hamming)
+
+        def bands(df, sig_col, id_name):
+            structs = [
+                f"named_struct('band', {b}, "
+                f"'val', shiftright({sig_col}, {shift}) & {(1 << width) - 1}L)"
+                for b, (shift, width) in enumerate(widths)
+            ]
+            return df.select(
+                F.col(id_name),
+                F.col(sig_col),
+                F.explode(F.expr(f"array({', '.join(structs)})")).alias("bv"),
+            ).select(
+                id_name,
+                sig_col,
+                F.col("bv.band").alias("band"),
+                F.col("bv.val").alias("val"),
+            )
+
+        miss = labeled.where(F.col("exact_dup_of").isNull()).select("doc_id", "dhash")
+        cb = bands(idx, "c_dhash", "corpus_id")
+        ok = (
+            cb.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= LSH_MAX_BUCKET)
+            .select("band", "val")
+        )
+        mb = bands(miss, "dhash", "doc_id")
+        near = (
+            mb.join(cb.join(ok, ["band", "val"]), ["band", "val"])
+            .where(
+                F.bit_count(F.col("dhash").bitwiseXOR(F.col("c_dhash")))
+                <= max_hamming
+            )
+            .groupBy("doc_id")
+            .agg(F.min("corpus_id").alias("near_dup_of"))
+        )
+        labeled = labeled.join(near, "doc_id", "left")
+    else:
+        labeled = labeled.withColumn("near_dup_of", F.lit(None).cast("long"))
+
+    decided = labeled.select(
+        "doc_id",
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("dup_exact"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("dup_near"))
+        .when(F.col("doc_id") != F.col("batch_min"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("decision"),
+        F.coalesce(
+            F.col("exact_dup_of"),
+            F.col("near_dup_of"),
+            F.when(F.col("doc_id") != F.col("batch_min"), F.col("batch_min")),
+        )
+        .cast("long")
+        .alias("dup_of"),
+    )
+    write_batch_idempotent(decided, batch_id, out_dir)
+    write_batch_idempotent(sigs, batch_id, index_dir)
+
+
+def run_streaming_image_dedup(
+    spark: SparkSession,
+    stream_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming perceptual image dedup: drain a (doc_id, payload)
+    binary stream through :func:`image_dedup_index_batch` with
+    availableNow, then read back the consolidated decision table.
+    Scale shape per micro-batch: ONE codec pass over the batch
+    payloads (the only Python leg), equi-joins against the signature
+    index, capped one-sided banding for the near leg — the corpus is
+    never re-hashed and never joined against itself."""
+    raw = spark.readStream.schema("doc_id long, payload binary").parquet(stream_dir)
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: image_dedup_index_batch(df, bid, out_dir, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")

@@ -2434,3 +2434,29 @@ class TestJpegCodec:
                 for ln_b, b in codes:
                     if ln_a < ln_b:
                         assert (b >> (ln_b - ln_a)) != a
+
+
+class TestJpegResize:
+    def test_resize_jpeg_real_path(self, spark):
+        """A JPEG payload takes the REAL resize path: decode → resample
+        → re-encode; the output decodes at the target dimensions and
+        the operator labels the row resizer='jpeg'."""
+        from pos_pipeline_core_etl_spark.operators.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+        from pos_pipeline_core_etl_spark.operators.multimodal import (
+            resize_images,
+            resize_jpeg,
+        )
+
+        w, h = 40, 24
+        px = bytes(min(255, (x * 200) // w + (y * 40) // h) for y in range(h) for x in range(w))
+        jpg = encode_jpeg_gray(w, h, px)
+        out = resize_jpeg(jpg, 16, 12)
+        dw, dh, _ = decode_jpeg_gray(out)
+        assert (dw, dh) == (16, 12)
+
+        df = spark.createDataFrame([(1, jpg), (2, b"text")], "doc_id long, payload binary")
+        rows = {r["doc_id"]: r["resizer"] for r in resize_images(df, 16, 12).collect()}
+        assert rows == {1: "jpeg", 2: "stub"}

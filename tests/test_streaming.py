@@ -452,3 +452,83 @@ class TestStreamingIncrementalDedup:
         assert got == {1: "new", 2: "new"}
         idx = spark.read.option("basePath", index_dir).parquet(index_dir + "/batch_id=*")
         assert idx.count() == 2
+
+
+class TestStreamingImageDedup:
+    """Streaming perceptual image dedup (streaming/events.py::
+    run_streaming_image_dedup): the dHash index accumulates across
+    batches, decisions follow arrival order, the near leg works ACROSS
+    container formats (a JPEG re-encode of an earlier PNG comes back
+    dup_near), and replay with the same checkpoint changes nothing."""
+
+    def _payloads(self):
+        from pos_pipeline_core_etl_spark.operators.jpeg import encode_jpeg_gray
+        from pos_pipeline_core_etl_spark.operators.multimodal import encode_png
+
+        w, h = 64, 48
+        ramp = bytes(
+            min(255, (x * 200) // w + (y * 40) // h)
+            for y in range(h)
+            for x in range(w)
+        )
+        other = bytes(
+            255 - (min(255, (x * 200) // w + (y * 40) // h))
+            for y in range(h)
+            for x in range(w)
+        )
+        return {
+            "png_ramp": encode_png(w, h, 1, ramp),
+            "jpg_ramp": encode_jpeg_gray(w, h, ramp),  # same image, other format
+            "png_other": encode_png(w, h, 1, other),
+            "text": b"not an image at all",
+        }
+
+    def _write_batch(self, spark, stream_dir, rows):
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        df.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    def test_cross_batch_and_cross_format_decisions(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_image_dedup,
+        )
+
+        p = self._payloads()
+        stream_dir = str(tmp_path / "stream")
+        out_dir = str(tmp_path / "out")
+        index_dir = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 1: the ramp PNG, an unrelated image, a stub payload,
+        # and an in-batch byte-identical copy of the ramp PNG
+        self._write_batch(
+            spark,
+            stream_dir,
+            [(1, p["png_ramp"]), (2, p["png_other"]), (3, p["text"]), (7, p["png_ramp"])],
+        )
+        out = run_streaming_image_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        got = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in out.collect()}
+        assert got[1] == ("new", None)
+        assert got[2] == ("new", None)
+        assert got[3] == ("new", None)
+        assert got[7] == ("dup_in_batch", 1)
+
+        # batch 2: the SAME image as doc 1 but JPEG-encoded (near, not
+        # exact — quantization moves a pixel or two), an exact PNG
+        # repeat, and a new stub
+        self._write_batch(
+            spark,
+            stream_dir,
+            [(11, p["jpg_ramp"]), (12, p["png_other"]), (13, b"different text")],
+        )
+        out = run_streaming_image_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        got = {r["doc_id"]: (r["decision"], r["dup_of"]) for r in out.collect()}
+        assert got[12] == ("dup_exact", 2)
+        assert got[13] == ("new", None)
+        assert got[11][0] in ("dup_near", "dup_exact")  # hash may coincide exactly
+        assert got[11][1] == 1
+
+        # replay with the same checkpoint: sink unchanged
+        before = sorted((r["doc_id"], r["decision"]) for r in out.collect())
+        out2 = run_streaming_image_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
+        after = sorted((r["doc_id"], r["decision"]) for r in out2.collect())
+        assert before == after
