@@ -711,6 +711,14 @@ def incremental_decisions(
         bands=bands,
         rows=rows,
     )
+    # cb feeds two consumers (bucket-size cap agg + the near join) but
+    # is deliberately NOT checkpointed: it is corpus-sized and cheap to
+    # recompute (map-side explode over the signature agg), so
+    # materializing millions of (band, md5-key) string rows costs far
+    # more than the second scan — measured 2.2 s → 31 s at the 100×
+    # notch when a checkpoint was tried here. Checkpoint small,
+    # expensive frames (the banded_hamming_pairs signature table);
+    # recompute large, cheap ones.
     cb = lsh_band_buckets(
         minhash_signatures(corpus, text_col, k=bands * rows), bands=bands, rows=rows
     ).select(F.col("doc_id").alias("corpus_id"), "band", "bucket_key")
