@@ -309,6 +309,122 @@ def ngram_jaccard_pairs(
     )
 
 
+# Containment candidate generation: deterministic shingle sample rate
+# (keep sid % MOD == 0) and a posting-list cap — the stop-shingle guard,
+# same discipline + observability contract as LSH_MAX_BUCKET.
+CONTAIN_SAMPLE_MOD = 4
+CONTAIN_MAX_BUCKET = 200
+CONTAIN_THRESHOLD = 0.6
+
+
+def _sampled_postings(
+    docs: DataFrame, text_col: str, sample_mod: int
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle-set frame, sampled (doc_id, sid) posting rows)."""
+    base = _ensure_parallelism(docs)
+    sh = base.select(
+        "doc_id", shingles_col(F.col(text_col)).alias("sh")
+    ).localCheckpoint(eager=False)  # feeds candidates AND the verify gather
+    posts = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", shingle_id(F.col("s")).alias("sid"))
+        .where(F.col("sid") % sample_mod == 0)
+    )
+    return sh, posts
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = CONTAIN_THRESHOLD,
+    sample_mod: int = CONTAIN_SAMPLE_MOD,
+    max_bucket_size: int | None = CONTAIN_MAX_BUCKET,
+) -> DataFrame:
+    """Asymmetric (doc-in-doc) near-dup pairs via Broder containment
+    C(A,B) = |A∩B| / min(|A|,|B|).
+
+    Jaccard-targeted MinHash-LSH structurally MISSES a short document
+    embedded in a long one — the union term crushes the similarity
+    below any usable band threshold (pinned by test). The candidate
+    generator here is therefore a sampled-shingle INVERTED INDEX:
+    keep shingles whose md5-derived id lands in one deterministic
+    residue class (rate 1/sample_mod — a contained doc with s shingles
+    shares ~s/sample_mod sampled shingles with its container, so any
+    non-trivial overlap surfaces), cap each posting list at
+    ``max_bucket_size`` (stop-shingle guard; audit the skipped
+    population with :func:`containment_overflow`), expand pairs inside
+    the bucket exactly like :func:`minhash_lsh_candidates`, then verify
+    exact containment on candidates only via the shared gather form —
+    never doc × doc. 100 TB shape: two candidate shuffles (posting
+    groupBy + pair distinct) + one doc-id equi-join; everything else is
+    map-side.
+    """
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    sh, posts = _sampled_postings(docs, text_col, sample_mod)
+    keep = F.size("ids") > 1
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
+    grouped = (
+        posts.groupBy("sid")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(keep)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cands = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sides = cands.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    gathered = (
+        sides.join(sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh"))).alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    contain = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        gathered.select(
+            "doc_a",
+            "doc_b",
+            hround(contain, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def containment_overflow(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_mod: int = CONTAIN_SAMPLE_MOD,
+    max_bucket_size: int = CONTAIN_MAX_BUCKET,
+) -> DataFrame:
+    """Posting lists the candidate stage skipped: (sid, n_docs) for
+    every sampled shingle shared by more than ``max_bucket_size`` docs.
+    Empty on healthy corpora; non-empty quantifies boilerplate
+    stop-shingles whose pairs the index refuses to expand."""
+    _sh, posts = _sampled_postings(docs, text_col, sample_mod)
+    return (
+        posts.groupBy("sid")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

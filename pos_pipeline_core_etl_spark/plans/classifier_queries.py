@@ -1,0 +1,142 @@
+"""Distributed logistic-regression classifier queries with DuckDB
+oracles (LLM-pipeline extension; the reference has no ML surface).
+
+The oracle unrolls the SAME gradient-descent iteration count /
+learning rate / quantization constants the Spark operator uses
+(``operators/classifier.py``), exactly like the k-means oracle
+(``llm_ops._kmeans_oracle``) — changing LR_ITERS cannot silently
+desync engine and oracle. Every arithmetic fold is written in the
+identical left-associated order in both engines, and per-doc gradient
+contributions are integer-quantized before summing so the only
+order-sensitive reduction is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
+from pos_pipeline_core_etl_spark.operators import classifier
+from pos_pipeline_core_etl_spark.plans.llm_ops import TEXT_QUALITY_SQL
+from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+_N = classifier.N_FEATURES
+_QF = float(classifier.LR_QUANT)
+_RATE = classifier.LR_RATE
+_ITERS = classifier.LR_ITERS
+
+
+def _checkpointed_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier.lr_features(docs).localCheckpoint(eager=False)
+
+
+def docs_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained weight vector as (feature, weight) rows."""
+    feats = _checkpointed_feats(spark, sf_dir)
+    w = classifier.logistic_gd(feats)
+    cells = ", ".join(f"'w{j}', w{j}" for j in range(_N))
+    return w.selectExpr(f"stack({_N}, {cells}) AS (feature, weight)").select(
+        "feature", hround(F.col("weight"), 6).alias("weight")
+    )
+
+
+def docs_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc probability + hard prediction under the trained model."""
+    feats = _checkpointed_feats(spark, sf_dir)
+    w = classifier.logistic_gd(feats)
+    return classifier.lr_scores(feats, w)
+
+
+def docs_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row confusion matrix + accuracy (honestly near-chance on the
+    synthetic corpus — the label carries no textual signal; the
+    separable-data unit test proves the GD learns when signal exists)."""
+    feats = _checkpointed_feats(spark, sf_dir)
+    w = classifier.logistic_gd(feats)
+    return classifier.lr_eval(classifier.lr_scores(feats, w))
+
+
+def _margin_sql(walias: str, falias: str) -> str:
+    return " + ".join(f"{walias}.w{j} * {falias}.x{j}" for j in range(_N))
+
+
+def _lr_chain_sql() -> str:
+    """WITH-chain: features -> unrolled GD -> final weights CTE wt{I}."""
+    feats = f"""
+q AS ({TEXT_QUALITY_SQL}),
+feats AS (
+  SELECT q.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         {hround_sql("ln(1.0 + q.n_chars)", 6)} AS x1,
+         q.stopword_ratio AS x2,
+         {hround_sql("q.avg_word_len / 10.0", 6)} AS x3,
+         {hround_sql("LEAST(q.n_words / 100.0, 1.0)", 6)} AS x4
+  FROM q JOIN documents d USING (doc_id)
+),
+wt0 AS (SELECT {", ".join(f"0.0 AS w{j}" for j in range(_N))})"""
+    chain = [feats]
+    for i in range(1, _ITERS + 1):
+        p = f"1.0 / (1.0 + exp(-({_margin_sql('w', 'f')})))"
+        sums = ", ".join(
+            f"sum(CAST(floor(({p} - f.y) * f.x{k} * {_QF} + 0.5) AS BIGINT)) AS s{k}"
+            for k in range(_N)
+        )
+        wcols = ", ".join(f"w.w{j} AS w{j}" for j in range(_N))
+        grp = ", ".join(f"w.w{j}" for j in range(_N))
+        chain.append(
+            f"""gr{i} AS (
+  SELECT {wcols}, {sums}, count(*) AS n
+  FROM feats f CROSS JOIN wt{i - 1} w
+  GROUP BY {grp}
+)"""
+        )
+        upd = ", ".join(
+            f"(w{k} - {_RATE} * (s{k} / (n * {_QF}))) AS w{k}" for k in range(_N)
+        )
+        chain.append(f"wt{i} AS (SELECT {upd} FROM gr{i})")
+    return "WITH " + ",\n".join(chain)
+
+
+def _train_oracle() -> str:
+    finals = "\nUNION ALL ".join(
+        f"SELECT 'w{j}' AS feature, {hround_sql(f'w{j}', 6)} AS weight FROM wt{_ITERS}"
+        for j in range(_N)
+    )
+    return f"{_lr_chain_sql()}\n{finals}"
+
+
+_SCORES_BODY = f"""
+SELECT f.doc_id,
+       CAST(f.y AS BIGINT) AS y,
+       {hround_sql(f"1.0 / (1.0 + exp(-({_margin_sql('w', 'f')})))", 6)} AS p,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-({_margin_sql("w", "f")}))) >= 0.5
+                 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM feats f CROSS JOIN wt{_ITERS} w
+"""
+
+
+def _scores_oracle() -> str:
+    return f"{_lr_chain_sql()}\n{_SCORES_BODY}"
+
+
+def _eval_oracle() -> str:
+    return f"""{_lr_chain_sql()},
+scores AS ({_SCORES_BODY})
+SELECT CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       {hround_sql(
+           "sum(CASE WHEN y = pred THEN 1 ELSE 0 END) / count(*)", 6)} AS accuracy
+FROM scores
+"""
+
+
+QUERIES = {
+    "docs_lr_train": (docs_lr_train, _train_oracle()),
+    "docs_lr_scores": (docs_lr_scores, _scores_oracle()),
+    "docs_lr_eval": (docs_lr_eval, _eval_oracle()),
+}

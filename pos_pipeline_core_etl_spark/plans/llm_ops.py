@@ -4444,3 +4444,73 @@ ORDER BY cluster
 EMB_KMEANS_SSE_SQL = _kmeans_sse_oracle()
 
 QUERIES["emb_kmeans_sse"] = (emb_kmeans_sse, EMB_KMEANS_SSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Broder containment (doc-in-doc) dedup — the asymmetric case Jaccard
+# LSH structurally misses (round 6)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc near-dup pairs: sampled-shingle inverted index for
+    candidates, exact |A∩B|/min(|A|,|B|) verify on candidates only.
+    See operators/dedup.py::containment_pairs for the 100 TB shape."""
+    return dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _containment_chain_sql() -> str:
+    sh = dedup.shingles_sql("text")
+    sid = dedup.SHINGLE_ID_SQL.format(s="u.s")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents
+),
+posts AS (
+  SELECT DISTINCT doc_id, sid FROM (
+    SELECT doc_id, {sid} AS sid FROM sh, unnest(s) AS u(s)
+  ) WHERE sid % {dedup.CONTAIN_SAMPLE_MOD} = 0
+),
+sizes AS (
+  SELECT sid, count(*) AS n FROM posts GROUP BY sid
+)"""
+
+
+def _containment_oracle() -> str:
+    expr = "len(list_intersect(a.s, b.s)) / least(len(a.s), len(b.s))"
+    return f"""{_containment_chain_sql()},
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posts a JOIN posts b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  JOIN sizes z ON z.sid = a.sid
+  WHERE z.n BETWEEN 2 AND {dedup.CONTAIN_MAX_BUCKET}
+)
+SELECT c.doc_a, c.doc_b,
+       {hround_sql(expr, 6)} AS containment
+FROM cands c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE {hround_sql(expr, 6)} >= {dedup.CONTAIN_THRESHOLD}
+"""
+
+
+DEDUP_CONTAINMENT_SQL = _containment_oracle()
+
+QUERIES["dedup_containment"] = (dedup_containment, DEDUP_CONTAINMENT_SQL)
+
+
+def dedup_containment_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle posting lists the containment index skipped —
+    the observability twin (minhash_lsh_overflow contract)."""
+    df = dedup.containment_overflow(load_table(spark, sf_dir, "documents"))
+    return df.select("sid", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+DEDUP_CONTAINMENT_OVERFLOW_SQL = f"""{_containment_chain_sql()}
+SELECT sid, CAST(n AS BIGINT) AS n_docs
+FROM sizes WHERE n > {dedup.CONTAIN_MAX_BUCKET}
+"""
+
+QUERIES["dedup_containment_overflow"] = (
+    dedup_containment_overflow,
+    DEDUP_CONTAINMENT_OVERFLOW_SQL,
+)

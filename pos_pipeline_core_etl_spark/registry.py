@@ -17,7 +17,9 @@ reads r5×50, r4×45, r3×39, r2×7 across the 141 round-5 names.  Tier 0
 = the NEW round-6 queries (staged SimHash dedup, banding-overflow
 report, learned-quantizer IVF-PQ + its recall audits, grid-IVF-PQ
 recall audit, fast BPE trainer, image dedup decisions, decoder
-coverage, snapshot-diff incremental dedup) — never driver-checked.
+coverage, snapshot-diff incremental dedup, the distributed
+logistic-regression quality-classifier trio, and Broder containment
+doc-in-doc dedup + its posting-list audit) — never driver-checked.
 Tier 1 = the round-6 VALUE changes: text_bpe_train / text_bpe_apply
 moved to canonical double-space merge semantics AFTER their r5 row
 was recorded (ADVICE r5 item 2).  Tier 2 = the 7 names whose newest
@@ -48,6 +50,11 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_coverage", # png/stub/error denominator per source (r5 #8)
     "dedup_incremental_diff",     # snapshot-diff-driven incremental dedup (r5 #6)
     "corpus_build_manifest",      # full curation recipe → sharded export manifest
+    "docs_lr_train",              # distributed logistic-regression GD (quality filter)
+    "docs_lr_scores",             # per-doc probability under the trained model
+    "docs_lr_eval",               # confusion matrix + accuracy, one row
+    "dedup_containment",          # doc-in-doc Broder containment (inverted index)
+    "dedup_containment_overflow", # stop-shingle posting-list audit
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)
@@ -111,6 +118,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     # silently shrink the claimed operator surface (ADVICE r1).
     from pos_pipeline_core_etl_spark.plans import (
         analytics,
+        classifier_queries,
         cleaning_queries,
         forecast_queries,
         llm_ops,
@@ -128,6 +136,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
         windows,
         qa_queries,
         llm_ops,
+        classifier_queries,
         forecast_queries,
         streaming_queries,
         analytics,

@@ -1,0 +1,108 @@
+"""Distributed logistic-regression classifier (operators/classifier.py).
+
+Three layers: (1) the relational GD reproduces a plain-numpy
+implementation of the SAME quantized full-batch iteration exactly;
+(2) on separable data the GD actually learns (the registry corpus has
+no signal, so the oracle-parity tests alone can't prove learning);
+(3) plan shape — one data-sized hash-agg per iteration, weight frames
+broadcast, no extra corpus shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pos_pipeline_core_etl_spark.operators import classifier
+
+
+def _numpy_gd(X, y, iters, rate, quant):
+    """Reference: identical quantized full-batch GD in plain numpy."""
+    n, d = X.shape
+    w = np.zeros(d)
+    for _ in range(iters):
+        # replicate the left-assoc fold exactly: small d, plain loop
+        margin = np.zeros(n)
+        for i in range(n):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + w[j] * X[i, j]
+            margin[i] = acc
+        p = 1.0 / (1.0 + np.exp(-margin))
+        g = np.zeros(d)
+        for j in range(d):
+            contrib = np.floor((p - y) * X[:, j] * quant + 0.5)
+            g[j] = contrib.sum()
+        for j in range(d):
+            w[j] = w[j] - rate * (g[j] / (n * quant))
+    return w
+
+
+def _feats_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, float(y), 1.0, x1, x2, x3, x4) for i, (y, x1, x2, x3, x4) in enumerate(rows)],
+        "doc_id long, y double, x0 double, x1 double, x2 double, x3 double, x4 double",
+    )
+
+
+def test_gd_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    raw = rng.uniform(-2, 2, size=(40, 4)).round(6)
+    ys = rng.randint(0, 2, size=40)
+    rows = [(int(ys[i]), *map(float, raw[i])) for i in range(40)]
+    feats = _feats_df(spark, rows)
+    got = classifier.logistic_gd(feats, iters=3, rate=0.5, quant=1 << 26).collect()[0]
+    X = np.hstack([np.ones((40, 1)), raw])
+    want = _numpy_gd(X, ys.astype(float), iters=3, rate=0.5, quant=1 << 26)
+    for j in range(5):
+        assert got[f"w{j}"] == pytest.approx(want[j], abs=1e-9), f"w{j}"
+
+
+def test_gd_learns_separable(spark):
+    """y = 1 iff x1 > 0, wide margin: trained model must classify >95%."""
+    rng = np.random.RandomState(11)
+    x1 = np.concatenate([rng.uniform(0.5, 2.0, 60), rng.uniform(-2.0, -0.5, 60)])
+    ys = (x1 > 0).astype(int)
+    noise = rng.uniform(-1, 1, size=(120, 3)).round(6)
+    rows = [
+        (int(ys[i]), float(round(x1[i], 6)), *map(float, noise[i]))
+        for i in range(120)
+    ]
+    feats = _feats_df(spark, rows)
+    w = classifier.logistic_gd(feats, iters=30, rate=2.0)
+    scored = classifier.lr_scores(feats, w)
+    ev = classifier.lr_eval(scored).collect()[0]
+    assert ev["tp"] + ev["fp"] + ev["tn"] + ev["fn"] == 120
+    assert ev["accuracy"] > 0.95
+
+
+def test_eval_counts_consistent(spark):
+    rows = [(1, 0.5, 0.1, 0.2, 0.3), (0, -0.5, 0.0, 0.1, 0.2), (1, 1.5, 0.2, 0.0, 0.1)]
+    feats = _feats_df(spark, rows)
+    w = classifier.logistic_gd(feats, iters=2, rate=0.5)
+    ev = classifier.lr_eval(classifier.lr_scores(feats, w)).collect()[0]
+    assert ev["tp"] + ev["fp"] + ev["tn"] + ev["fn"] == 3
+
+
+def test_train_plan_shape(spark):
+    """Per iteration: exactly one data-sized hash-agg; weight frames are
+    broadcast (no shuffled join of the corpus against weights)."""
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(rng.randint(0, 2)), *[float(x) for x in rng.uniform(-1, 1, 4).round(6)])
+        for _ in range(20)
+    ]
+    feats = _feats_df(spark, rows)
+    w = classifier.logistic_gd(feats, iters=3, rate=0.5)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # iters data-sized aggs -> iters shuffle Exchanges (partial+final
+    # HashAggregate pairs); broadcast exchanges excluded
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    )
+    assert n_shuffles <= 3 * 2
+
+    with pytest.raises(ValueError):
+        classifier.logistic_gd(feats, iters=0)

@@ -2460,3 +2460,55 @@ class TestJpegResize:
         df = spark.createDataFrame([(1, jpg), (2, b"text")], "doc_id long, payload binary")
         rows = {r["doc_id"]: r["resizer"] for r in resize_images(df, 16, 12).collect()}
         assert rows == {1: "jpeg", 2: "stub"}
+
+
+class TestContainment:
+    """Broder containment (doc-in-doc) — operators/dedup.py round 6."""
+
+    def _docs(self, spark):
+        # doc 1 is a 30-word snippet embedded verbatim inside doc 0's
+        # 60-word body: containment(1 in 0) = 1.0, Jaccard ~ 0.5 below
+        # the LSH band threshold; 30 words -> 28 shingles so the 1/4
+        # deterministic sample keeps several
+        body = " ".join(f"w{i % 37} t{i % 11} q{i}" for i in range(20))
+        snippet = " ".join(body.split()[6:36])
+        other = " ".join(f"z{i} y{i % 7} x{i % 5}" for i in range(20))
+        return spark.createDataFrame(
+            [(0, body), (1, snippet), (2, other)], "doc_id long, text string"
+        )
+
+    def test_detects_embedded_doc(self, spark):
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        docs = self._docs(spark)
+        got = dedup.containment_pairs(docs, threshold=0.6).collect()
+        pairs = {(r.doc_a, r.doc_b): r.containment for r in got}
+        assert (0, 1) in pairs
+        assert pairs[(0, 1)] == 1.0
+        assert not any(2 in p for p in pairs)
+
+    def test_jaccard_lsh_misses_the_same_pair(self, spark):
+        """The reason this operator exists: the Jaccard-banded LSH path
+        cannot see the same contained pair."""
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        docs = self._docs(spark)
+        lsh = dedup.minhash_lsh_candidates(docs).collect()
+        assert (0, 1) not in {(r.doc_a, r.doc_b) for r in lsh}
+
+    def test_bucket_cap_and_overflow_audit(self, spark):
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        # 12 docs sharing one identical text -> every sampled shingle's
+        # posting list has 12 docs; cap 5 must drop all pairs and the
+        # audit must surface those lists
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)],
+            "doc_id long, text string",
+        )
+        capped = dedup.containment_pairs(docs, max_bucket_size=5).collect()
+        assert capped == []
+        audit = dedup.containment_overflow(docs, max_bucket_size=5).collect()
+        assert audit and all(r.n_docs == 12 for r in audit)
+        uncapped = dedup.containment_pairs(docs, max_bucket_size=None).collect()
+        assert len(uncapped) == 12 * 11 // 2
