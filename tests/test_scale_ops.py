@@ -2512,3 +2512,70 @@ class TestContainment:
         assert audit and all(r.n_docs == 12 for r in audit)
         uncapped = dedup.containment_pairs(docs, max_bucket_size=None).collect()
         assert len(uncapped) == 12 * 11 // 2
+
+
+class TestIncrementalMartRefresh:
+    """build_payments_daily_incremental ≡ build_payments_daily while
+    only touching batch-affected groups (operators/payments.py r6)."""
+
+    def _fact(self, spark):
+        import datetime as dt
+
+        rows = []
+        for day in range(4):
+            for suc in ("A", "B"):
+                for t in range(6):
+                    rows.append(
+                        (
+                            suc,
+                            dt.date(2024, 1, 1 + day),
+                            day * 100 + t,
+                            "efectivo" if t % 2 else "tarjeta",
+                            10.0 + t,
+                            1.0,
+                            t % 3 == 0,
+                        )
+                    )
+        return spark.createDataFrame(
+            rows,
+            "sucursal string, operating_date date, order_index long, "
+            "payment_method string, ticket_total double, ticket_tip double, "
+            "elimination_present boolean",
+        )
+
+    def test_equals_full_recompute(self, spark):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators.payments import (
+            build_payments_daily,
+            build_payments_daily_incremental,
+        )
+
+        fact = self._fact(spark)
+        hol = spark.createDataFrame([], "fecha date")
+        # batch: one branch-day's late rows (order_index 100..105 = day 2 / A+B)
+        pred = (F.col("order_index") >= 100) & (F.col("order_index") < 106)
+        full = build_payments_daily(fact, hol)
+        inc = build_payments_daily_incremental(fact, hol, pred)
+        cols = full.columns
+        assert sorted(inc.select(cols).collect()) == sorted(full.collect())
+
+    def test_affected_legs_broadcast(self, spark):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators.payments import (
+            build_payments_daily_incremental,
+        )
+
+        fact = self._fact(spark)
+        hol = spark.createDataFrame([], "fecha date")
+        inc = build_payments_daily_incremental(
+            fact, hol, F.col("order_index") % 13 == 0
+        )
+        plan = inc._jdf.queryExecution().executedPlan().toString()
+        # the key-pruning joins must be broadcast (anti + semi), never a
+        # corpus-sized shuffle join
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2 or (
+            "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+        )
