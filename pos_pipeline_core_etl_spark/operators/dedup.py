@@ -407,6 +407,36 @@ def containment_pairs(
     )
 
 
+def containment_all_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = CONTAIN_THRESHOLD,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Exact pairwise containment over a bounded doc subset — the
+    ground-truth twin of :func:`containment_pairs` (O(n²) by
+    construction; the audit/verify stage, never the scale path)."""
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    base = docs
+    if max_doc_id is not None:
+        base = base.where(F.col("doc_id") < max_doc_id)
+    sh = base.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    contain = inter / F.least(F.size(F.col("a.sh")), F.size(F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hround(contain, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def containment_overflow(
     docs: DataFrame,
     text_col: str = "text",

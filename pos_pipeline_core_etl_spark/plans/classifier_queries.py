@@ -140,3 +140,64 @@ QUERIES = {
     "docs_lr_scores": (docs_lr_scores, _scores_oracle()),
     "docs_lr_eval": (docs_lr_eval, _eval_oracle()),
 }
+
+
+def docs_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row ROC-AUC of the trained model via the rank statistic:
+    AUC = [#(pos,neg) pairs with p_pos > p_neg + 0.5·ties] / (n⁺·n⁻).
+
+    Scale shape: scores collapse to per-distinct-p counts first (one
+    keyed hash-agg with map-side partials — p is hround-ed to 6 dp so
+    there are at most 10⁶+1 distinct values, BOUNDED regardless of
+    corpus size), then one window over that bounded frame accumulates
+    negatives-below; every term stays an exact integer or half-integer
+    in doubles, so the fold is order-free cross-engine."""
+    from pyspark.sql import Window
+
+    feats = _checkpointed_feats(spark, sf_dir)
+    w = classifier.logistic_gd(feats)
+    scored = classifier.lr_scores(feats, w)
+    per_p = scored.groupBy("p").agg(
+        F.sum("y").alias("np_"),
+        F.sum(F.lit(1) - F.col("y")).alias("nn_"),
+    )
+    below = (
+        Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = per_p.withColumn(
+        "cnb", F.coalesce(F.sum("nn_").over(below), F.lit(0))
+    )
+    contrib = F.col("np_") * F.col("cnb") + F.lit(0.5) * (
+        F.col("np_") * F.col("nn_")
+    )
+    return c.groupBy().agg(
+        F.sum("np_").cast("long").alias("n_pos"),
+        F.sum("nn_").cast("long").alias("n_neg"),
+        hround(
+            F.sum(contrib) / (F.sum("np_") * F.sum("nn_")), 6
+        ).alias("auc"),
+    )
+
+
+def _auc_oracle() -> str:
+    return f"""{_lr_chain_sql()},
+scores AS ({_SCORES_BODY}),
+per_p AS (
+  SELECT p, CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+  FROM scores GROUP BY p
+),
+c AS (
+  SELECT p, np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM per_p
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       {hround_sql("sum(np * cnb + 0.5 * (np * nn)) / (sum(np) * sum(nn))", 6)}
+         AS auc
+FROM c
+"""
+
+
+QUERIES["docs_lr_auc"] = (docs_lr_auc, _auc_oracle())

@@ -4553,3 +4553,68 @@ QUERIES["dedup_containment_staged"] = (
     dedup_containment_staged,
     DEDUP_CONTAINMENT_STAGED_SQL,
 )
+
+
+def dedup_containment_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing recall audit for the sampled-shingle containment index:
+    per containment decile, ground-truth pair count (bounded all-pairs,
+    doc_id < 500 — the bound where the sf fixtures carry true
+    contained pairs) vs pairs the inverted index recovered. Unlike the
+    SimHash pigeonhole audit, the sampled index has NO total-recall
+    guarantee (a true pair whose intersection contains no sampled
+    shingle is missed), so the oracle recomputes BOTH sides — the audit
+    pins the measured recall and the driver hash-fails on any sampling
+    or cap regression that moves it."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    truth = dedup.containment_all_pairs(docs)
+    indexed = dedup.containment_pairs(docs).select(
+        F.col("doc_a").alias("i_a"), F.col("doc_b").alias("i_b")
+    )
+    joined = truth.join(
+        indexed,
+        (F.col("doc_a") == F.col("i_a")) & (F.col("doc_b") == F.col("i_b")),
+        "left",
+    )
+    decile = hround(F.floor(F.col("containment") * 10) / 10, 1)
+    return (
+        joined.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("i_a").isNotNull().cast("long")).alias("n_indexed"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _containment_recall_oracle() -> str:
+    bounded = "documents WHERE doc_id < 500"
+    truth_expr = "len(list_intersect(a.s, b.s)) / least(len(a.s), len(b.s))"
+    index_side = _containment_oracle(source=bounded).strip()
+    return f"""
+WITH tsh AS (
+  SELECT doc_id, {dedup.shingles_sql("text")} AS s FROM {bounded}
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {hround_sql(truth_expr, 6)} AS containment
+  FROM tsh a JOIN tsh b ON a.doc_id < b.doc_id
+  WHERE {hround_sql(truth_expr, 6)} >= {dedup.CONTAIN_THRESHOLD}
+),
+indexed AS ({index_side})
+SELECT {hround_sql("floor(t.containment * 10) / 10", 1)} AS decile,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN i.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_indexed
+FROM truth t
+LEFT JOIN indexed i ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+DEDUP_CONTAINMENT_RECALL_SQL = _containment_recall_oracle()
+
+QUERIES["dedup_containment_recall"] = (
+    dedup_containment_recall,
+    DEDUP_CONTAINMENT_RECALL_SQL,
+)

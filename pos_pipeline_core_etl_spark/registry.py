@@ -56,6 +56,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment",          # doc-in-doc Broder containment (inverted index)
     "dedup_containment_overflow", # stop-shingle posting-list audit
     "dedup_containment_staged",   # exact-first containment (the scale path)
+    "dedup_containment_recall",   # two-sided recall audit vs bounded all-pairs truth
+    "docs_lr_auc",                # rank-statistic ROC-AUC (bounded-window form)
     "payments_daily_mart_incremental",  # late-batch refresh ≡ full mart (oracle-pinned)
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
