@@ -30,27 +30,17 @@ from pos_pipeline_core_etl_spark.functions.rounding import hround
 TIP_TOLERANCE = 0.05  # reference: payments_daily.py:389
 
 
-def build_payments_daily(fact: DataFrame, holidays: DataFrame) -> DataFrame:
-    """fact_payments_ticket → mart_payments_daily (grain: sucursal × fecha).
+def per_ticket_partials(fact: DataFrame) -> DataFrame:
+    """Level-1 of the daily mart: ticket-grain partial aggregates.
 
-    ``fact`` columns: sucursal, operating_date, order_index,
-    payment_method, ticket_total, ticket_tip, elimination_present.
-    ``holidays`` columns: fecha (date).
+    MERGEABLE by construction — two partials for the same (sucursal,
+    fecha, order_index) combine by summing the t_* columns and OR-ing
+    t_elim (``merge_per_ticket``), which is what makes the mart
+    maintainable incrementally (streaming materialized view): late
+    batches contribute partials; only touched keys re-merge.
     """
-    from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
-
-    # The pivot cells are F.expr over generated SQL (the hround_sql
-    # strings are valid Spark SQL too): one py4j round-trip per cell
-    # instead of ~10, ~0.5 s less driver-side plan construction per
-    # invocation at no change to the executed plan. D-suffixed literals
-    # keep everything double (bare 100.0 parses as DECIMAL in Spark SQL).
     bucket = bucket_for_payment_method(F.col("payment_method"))
-
-    # Two-level aggregation: level 1 reduces to ticket grain (ONE shuffle
-    # of the fact, no Expand), level 2 is a near-free day-grain rollup.
-    # The naive form — two countDistinct()s in one agg — plans an Expand
-    # that triples shuffle volume; at 100 TB that dominates the job.
-    per_ticket = fact.withColumn("_bucket", bucket).groupBy(
+    return fact.withColumn("_bucket", bucket).groupBy(
         F.col("sucursal"), F.col("operating_date").alias("fecha"), F.col("order_index")
     ).agg(
         *[
@@ -63,6 +53,42 @@ def build_payments_daily(fact: DataFrame, holidays: DataFrame) -> DataFrame:
         F.expr("MAX(COALESCE(elimination_present, false))").alias("t_elim"),
     )
 
+
+def merge_per_ticket(partials: DataFrame) -> DataFrame:
+    """Re-merge stacked per-ticket partials (e.g. one set per streaming
+    batch) back to one row per ticket: sums add, elimination ORs."""
+    return partials.groupBy("sucursal", "fecha", "order_index").agg(
+        *[F.expr(f"SUM(t_{b})").alias(f"t_{b}") for b in PAYMENT_BUCKETS],
+        F.expr("SUM(t_tip)").alias("t_tip"),
+        F.expr("MAX(t_elim)").alias("t_elim"),
+    )
+
+
+def build_payments_daily(fact: DataFrame, holidays: DataFrame) -> DataFrame:
+    """fact_payments_ticket → mart_payments_daily (grain: sucursal × fecha).
+
+    ``fact`` columns: sucursal, operating_date, order_index,
+    payment_method, ticket_total, ticket_tip, elimination_present.
+    ``holidays`` columns: fecha (date).
+    """
+    # Two-level aggregation: level 1 reduces to ticket grain (ONE shuffle
+    # of the fact, no Expand), level 2 is a near-free day-grain rollup.
+    # The naive form — two countDistinct()s in one agg — plans an Expand
+    # that triples shuffle volume; at 100 TB that dominates the job.
+    return daily_from_per_ticket(per_ticket_partials(fact), holidays)
+
+
+def daily_from_per_ticket(per_ticket: DataFrame, holidays: DataFrame) -> DataFrame:
+    """Level-2 of the daily mart: day-grain rollup + holiday flag over
+    ticket-grain rows (one row per ticket — merge stacked partials with
+    :func:`merge_per_ticket` first)."""
+    from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
+
+    # The pivot cells are F.expr over generated SQL (the hround_sql
+    # strings are valid Spark SQL too): one py4j round-trip per cell
+    # instead of ~10, ~0.5 s less driver-side plan construction per
+    # invocation at no change to the executed plan. D-suffixed literals
+    # keep everything double (bare 100.0 parses as DECIMAL in Spark SQL).
     daily = (
         per_ticket.groupBy("sucursal", "fecha")
         .agg(

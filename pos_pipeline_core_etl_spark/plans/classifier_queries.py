@@ -201,3 +201,67 @@ FROM c
 
 
 QUERIES["docs_lr_auc"] = (docs_lr_auc, _auc_oracle())
+
+
+LR_GATE_KEEP_FRACTION = 0.4
+
+
+def corpus_lr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate report under the trained classifier:
+    keep the top LR_GATE_KEEP_FRACTION of the corpus by model score
+    (ties broken by doc_id — a fixed p >= 0.5 cut is degenerate when
+    the model sits at the base rate), then report per-source keep
+    counts — the fasttext-filter deployment shape: score, gate,
+    report. The exact global rank here is the verify twin; at corpus
+    scale the cut-point comes from a mergeable percentile sketch
+    exactly as docs_quality_pct_approx does for the quality score."""
+    from pyspark.sql import Window
+
+    feats = _checkpointed_feats(spark, sf_dir)
+    w = classifier.logistic_gd(feats)
+    scored = classifier.lr_scores(feats, w)
+    n = scored.count()
+    k = int(n * LR_GATE_KEEP_FRACTION)
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("p"), F.col("doc_id"))),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        ranked.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") <= k).cast("long")).alias("n_kept"),
+            hround(
+                F.sum((F.col("rn") <= k).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("pct_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gate_oracle() -> str:
+    frac = LR_GATE_KEEP_FRACTION
+    return f"""{_lr_chain_sql()},
+scores AS ({_SCORES_BODY}),
+ranked AS (
+  SELECT doc_id, p,
+         row_number() OVER (ORDER BY p DESC, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM scores
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r.rn <= CAST(floor(r.n * {frac}) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       {hround_sql(
+           f"sum(CASE WHEN r.rn <= CAST(floor(r.n * {frac}) AS BIGINT)"
+           " THEN 1 ELSE 0 END) / count(*)", 6)} AS pct_kept
+FROM ranked r JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+QUERIES["corpus_lr_gate"] = (corpus_lr_gate, _gate_oracle())

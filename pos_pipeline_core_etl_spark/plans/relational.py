@@ -669,3 +669,87 @@ QUERIES: dict[str, tuple] = {
     "value_mode": (value_mode, VALUE_MODE_SQL),
     "scd2_orders_snapshot": (scd2_orders_snapshot, SCD2_ORDERS_SNAPSHOT_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-key entity resolution (round 6) — deletion-neighborhood blocking
+
+
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer names within edit distance 1, via FastSS/SymSpell
+    deletion-variant blocking + exact levenshtein verify on candidates
+    only (operators/fuzzy.py). The synthetic names differ in single
+    digits, so the fixture is dense in true typo-pairs."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy.fuzzy_key_pairs(cust, "c_custkey", "c_name", max_distance=1)
+
+
+def _fuzzy_pairs_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_MAX_BUCKET
+
+    return f"""
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+),
+v AS (
+  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm,
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
+    END) AS variant
+  FROM k
+),
+sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS key_a, b.nm AS key_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+  JOIN sizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_MAX_BUCKET}
+)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+FROM cands
+WHERE levenshtein(key_a, key_b) <= 1
+"""
+
+
+QUERIES["fuzzy_customer_pairs"] = (fuzzy_customer_pairs, _fuzzy_pairs_oracle())
+
+
+def fuzzy_customer_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-variant audit for the blocking stage: every deletion variant
+    shared by more keys than the bucket cap."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    df = fuzzy.fuzzy_key_overflow(cust, "c_custkey", "c_name")
+    return df.select("variant", F.col("n_keys").cast("long").alias("n_keys"))
+
+
+def _fuzzy_overflow_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_MAX_BUCKET
+
+    return f"""
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+),
+v AS (
+  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm,
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
+    END) AS variant
+  FROM k
+)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_keys
+FROM v GROUP BY variant
+HAVING count(*) > {FUZZY_MAX_BUCKET}
+"""
+
+
+QUERIES["fuzzy_customer_overflow"] = (
+    fuzzy_customer_overflow,
+    _fuzzy_overflow_oracle(),
+)

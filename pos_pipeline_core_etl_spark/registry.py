@@ -59,6 +59,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment_recall",   # two-sided recall audit vs bounded all-pairs truth
     "docs_lr_auc",                # rank-statistic ROC-AUC (bounded-window form)
     "payments_daily_mart_incremental",  # late-batch refresh ≡ full mart (oracle-pinned)
+    "fuzzy_customer_pairs",       # FastSS deletion-variant blocking + verify
+    "fuzzy_customer_overflow",    # stop-variant audit for the blocking stage
+    "corpus_lr_gate",             # top-fraction classifier gate, per-source report
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)

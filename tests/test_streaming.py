@@ -532,3 +532,107 @@ class TestStreamingImageDedup:
         out2 = run_streaming_image_dedup(spark, stream_dir, out_dir, index_dir, ckpt)
         after = sorted((r["doc_id"], r["decision"]) for r in out2.collect())
         assert before == after
+
+
+class TestStreamingMartMaintenance:
+    """Streaming materialized-view maintenance of the payments daily
+    mart: mergeable ticket-grain partials per batch, day-grain rebuild
+    of touched fechas only, mart ≡ batch twin after every drain."""
+
+    def _rows(self):
+        import datetime as dt
+
+        rows = []
+        for day in range(3):
+            for suc in ("A", "B"):
+                for t in range(5):
+                    rows.append(
+                        (
+                            suc,
+                            dt.date(2024, 2, 1 + day),
+                            day * 100 + t,
+                            "efectivo" if t % 2 else "tarjeta",
+                            20.0 + t,
+                            1.5,
+                            t == 0,
+                        )
+                    )
+        return rows
+
+    def _write_batch(self, spark, stream_dir, rows):
+        from pos_pipeline_core_etl_spark.streaming.events import FACT_STREAM_SCHEMA
+
+        spark.createDataFrame(rows, FACT_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    def test_mart_converges_and_survives_restart(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators.payments import (
+            build_payments_daily,
+        )
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            FACT_STREAM_SCHEMA,
+            run_streaming_mart_maintenance,
+        )
+
+        rows = self._rows()
+        stream_dir = str(tmp_path / "facts")
+        partials = str(tmp_path / "partials")
+        mart = str(tmp_path / "mart")
+        ckpt = str(tmp_path / "ckpt")
+        hol = spark.createDataFrame([(rows[0][1],)], "fecha date")
+
+        def batch_mart(upto):
+            fact = spark.createDataFrame(rows[:upto], FACT_STREAM_SCHEMA)
+            return build_payments_daily(fact, hol)
+
+        def as_sorted(df):
+            cols = sorted(df.columns)
+            return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+        # slice the facts so batch 2 carries LATE rows for batch 1's days
+        # (same tickets split across batches -> partials must merge)
+        b1 = [r for i, r in enumerate(rows) if i % 2 == 0]
+        b2 = [r for i, r in enumerate(rows) if i % 2 == 1 and r[1].day <= 2]
+        b3 = [r for i, r in enumerate(rows) if i % 2 == 1 and r[1].day == 3]
+
+        self._write_batch(spark, stream_dir, b1)
+        got = run_streaming_mart_maintenance(
+            spark, stream_dir, partials, mart, ckpt, hol
+        )
+        fact1 = spark.createDataFrame(b1, FACT_STREAM_SCHEMA)
+        assert as_sorted(got) == as_sorted(build_payments_daily(fact1, hol))
+
+        self._write_batch(spark, stream_dir, b2)
+        self._write_batch(spark, stream_dir, b3)
+        got = run_streaming_mart_maintenance(
+            spark, stream_dir, partials, mart, ckpt, hol
+        )
+        assert as_sorted(got) == as_sorted(batch_mart(len(rows)))
+
+        # restart with the same checkpoint: no new files -> unchanged
+        again = run_streaming_mart_maintenance(
+            spark, stream_dir, partials, mart, ckpt, hol
+        )
+        assert as_sorted(again) == as_sorted(batch_mart(len(rows)))
+
+    def test_holiday_flag_carried(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_mart_maintenance,
+        )
+
+        rows = self._rows()
+        hol = spark.createDataFrame([(rows[0][1],)], "fecha date")
+        stream_dir = str(tmp_path / "facts")
+        self._write_batch(spark, stream_dir, rows)
+        got = run_streaming_mart_maintenance(
+            spark,
+            stream_dir,
+            str(tmp_path / "p"),
+            str(tmp_path / "m"),
+            str(tmp_path / "c"),
+            hol,
+        )
+        flags = {(r["fecha"], r["is_national_holiday"]) for r in got.collect()}
+        assert (rows[0][1], True) in flags
+        assert all(f or d != rows[0][1] for d, f in flags)
