@@ -437,6 +437,84 @@ def containment_all_pairs(
     )
 
 
+SPARSE_MAX_DF = 200
+SPARSE_IDF2_QUANT = 1 << 20
+SPARSE_COS_THRESHOLD = 0.5
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = SPARSE_COS_THRESHOLD,
+    max_df: int = SPARSE_MAX_DF,
+    quant: int = SPARSE_IDF2_QUANT,
+) -> DataFrame:
+    """IDF-weighted shingle cosine near-dup pairs — the SPARSE
+    similarity primitive (term-at-a-time inverted index), complementing
+    the dense-embedding ANN stack.
+
+    Each doc is the set of its distinct 3-gram shingles weighted by
+    smooth idf = ln((N+1)/(df+1)); cosine is then
+    Σ_shared idf² / (‖a‖·‖b‖). Rare shingles dominate, so boilerplate
+    overlap scores near zero while genuine near-dups score ~1 — unlike
+    unweighted Jaccard. Scale shape: one df agg, postings self-join
+    PARTITIONED BY GRAM with a df cap (a gram in more than ``max_df``
+    docs is a stop-gram: negligible idf weight, quadratic posting
+    cost — excluded), one keyed pair agg. Never doc × doc.
+
+    Determinism: idf² is integer-quantized (floor(idf²·Q + 0.5)) so
+    per-doc norms and per-pair dot products are exact integer sums
+    (order-free); the final division uses doubles built from those
+    exact integers identically in both engines.
+    """
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    base = _ensure_parallelism(docs)
+    grams = base.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("gram")
+    )
+    df = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_corpus"))
+    qf = float(quant)
+    idf = F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0))
+    posts = (
+        grams.join(df.where(F.col("df") <= max_df), "gram")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "gram",
+            F.floor(idf * idf * F.lit(qf) + F.lit(0.5))
+            .cast("long")
+            .alias("w2q"),
+        )
+        .localCheckpoint(eager=False)  # feeds norms AND the pair join
+    )
+    norms = posts.groupBy("doc_id").agg(F.sum("w2q").alias("norm2q"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum("a.w2q").alias("dotq"))
+    )
+    joined = (
+        pairs.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2q").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2q").alias("nb")), "doc_b")
+    )
+    cos = F.col("dotq") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return joined.select(
+        "doc_a", "doc_b", hround(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
 def containment_overflow(
     docs: DataFrame,
     text_col: str = "text",

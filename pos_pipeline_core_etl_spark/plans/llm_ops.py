@@ -4618,3 +4618,91 @@ QUERIES["dedup_containment_recall"] = (
     dedup_containment_recall,
     DEDUP_CONTAINMENT_RECALL_SQL,
 )
+
+
+def dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted shingle-cosine near-dup pairs: the sparse
+    (inverted-index) similarity primitive — rare shingles dominate, so
+    boilerplate overlap scores ~0 and true near-dups ~1. See
+    operators/dedup.py::sparse_cosine_pairs for the 100 TB shape."""
+    return dedup.sparse_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _sparse_cosine_oracle() -> str:
+    sh = dedup.shingles_sql("text")
+    qf = float(dedup.SPARSE_IDF2_QUANT)
+    idf = "ln((n.n_corpus + 1.0) / (df.df + 1.0))"
+    cos = "dotq / sqrt(CAST(na.norm2q AS DOUBLE) * CAST(nb.norm2q AS DOUBLE))"
+    return f"""
+WITH g AS (
+  SELECT doc_id, u.g AS gram
+  FROM documents, LATERAL unnest({sh}) AS u(g)
+),
+gdf AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+n AS (SELECT count(*) AS n_corpus FROM documents),
+posts AS (
+  SELECT g.doc_id, g.gram,
+         CAST(floor({idf.replace('df.df', 'gdf.df')} * {idf.replace('df.df', 'gdf.df')} * {qf} + 0.5) AS BIGINT) AS w2q
+  FROM g JOIN gdf USING (gram) CROSS JOIN n
+  WHERE gdf.df <= {dedup.SPARSE_MAX_DF}
+),
+norms AS (
+  SELECT doc_id, CAST(sum(w2q) AS BIGINT) AS norm2q FROM posts GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.w2q) AS BIGINT) AS dotq
+  FROM posts a JOIN posts b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, {hround_sql(cos, 6)} AS cosine
+FROM pairs p
+JOIN norms na ON na.doc_id = p.doc_a
+JOIN norms nb ON nb.doc_id = p.doc_b
+WHERE {hround_sql(cos, 6)} >= {dedup.SPARSE_COS_THRESHOLD}
+"""
+
+
+DEDUP_SPARSE_COSINE_SQL = _sparse_cosine_oracle()
+
+QUERIES["dedup_sparse_cosine"] = (dedup_sparse_cosine, DEDUP_SPARSE_COSINE_SQL)
+
+
+def dedup_sparse_cosine_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-first sparse cosine: fingerprint dedup collapses
+    byte-identical cliques before the inverted-index join (on a
+    duplication-heavy corpus every clique shingle sits under the df
+    cap and the posting self-join explodes quadratically — the same
+    measured degenerate family as every unstaged near-dup form; see
+    PERFORMANCE.md). Same staging discipline as dedup_simhash_staged /
+    dedup_containment_staged."""
+    docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(canon.select("doc_id"), "doc_id")
+    return dedup.sparse_cosine_pairs(survivors)
+
+
+def _sparse_cosine_staged_oracle() -> str:
+    base = _sparse_cosine_oracle()
+    # splice the survivor CTEs in front and point the gram explode at
+    # them; the n CTE stays survivor-sized (N is the deduped corpus)
+    return base.replace(
+        "WITH g AS (",
+        f"WITH {_CONTAIN_STAGED_PREFIX.rstrip()}\ng AS (",
+        1,
+    ).replace(
+        "FROM documents, LATERAL unnest(", "FROM survivors, LATERAL unnest(", 1
+    ).replace(
+        "SELECT count(*) AS n_corpus FROM documents",
+        "SELECT count(*) AS n_corpus FROM survivors",
+        1,
+    )
+
+
+DEDUP_SPARSE_COSINE_STAGED_SQL = _sparse_cosine_staged_oracle()
+
+QUERIES["dedup_sparse_cosine_staged"] = (
+    dedup_sparse_cosine_staged,
+    DEDUP_SPARSE_COSINE_STAGED_SQL,
+)

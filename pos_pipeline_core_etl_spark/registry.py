@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_customer_pairs",       # FastSS deletion-variant blocking + verify
     "fuzzy_customer_overflow",    # stop-variant audit for the blocking stage
     "corpus_lr_gate",             # top-fraction classifier gate, per-source report
+    "dedup_sparse_cosine",        # idf-weighted shingle cosine (inverted index)
+    "dedup_sparse_cosine_staged", # exact-first sparse cosine (the scale path)
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)

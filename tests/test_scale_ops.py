@@ -2647,3 +2647,38 @@ class TestFuzzyKeyPairs:
         capped = fuzzy.fuzzy_key_pairs(df, "id", "k", max_bucket_size=2)
         uncapped = fuzzy.fuzzy_key_pairs(df, "id", "k", max_bucket_size=None)
         assert capped.count() <= uncapped.count()
+
+
+class TestSparseCosine:
+    """IDF-weighted shingle cosine (operators/dedup.py r6): rare
+    shingles dominate; shared boilerplate scores near zero."""
+
+    def test_near_dup_scores_high_boilerplate_low(self, spark):
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        boiler = "terms and conditions apply to this offer"
+        rows = [
+            (0, f"{boiler} unique alpha beta gamma delta text one"),
+            (1, f"{boiler} unique alpha beta gamma delta text two"),   # near-dup of 0
+            (2, f"{boiler} totally different rare payload words here"),
+            (3, "no shared content at all zeta eta theta iota kappa"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in dedup.sparse_cosine_pairs(docs, threshold=0.0).collect()
+        }
+        assert got[(0, 1)] > 0.6                 # near-dups
+        assert got.get((0, 2), 0.0) < 0.2        # boilerplate-only overlap
+        assert got.get((1, 2), 0.0) < 0.2
+        assert (0, 3) not in got and (2, 3) not in got  # no shared grams
+
+    def test_stop_gram_cap_prunes_postings(self, spark):
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        # a gram shared by every doc is a stop-gram under a small cap:
+        # pairs that ONLY share it disappear
+        rows = [(i, f"common shared prefix here doc{i} tail{i} x{i}") for i in range(8)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = dedup.sparse_cosine_pairs(docs, threshold=0.0, max_df=4).collect()
+        assert capped == []
