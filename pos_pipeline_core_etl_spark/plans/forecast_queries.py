@@ -431,3 +431,165 @@ QUERIES: dict[str, tuple] = {
     "deposit_cash_flow": (deposit_cash_flow, DEPOSIT_CASH_FLOW_SQL),
     "forecast_loglinear": (forecast_loglinear, FORECAST_LOGLINEAR_SQL),
 }
+
+
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the NaiveLastWeek rule: hold out each
+    branch's LAST 7 observed days, forecast them from the remaining
+    history with the same equivalent-weekday candidate walk (candidates
+    ≤ the holdout cutoff), then score per branch — n_eval (days with
+    positive actuals), MAPE and MAE. The model-eval loop a forecasting
+    deployment runs before promoting a model; same dimension-sized
+    plumbing as forecast_naive_lastweek, plus one actuals equi-join and
+    a per-branch agg."""
+    base = payments_daily_mart(spark, sf_dir).select(
+        "sucursal",
+        "fecha",
+        hround(qa.ingreso_total_col(), 2).alias("it"),
+        "is_national_holiday",
+    ).persist()
+    daily = base.select("sucursal", "fecha", "it")
+    blocked = (
+        base.where(F.col("is_national_holiday"))
+        .select(F.col("fecha").alias("h_fecha"))
+        .distinct()
+        .select(
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"), "h_fecha"
+        )
+        .select(F.expr("date_add(h_fecha, off)").alias("b_fecha"))
+        .distinct()
+    )
+    cut = daily.groupBy("sucursal").agg(
+        F.expr("date_sub(max(fecha), 7)").alias("cutoff")
+    )
+    horizon = cut.select(
+        "sucursal",
+        F.explode(F.sequence(F.lit(1), F.lit(HORIZON))).alias("h"),
+        "cutoff",
+    ).select(
+        "sucursal", "h", "cutoff", F.expr("date_add(cutoff, h)").alias("target_fecha")
+    )
+    cand = horizon.select(
+        "sucursal",
+        "h",
+        "target_fecha",
+        "cutoff",
+        F.explode(F.sequence(F.lit(1), F.lit(NAIVE_MAX_WEEKS))).alias("w"),
+    ).withColumn("cand_fecha", F.expr("date_sub(target_fecha, 7 * w)"))
+    eligible = cand.where(F.col("cand_fecha") <= F.col("cutoff")).join(
+        F.broadcast(blocked), cand.cand_fecha == blocked.b_fecha, "left_anti"
+    )
+    eq = eligible.groupBy("sucursal", "h", "target_fecha").agg(
+        F.max("cand_fecha").alias("src_fecha")
+    )
+    fc = (
+        horizon.join(eq, ["sucursal", "h", "target_fecha"], "left")
+        .join(
+            daily.select(
+                F.col("sucursal").alias("d_suc"),
+                F.col("fecha").alias("d_fecha"),
+                F.col("it").alias("f_it"),
+            ),
+            (F.col("sucursal") == F.col("d_suc"))
+            & (F.col("src_fecha") == F.col("d_fecha")),
+            "left",
+        )
+        .select(
+            "sucursal",
+            "target_fecha",
+            F.coalesce(F.col("f_it"), F.lit(0.0)).alias("forecast"),
+        )
+    )
+    actual = daily.select(
+        F.col("sucursal").alias("a_suc"),
+        F.col("fecha").alias("a_fecha"),
+        F.col("it").alias("actual"),
+    )
+    scored = fc.join(
+        actual,
+        (F.col("sucursal") == F.col("a_suc"))
+        & (F.col("target_fecha") == F.col("a_fecha")),
+    ).where(F.col("actual") > 0)
+    # order-free aggregation: per-row terms quantized to integers so the
+    # group sums are exact regardless of partial-agg order (forecast and
+    # actual are hround2 values, identical in both engines; the division
+    # and floor are then bit-identical per row)
+    diff_cents = F.floor(
+        F.abs(F.col("forecast") - F.col("actual")) * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    ape_q = F.floor(
+        (F.abs(F.col("forecast") - F.col("actual")) / F.col("actual"))
+        * F.lit(1.0e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        scored.groupBy("sucursal")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            hround(F.sum(ape_q) / (F.count(F.lit(1)) * F.lit(1.0e9)), 6).alias(
+                "mape"
+            ),
+            hround(
+                F.sum(diff_cents) / (F.count(F.lit(1)) * F.lit(100.0)), 2
+            ).alias("mae"),
+        )
+        .orderBy("sucursal")
+    )
+
+
+FORECAST_BACKTEST_NAIVE_SQL = f"""
+{_MART_CTE},
+daily AS (SELECT sucursal, fecha, {hround_sql(_IT, 2)} AS it FROM mart),
+blocked AS (
+  SELECT DISTINCT fecha + CAST(u.off AS INT) AS b_fecha
+  FROM (SELECT DISTINCT fecha FROM mart WHERE is_national_holiday) hol,
+       LATERAL (SELECT unnest([-1, 0, 1]) AS off) u
+),
+cut AS (SELECT sucursal, MAX(fecha) - 7 AS cutoff FROM daily GROUP BY sucursal),
+horizon AS (
+  SELECT c.sucursal, u.h, c.cutoff,
+         c.cutoff + CAST(u.h AS INT) AS target_fecha
+  FROM cut c, LATERAL (SELECT unnest(generate_series(1, {HORIZON})) AS h) u
+),
+eligible AS (
+  SELECT hz.sucursal, hz.h, hz.target_fecha,
+         hz.target_fecha - CAST(7 * u.w AS INT) AS cand_fecha
+  FROM horizon hz, LATERAL (SELECT unnest(generate_series(1, {NAIVE_MAX_WEEKS})) AS w) u
+  WHERE hz.target_fecha - CAST(7 * u.w AS INT) <= hz.cutoff
+    AND NOT EXISTS (SELECT 1 FROM blocked b
+                    WHERE b.b_fecha = hz.target_fecha - CAST(7 * u.w AS INT))
+),
+eq AS (
+  SELECT sucursal, h, target_fecha, MAX(cand_fecha) AS src_fecha
+  FROM eligible GROUP BY sucursal, h, target_fecha
+),
+fc AS (
+  SELECT hz.sucursal, hz.target_fecha, COALESCE(d.it, 0.0) AS forecast
+  FROM horizon hz
+  LEFT JOIN eq ON eq.sucursal = hz.sucursal AND eq.h = hz.h
+              AND eq.target_fecha = hz.target_fecha
+  LEFT JOIN daily d ON d.sucursal = hz.sucursal AND d.fecha = eq.src_fecha
+),
+scored AS (
+  SELECT f.sucursal, f.forecast, a.it AS actual
+  FROM fc f JOIN daily a ON a.sucursal = f.sucursal
+                         AND a.fecha = f.target_fecha
+  WHERE a.it > 0
+)
+SELECT sucursal,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       {hround_sql(
+           "sum(CAST(floor(abs(forecast - actual) / actual * 1000000000.0"
+           " + 0.5) AS BIGINT)) / (count(*) * 1000000000.0)", 6)} AS mape,
+       {hround_sql(
+           "sum(CAST(floor(abs(forecast - actual) * 100.0 + 0.5) AS BIGINT))"
+           " / (count(*) * 100.0)", 2)} AS mae
+FROM scored
+GROUP BY sucursal
+ORDER BY sucursal
+"""
+
+QUERIES["forecast_backtest_naive"] = (
+    forecast_backtest_naive,
+    FORECAST_BACKTEST_NAIVE_SQL,
+)

@@ -17,9 +17,13 @@ reads r5×50, r4×45, r3×39, r2×7 across the 141 round-5 names.  Tier 0
 = the NEW round-6 queries (staged SimHash dedup, banding-overflow
 report, learned-quantizer IVF-PQ + its recall audits, grid-IVF-PQ
 recall audit, fast BPE trainer, image dedup decisions, decoder
-coverage, snapshot-diff incremental dedup, the distributed
-logistic-regression quality-classifier trio, and Broder containment
-doc-in-doc dedup + its posting-list audit) — never driver-checked.
+coverage, snapshot-diff incremental dedup; second pass: the
+distributed logistic-regression family — train / scores / eval /
+AUC / top-fraction gate — Broder containment doc-in-doc dedup with
+staged + overflow + recall-audit twins, the incremental mart refresh
+whose oracle is the full-mart SQL, FastSS deletion-variant fuzzy
+matching + its stop-variant audit, and idf-weighted sparse shingle
+cosine, plain + staged) — never driver-checked.
 Tier 1 = the round-6 VALUE changes: text_bpe_train / text_bpe_apply
 moved to canonical double-space merge semantics AFTER their r5 row
 was recorded (ADVICE r5 item 2).  Tier 2 = the 7 names whose newest
@@ -64,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_lr_gate",             # top-fraction classifier gate, per-source report
     "dedup_sparse_cosine",        # idf-weighted shingle cosine (inverted index)
     "dedup_sparse_cosine_staged", # exact-first sparse cosine (the scale path)
+    "forecast_backtest_naive",    # walk-forward holdout MAPE/MAE per branch
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)
