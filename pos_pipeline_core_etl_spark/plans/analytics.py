@@ -644,3 +644,134 @@ QUERIES["join_asof_next_purchase"] = (
     JOIN_ASOF_NEXT_PURCHASE_SQL,
 )
 QUERIES["events_mad_anomalies"] = (events_mad_anomalies, EVENTS_MAD_ANOMALIES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# data-layout / file-skipping analysis (round 6)
+
+_ZORDER_EPOCH = "DATE'2024-01-01'"
+
+
+def _interleave4(zu: str, zd: str) -> str:
+    """8-bit Morton code from two 4-bit bucket expressions (valid in
+    both Spark SQL and DuckDB: shiftright/& in Spark, >>/& in DuckDB —
+    emitted as arithmetic so ONE string serves both engines)."""
+    terms = []
+    for i in range(4):
+        terms.append(f"((CAST(floor(({zu}) / {1 << i}) AS INT) % 2) * {1 << (2 * i + 1)})")
+        terms.append(f"((CAST(floor(({zd}) / {1 << i}) AS INT) % 2) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+def events_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping comparison of three physical layouts for the
+    events table, 32 files each: partition by day (`by_day`), by user
+    hash-bucket (`by_user`), and by Z-ORDER (Morton interleave of the
+    4-bit day and user buckets, files = aligned rectangles of the
+    (user, day) grid). For each layout: how many files a user point
+    query and a day point query must read on the REAL data
+    distribution. Single-dimension layouts ace one query shape and
+    read everything for the other; the z-order layout bounds BOTH —
+    the data-layout decision a 100 TB table bakes into its writer
+    (`repartitionByRange` on the z-value + per-file min/max stats).
+    Pure integer bucket math — bit-identical cross-engine; averages
+    are integer-sum / count (order-free)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.expr(f"pmod(datediff(CAST(ts AS DATE), {_ZORDER_EPOCH}), 32)").alias(
+            "d_bucket"
+        ),
+        F.expr("pmod(user_id, 32)").alias("u_bucket"),
+    )
+    z = _interleave4("floor(u_bucket / 2)", "floor(d_bucket / 2)")
+    placed = base.select(
+        "user_id",
+        "d_bucket",
+        F.col("d_bucket").alias("file_by_day"),
+        F.col("u_bucket").alias("file_by_user"),
+        F.expr(f"CAST(floor(({z}) / 8) AS INT)").alias("file_zorder"),
+    )
+    lay = placed.select(
+        "user_id",
+        "d_bucket",
+        F.expr(
+            "explode(array("
+            "named_struct('layout', 'by_day', 'file', file_by_day), "
+            "named_struct('layout', 'by_user', 'file', file_by_user), "
+            "named_struct('layout', 'zorder', 'file', file_zorder)))"
+        ).alias("lf"),
+    ).select("user_id", "d_bucket", F.col("lf.layout").alias("layout"), F.col("lf.file").alias("file"))
+    per_user = lay.groupBy("layout", "user_id").agg(
+        F.count_distinct("file").alias("nf")
+    )
+    per_day = lay.groupBy("layout", "d_bucket").agg(
+        F.count_distinct("file").alias("nf")
+    )
+    au = per_user.groupBy("layout").agg(
+        hround(F.sum("nf") / F.count(F.lit(1)), 6).alias("avg_files_user_query")
+    )
+    ad = per_day.groupBy("layout").agg(
+        hround(F.sum("nf") / F.count(F.lit(1)), 6).alias("avg_files_day_query")
+    )
+    nf = lay.groupBy("layout").agg(F.count_distinct("file").alias("n_files_used"))
+    return (
+        nf.join(au, "layout").join(ad, "layout").orderBy("layout")
+    )
+
+
+def _layout_skipping_oracle() -> str:
+    z = _interleave4("CAST(floor(u_bucket / 2) AS INT)", "CAST(floor(d_bucket / 2) AS INT)")
+    return f"""
+WITH base AS (
+  SELECT user_id,
+         ((datediff('day', {_ZORDER_EPOCH}, CAST(ts AS DATE)) % 32) + 32) % 32 AS d_bucket,
+         ((user_id % 32) + 32) % 32 AS u_bucket
+  FROM events
+),
+placed AS (
+  SELECT user_id, d_bucket,
+         d_bucket AS file_by_day,
+         u_bucket AS file_by_user,
+         CAST(floor(({z}) / 8) AS INT) AS file_zorder
+  FROM base
+),
+lay AS (
+  SELECT user_id, d_bucket, 'by_day' AS layout, file_by_day AS file FROM placed
+  UNION ALL
+  SELECT user_id, d_bucket, 'by_user', file_by_user FROM placed
+  UNION ALL
+  SELECT user_id, d_bucket, 'zorder', file_zorder FROM placed
+),
+per_user AS (
+  SELECT layout, user_id, count(DISTINCT file) AS nf
+  FROM lay GROUP BY layout, user_id
+),
+per_day AS (
+  SELECT layout, d_bucket, count(DISTINCT file) AS nf
+  FROM lay GROUP BY layout, d_bucket
+),
+au AS (
+  SELECT layout, {hround_sql("CAST(sum(nf) AS DOUBLE) / count(*)", 6)}
+           AS avg_files_user_query
+  FROM per_user GROUP BY layout
+),
+ad AS (
+  SELECT layout, {hround_sql("CAST(sum(nf) AS DOUBLE) / count(*)", 6)}
+           AS avg_files_day_query
+  FROM per_day GROUP BY layout
+),
+nf AS (
+  SELECT layout, CAST(count(DISTINCT file) AS BIGINT) AS n_files_used
+  FROM lay GROUP BY layout
+)
+SELECT nf.layout, nf.n_files_used, au.avg_files_user_query, ad.avg_files_day_query
+FROM nf JOIN au USING (layout) JOIN ad USING (layout)
+ORDER BY nf.layout
+"""
+
+
+QUERIES["events_layout_skipping"] = (
+    events_layout_skipping,
+    _layout_skipping_oracle(),
+)
