@@ -753,3 +753,68 @@ QUERIES["fuzzy_customer_overflow"] = (
     fuzzy_customer_overflow,
     _fuzzy_overflow_oracle(),
 )
+
+
+def fuzzy_customer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing recall audit for the deletion-variant blocking: on the
+    bounded subset (c_custkey < 300), ground-truth distance-≤1 pairs
+    from brute-force levenshtein vs pairs the index recovered. The
+    FastSS identity guarantees TOTAL recall while no variant bucket
+    overflows, so the oracle hard-codes n_matched = n_true per
+    distance — any blocking regression hash-fails the driver check
+    (the dedup_simhash_recall discipline for the fuzzy family)."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    truth = (
+        a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .where(F.levenshtein("a.c_name", "b.c_name") <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein("a.c_name", "b.c_name").cast("long").alias("dist"),
+        )
+    )
+    idx = fuzzy.fuzzy_key_pairs(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("i_a"), F.col("id_b").alias("i_b")
+    )
+    joined = truth.join(
+        idx,
+        (F.col("id_a") == F.col("i_a")) & (F.col("id_b") == F.col("i_b")),
+        "left",
+    )
+    return (
+        joined.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("i_a").isNotNull().cast("long")).alias("n_matched"),
+        )
+        .orderBy("dist")
+    )
+
+
+FUZZY_CUSTOMER_RECALL_SQL = """
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey < 300
+),
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM k a JOIN k b ON a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 1
+)
+SELECT dist,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM truth
+GROUP BY dist
+ORDER BY dist
+"""
+
+QUERIES["fuzzy_customer_recall"] = (fuzzy_customer_recall, FUZZY_CUSTOMER_RECALL_SQL)

@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_sparse_cosine_staged", # exact-first sparse cosine (the scale path)
     "forecast_backtest_naive",    # walk-forward holdout MAPE/MAE per branch
     "events_layout_skipping",     # z-order vs single-dim file pruning report
+    "fuzzy_customer_recall",      # total-recall audit (oracle hard-codes n=true)
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)
