@@ -75,6 +75,10 @@ HEADLINE = (
     # the round-6 measured degenerate mode)
     "docs_lr_train",
     "dedup_containment_staged",
+    # third pass: deletion-variant fuzzy matching and the staged sparse
+    # shingle-cosine (third instance of the exact-first staging law)
+    "fuzzy_customer_pairs",
+    "dedup_sparse_cosine_staged",
 )
 
 
