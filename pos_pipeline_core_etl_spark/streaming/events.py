@@ -809,3 +809,41 @@ def run_streaming_mart_maintenance(
     )
     q.awaitTermination()
     return spark.read.parquet(mart_dir)
+
+
+def run_streaming_lr_scores(
+    spark: SparkSession,
+    stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    weights: DataFrame,
+) -> DataFrame:
+    """Model serving on a document stream: score each micro-batch with
+    a TRAINED logistic-regression weight row (broadcast into the batch
+    plan — train offline with operators.classifier.logistic_gd, deploy
+    here). Features are per-doc only, so scoring is stateless; the
+    idempotent batch_id sink gives exactly-once. The union of batch
+    outputs is proven ≡ batch lr_scores over all documents consumed
+    (tests) — the train-offline / score-online deployment shape."""
+    from pos_pipeline_core_etl_spark.operators.classifier import (
+        lr_features,
+        lr_scores,
+    )
+
+    w_rows = weights.collect()  # 1-row frame; rebuilt per batch session
+    schema = "doc_id long, text string, lang string"
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.sparkSession.createDataFrame(w_rows, weights.schema)
+        scored = lr_scores(lr_features(batch_df), w)
+        write_batch_idempotent(scored, batch_id, out_dir)
+
+    q = (
+        raw.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")

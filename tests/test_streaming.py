@@ -636,3 +636,43 @@ class TestStreamingMartMaintenance:
         flags = {(r["fecha"], r["is_national_holiday"]) for r in got.collect()}
         assert (rows[0][1], True) in flags
         assert all(f or d != rows[0][1] for d, f in flags)
+
+
+class TestStreamingLrScores:
+    """Train-offline / score-online: streaming scores ≡ batch scores."""
+
+    def test_stream_scores_equal_batch(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators.classifier import (
+            logistic_gd,
+            lr_features,
+            lr_scores,
+        )
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_lr_scores,
+        )
+
+        rows = [
+            (i, f"alpha beta doc{i} " + "the " * (i % 5), "en" if i % 3 else "fr")
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        w = logistic_gd(lr_features(docs), iters=2)
+
+        stream_dir = str(tmp_path / "docs")
+        for lo, hi in [(0, 10), (10, 30)]:
+            spark.createDataFrame(
+                rows[lo:hi], "doc_id long, text string, lang string"
+            ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+        got = run_streaming_lr_scores(
+            spark,
+            stream_dir,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            w,
+        )
+        want = lr_scores(lr_features(docs), w)
+        key = lambda r: (r["doc_id"], r["y"], r["p"], r["pred"])  # noqa: E731
+        assert sorted(map(key, got.select(*want.columns).collect())) == sorted(
+            map(key, want.collect())
+        )
