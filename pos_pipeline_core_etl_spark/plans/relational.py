@@ -818,3 +818,98 @@ ORDER BY dist
 """
 
 QUERIES["fuzzy_customer_recall"] = (fuzzy_customer_recall, FUZZY_CUSTOMER_RECALL_SQL)
+
+
+def fuzzy_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship on the bounded audit subset
+    (c_custkey < 300): fuzzy distance-1 pairs → connected components →
+    every customer labeled with its canonical entity id (min key in
+    the cluster; singletons are their own entity). The full
+    blocking → verify → cluster → survive pipeline a master-data /
+    customer-dedup job ships. Scale shape: the Spark side is the
+    iterative min-label propagation (linear work per round,
+    localCheckpoint per iteration — operators/dedup.py::
+    connected_components); the bound exists because the RECURSIVE
+    oracle's reachability set is quadratic in component size and the
+    digit-substitution name graph forms one giant component —
+    components at corpus scale run through the operator, never a
+    recursive CTE."""
+    from pos_pipeline_core_etl_spark.operators import dedup as dedup_ops
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    pairs = fuzzy.fuzzy_key_pairs(cust, "c_custkey", "c_name").select(
+        "id_a", "id_b"
+    )
+    comps = dedup_ops.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cust.join(
+            comps.select(
+                F.col("id").alias("c_custkey"),
+                F.col("component_id").alias("entity_id"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("entity_id"), F.col("c_custkey"))
+            .cast("long")
+            .alias("entity_id"),
+            (
+                F.coalesce(F.col("entity_id"), F.col("c_custkey"))
+                == F.col("c_custkey")
+            ).alias("is_canonical"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def _fuzzy_entities_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_MAX_BUCKET
+
+    return f"""
+WITH RECURSIVE
+k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey < 300
+),
+v AS (
+  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm,
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
+    END) AS variant
+  FROM k
+),
+sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+  JOIN sizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_MAX_BUCKET}
+    AND levenshtein(a.nm, b.nm) <= 1
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+SELECT k.id AS c_custkey,
+       CAST(COALESCE(c.component_id, k.id) AS BIGINT) AS entity_id,
+       COALESCE(c.component_id, k.id) = k.id AS is_canonical
+FROM k LEFT JOIN comp c ON c.id = k.id
+ORDER BY k.id
+"""
+
+
+QUERIES["fuzzy_customer_entities"] = (
+    fuzzy_customer_entities,
+    _fuzzy_entities_oracle(),
+)
