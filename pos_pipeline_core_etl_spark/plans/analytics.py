@@ -775,3 +775,109 @@ QUERIES["events_layout_skipping"] = (
     events_layout_skipping,
     _layout_skipping_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# data profiling (round 6) — the pre-ingestion column report
+
+_PROFILE_NUM = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+)
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+_PROFILE_ALL = _PROFILE_NUM + _PROFILE_STR
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem — per column: row count, null count,
+    EXACT distinct count, and numeric min/max (timestamps as epoch
+    seconds; string columns carry null min/max — their reprs differ
+    across engines while counts do not). The Deequ/profiler-style
+    pre-ingestion report.
+
+    Scale shape: one explode to (column, value) long form — a
+    deliberate ×n_cols scan amplification that buys exact distincts
+    for ALL columns in ONE shuffle with NO Expand (the multi-
+    countDistinct agg would plan an Expand of the same size anyway,
+    with worse skew); plus one map-side min/max agg row. Distinct
+    counting is on the engine's string repr, which is round-trip
+    injective on doubles in both engines, so counts match while the
+    reprs themselves never need to."""
+    li = load_table(spark, sf_dir, "lineitem")
+    casts = {
+        c: (
+            f"(unix_micros(CAST({c} AS TIMESTAMP)) / 1000000.0)"
+            if c == "l_shipdate"
+            else c
+        )
+        for c in _PROFILE_ALL
+    }
+    cells = ", ".join(
+        f"named_struct('col', '{c}', 'v', CAST({casts[c]} AS STRING))"
+        for c in _PROFILE_ALL
+    )
+    lf = li.select(F.expr(f"explode(array({cells})) AS s")).select(
+        F.col("s.col").alias("column"), F.col("s.v").alias("v")
+    )
+    stats = lf.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.count_distinct("v").alias("n_distinct"),
+    )
+    mm = li.agg(
+        *[
+            hround(F.expr(f"MIN({casts[c]})").cast("double"), 6).alias(f"mn_{c}")
+            for c in _PROFILE_NUM
+        ],
+        *[
+            hround(F.expr(f"MAX({casts[c]})").cast("double"), 6).alias(f"mx_{c}")
+            for c in _PROFILE_NUM
+        ],
+    )
+    stack_cells = ", ".join(
+        f"'{c}', mn_{c}, mx_{c}" for c in _PROFILE_NUM
+    )
+    ranges = mm.selectExpr(
+        f"stack({len(_PROFILE_NUM)}, {stack_cells}) AS (column, min_num, max_num)"
+    )
+    return (
+        stats.join(ranges, "column", "left")
+        .select("column", "n_rows", "n_null", "n_distinct", "min_num", "max_num")
+        .orderBy("column")
+    )
+
+
+def _profile_oracle() -> str:
+    def cast(c: str) -> str:
+        return f"epoch({c})" if c == "l_shipdate" else c
+
+    lf = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS col, CAST({cast(c)} AS VARCHAR) AS v FROM lineitem"
+        for c in _PROFILE_ALL
+    )
+    mm = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS col, {hround_sql(f'CAST(MIN({cast(c)}) AS DOUBLE)', 6)} AS min_num, "
+        f"{hround_sql(f'CAST(MAX({cast(c)}) AS DOUBLE)', 6)} AS max_num FROM lineitem"
+        for c in _PROFILE_NUM
+    )
+    return f"""
+WITH lf AS (
+  {lf}
+),
+stats AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(v) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+  FROM lf GROUP BY col
+),
+mm AS (
+  {mm}
+)
+SELECT s.col AS "column", s.n_rows, s.n_null, s.n_distinct,
+       mm.min_num, mm.max_num
+FROM stats s LEFT JOIN mm ON mm.col = s.col
+ORDER BY s.col
+"""
+
+
+QUERIES["profile_lineitem"] = (profile_lineitem, _profile_oracle())

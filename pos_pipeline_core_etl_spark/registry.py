@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_layout_skipping",     # z-order vs single-dim file pruning report
     "fuzzy_customer_recall",      # total-recall audit (oracle hard-codes n=true)
     "fuzzy_customer_entities",    # blocking→verify→components→survivorship
+    "profile_lineitem",           # column profile: nulls/distincts/ranges
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)
