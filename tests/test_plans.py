@@ -327,3 +327,52 @@ class TestRound3PlanShapes:
         assert "Window" not in plan
         assert "Sort " not in plan  # no per-source sort anywhere
         assert "BroadcastHashJoin" in plan  # boundaries ride a broadcast
+
+
+class TestRound6PlanShapes:
+    """Plan hygiene for the round-6 second-pass operators."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_containment_no_cartesian(self, spark):
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i} x{i} y{i} z{i} q{i % 3}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        plan = self._plan(dedup.containment_pairs(docs))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_sparse_cosine_no_cartesian(self, spark):
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i} x{i} y{i} z{i}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        plan = self._plan(dedup.sparse_cosine_pairs(docs, threshold=0.0))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_profile_single_no_expand_shuffle(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import profile_lineitem
+
+        plan = self._plan(profile_lineitem(spark, "/root/testdata/sf0.001"))
+        # exact multi-column distincts WITHOUT an Expand: the long-form
+        # explode replaces it (the count_distinct plans two-level)
+        assert "Expand" not in plan
+
+    def test_fuzzy_pairs_groupby_expansion(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        df = spark.createDataFrame(
+            [(i, f"k{i:04d}") for i in range(20)], "id long, k string"
+        )
+        plan = self._plan(fuzzy.fuzzy_key_pairs(df, "id", "k"))
+        # blocking is a keyed groupBy + in-bucket expansion, never a
+        # join of the key table against itself without an equi key
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -221,3 +221,40 @@ def test_winnowing_coverage_guarantee(shared, p1, s1, p2, s2):
     a = _winnow_fps_py(p1 + shared + s1)
     b = _winnow_fps_py(p2 + shared + s2)
     assert a & b
+
+
+def _d1(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abcde", min_size=0, max_size=8),
+    st.text(alphabet="abcde", min_size=0, max_size=8),
+)
+@settings(max_examples=500)
+def test_fastss_deletion_identity(a, b):
+    """The theorem operators/fuzzy.py relies on: levenshtein(a,b) <= 1
+    implies the single-deletion neighborhoods intersect — blocking is
+    CANDIDATE-COMPLETE at distance 1 (the converse need not hold; the
+    verify stage exists for that)."""
+    if _lev(a, b) <= 1:
+        assert _d1(a) & _d1(b), (a, b)
+
+
+def test_fastss_identity_is_tight():
+    """The guarantee stops at distance 1: 'ab' vs 'cd' (distance 2) has
+    disjoint deletion neighborhoods — blocking CANNOT promise recall
+    beyond 1 — while 'ab' vs 'ba' (distance 2) has intersecting ones —
+    candidates over-generate, which is why the verify stage exists."""
+    assert _lev("ab", "cd") == 2 and not (_d1("ab") & _d1("cd"))
+    assert _lev("ab", "ba") == 2 and (_d1("ab") & _d1("ba"))
