@@ -4706,3 +4706,94 @@ QUERIES["dedup_sparse_cosine_staged"] = (
     dedup_sparse_cosine_staged,
     DEDUP_SPARSE_COSINE_STAGED_SQL,
 )
+
+
+def dedup_contained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-pruning decisions: a document fully contained in a longer
+    one (containment = 1.0 at the shingle level) is redundant training
+    text — label every doc kept / dropped_contained with the id of its
+    smallest-id container. Composes the staged containment pairs with
+    a shorter-side resolution: the doc with FEWER distinct shingles
+    (ties: higher doc_id) drops. One candidate pipeline + one keyed
+    min-agg; at 100 TB this runs over exact-dedup survivors like every
+    near-dup stage (the staged discipline)."""
+    docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.size(dedup.shingles_col(F.col("text"))).alias("n_sh")
+    ).localCheckpoint(eager=False)
+    pairs = dedup.containment_pairs(docs, threshold=1.0)
+    sized = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+    )
+    # the contained (smaller) side drops; equal sizes = mutual
+    # containment (same shingle set) -> the higher id drops
+    dropped = sized.select(
+        F.when(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") > F.col("doc_b"))),
+            F.struct(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("container")),
+        )
+        .otherwise(
+            F.struct(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("container"))
+        )
+        .alias("d")
+    ).select("d.doc_id", "d.container")
+    resolved = dropped.groupBy("doc_id").agg(F.min("container").alias("container"))
+    return (
+        docs.select("doc_id")
+        .join(resolved, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("container").isNull(), F.lit("kept"))
+            .otherwise(F.lit("dropped_contained"))
+            .alias("decision"),
+            F.col("container").cast("long").alias("container"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _contained_docs_oracle() -> str:
+    pairs = _containment_oracle().strip()
+    sh = dedup.shingles_sql("text")
+    return f"""
+WITH cpairs AS ({pairs}),
+sizes AS (
+  SELECT doc_id, len({sh}) AS n_sh FROM documents
+),
+perfect AS (
+  SELECT p.doc_a, p.doc_b, a.n_sh AS na, b.n_sh AS nb
+  FROM cpairs p
+  JOIN sizes a ON a.doc_id = p.doc_a
+  JOIN sizes b ON b.doc_id = p.doc_b
+  WHERE p.containment >= 1.0
+),
+dropped AS (
+  SELECT CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
+              THEN doc_a ELSE doc_b END AS doc_id,
+         CASE WHEN na < nb OR (na = nb AND doc_a > doc_b)
+              THEN doc_b ELSE doc_a END AS container
+  FROM perfect
+),
+resolved AS (
+  SELECT doc_id, MIN(container) AS container FROM dropped GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN r.container IS NULL THEN 'kept'
+            ELSE 'dropped_contained' END AS decision,
+       CAST(r.container AS BIGINT) AS container
+FROM documents d LEFT JOIN resolved r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+DEDUP_CONTAINED_DOCS_SQL = _contained_docs_oracle()
+
+QUERIES["dedup_contained_docs"] = (dedup_contained_docs, DEDUP_CONTAINED_DOCS_SQL)

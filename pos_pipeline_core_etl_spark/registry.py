@@ -22,8 +22,11 @@ distributed logistic-regression family — train / scores / eval /
 AUC / top-fraction gate — Broder containment doc-in-doc dedup with
 staged + overflow + recall-audit twins, the incremental mart refresh
 whose oracle is the full-mart SQL, FastSS deletion-variant fuzzy
-matching + its stop-variant audit, and idf-weighted sparse shingle
-cosine, plain + staged) — never driver-checked.
+matching + stop-variant audit + total-recall audit + entity
+survivorship, idf-weighted sparse shingle cosine (plain + staged),
+the naive-forecast backtest, z-order layout analysis, the lineitem
+column profile, and contained-doc subset pruning) — never
+driver-checked.
 Tier 1 = the round-6 VALUE changes: text_bpe_train / text_bpe_apply
 moved to canonical double-space merge semantics AFTER their r5 row
 was recorded (ADVICE r5 item 2).  Tier 2 = the 7 names whose newest
@@ -73,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_customer_recall",      # total-recall audit (oracle hard-codes n=true)
     "fuzzy_customer_entities",    # blocking→verify→components→survivorship
     "profile_lineitem",           # column profile: nulls/distincts/ranges
+    "dedup_contained_docs",       # subset pruning: drop docs contained in longer ones
     # -- tier 1: round-6 value changes (r5 rows recorded on the old
     #    single-space merge semantics) ----------------------------------
     "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)
