@@ -4459,15 +4459,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_chain_sql(source: str = "documents", prefix: str = "") -> str:
+    # hashed 60-bit shingle-id arrays, mirroring _sampled_postings: the
+    # verify intersects BIGINT lists, and the sampled posting ids come
+    # from the same values
     sh = dedup.shingles_sql("text")
-    sid = dedup.SHINGLE_ID_SQL.format(s="u.s")
+    sid = dedup.WINDOW_ID_SQL.format(s="g")
     return f"""
 WITH {prefix}sh AS (
-  SELECT doc_id, {sh} AS s FROM {source}
+  SELECT doc_id, list_transform({sh}, g -> {sid}) AS s FROM {source}
 ),
 posts AS (
   SELECT DISTINCT doc_id, sid FROM (
-    SELECT doc_id, {sid} AS sid FROM sh, unnest(s) AS u(s)
+    SELECT doc_id, u.s AS sid FROM sh, unnest(s) AS u(s)
   ) WHERE sid % {dedup.CONTAIN_SAMPLE_MOD} = 0
 ),
 sizes AS (
