@@ -105,6 +105,19 @@ def _ensure_parallelism(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df
 
 
+def exact_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-first staging, shared by every ``*_staged`` near-dup query:
+    fingerprint dedup keeps the min doc_id per byte-identical group and
+    returns the surviving rows (full columns). ONE definition so the
+    staged SimHash / containment / sparse-cosine paths can never
+    diverge in survivor selection."""
+    from pos_pipeline_core_etl_spark.operators.text import fingerprint
+
+    fp = fingerprint(docs, text_col=text_col).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(canon.select("doc_id"), "doc_id")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: canonical id + member count per content
     fingerprint. One shuffle on the hash key."""
@@ -158,6 +171,28 @@ def lsh_band_buckets(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket_key").alias("bucket_key"))
 
 
+def upper_triangle_pairs(ids_col: str = "ids", build=None) -> Column:
+    """In-bucket upper-triangle pair expansion over a SORTED id array —
+    the ONE candidate-generation expression shared by every
+    capped-bucket family (MinHash bands, SimHash bands, containment
+    postings, winnowing fingerprints, fuzzy deletion variants).
+    ``build(x, y)`` constructs each pair struct; the default emits
+    (doc_a, doc_b)."""
+    if build is None:
+        build = lambda x, y: F.struct(  # noqa: E731
+            x.alias("doc_a"), y.alias("doc_b")
+        )
+    return F.flatten(
+        F.transform(
+            F.col(ids_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids_col), i + 2, F.size(F.col(ids_col))),
+                lambda y: build(x, y),
+            ),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -188,15 +223,7 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(keep)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = upper_triangle_pairs()
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -385,15 +412,7 @@ def containment_pairs(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(keep)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = upper_triangle_pairs()
     cands = (
         grouped.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
@@ -709,15 +728,7 @@ def banded_hamming_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(keep)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = upper_triangle_pairs()
     cands = (
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -1260,15 +1271,7 @@ def winnow_shared_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(keep)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_structs = upper_triangle_pairs()
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")

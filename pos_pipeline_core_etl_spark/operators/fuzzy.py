@@ -71,18 +71,14 @@ def fuzzy_key_pairs(
         .agg(F.sort_array(F.collect_set(F.struct("id", "k"))).alias("ids"))
         .where(keep)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["k"].alias("key_a"),
-                    y["k"].alias("key_b"),
-                ),
-            ),
+    from pos_pipeline_core_etl_spark.operators.dedup import upper_triangle_pairs
+
+    pair_structs = upper_triangle_pairs(
+        build=lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            x["k"].alias("key_a"),
+            y["k"].alias("key_b"),
         )
     )
     cands = (

@@ -154,9 +154,13 @@ def build_payments_daily_incremental(
     pinned by the registry oracle: the query's DuckDB twin is the FULL
     mart SQL.
     """
-    batch = fact.where(batch_predicate)
+    # NULL-safe: a row whose predicate evaluates NULL must land in the
+    # base leg, not vanish from both (where(p) and where(~p) each drop
+    # NULLs — the identical-output contract would silently under-count)
+    pred = F.coalesce(batch_predicate, F.lit(False))
+    batch = fact.where(pred)
     affected = batch.select("sucursal", "operating_date").distinct()
-    prior = build_payments_daily(fact.where(~batch_predicate), holidays)
+    prior = build_payments_daily(fact.where(~pred), holidays)
     untouched = prior.join(
         F.broadcast(
             affected.select("sucursal", F.col("operating_date").alias("fecha"))

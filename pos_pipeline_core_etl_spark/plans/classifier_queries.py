@@ -220,12 +220,17 @@ def corpus_lr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _checkpointed_feats(spark, sf_dir)
     w = classifier.logistic_gd(feats)
     scored = classifier.lr_scores(feats, w)
-    n = scored.count()
-    k = int(n * LR_GATE_KEEP_FRACTION)
-    ranked = scored.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.desc("p"), F.col("doc_id"))),
+    # cut-point from in-plan window counts (the oracle's count(*) OVER ()
+    # form) — an eager count() here would re-run the GD chain as a
+    # second job; both windows ride the same single global-sort pass
+    ranked = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("p"), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
+    k = F.floor(F.col("n") * F.lit(LR_GATE_KEEP_FRACTION)).cast("long")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
         ranked.join(docs, "doc_id")

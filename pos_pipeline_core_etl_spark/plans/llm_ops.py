@@ -813,9 +813,7 @@ def dedup_simhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit form dies at 100×). Cost: one fingerprint shuffle + the banded path's
     keyed aggs — never doc × doc."""
     docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    fp = text.fingerprint(docs).select("doc_id", "fp")
-    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = docs.join(canon.select("doc_id"), "doc_id")
+    survivors = dedup.exact_survivors(docs)
     pairs = dedup.simhash_banded_pairs(
         survivors, max_hamming=3, bits=STAGED_SIMHASH_BITS
     )
@@ -4529,9 +4527,7 @@ def dedup_containment_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact survivors the index stays corpus-size-invariant. Same
     staging discipline as dedup_simhash_staged / dedup_decisions."""
     docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    fp = text.fingerprint(docs).select("doc_id", "fp")
-    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = docs.join(canon.select("doc_id"), "doc_id")
+    survivors = dedup.exact_survivors(docs)
     return dedup.containment_pairs(survivors)
 
 
@@ -4680,9 +4676,7 @@ def dedup_sparse_cosine_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERFORMANCE.md). Same staging discipline as dedup_simhash_staged /
     dedup_containment_staged."""
     docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    fp = text.fingerprint(docs).select("doc_id", "fp")
-    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = docs.join(canon.select("doc_id"), "doc_id")
+    survivors = dedup.exact_survivors(docs)
     return dedup.sparse_cosine_pairs(survivors)
 
 

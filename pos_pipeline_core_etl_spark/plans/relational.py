@@ -675,6 +675,24 @@ QUERIES: dict[str, tuple] = {
 # fuzzy-key entity resolution (round 6) — deletion-neighborhood blocking
 
 
+def _fuzzy_variant_cte(where: str = "") -> str:
+    """Shared k/v CTE text for the fuzzy oracles: keys + exploded D1
+    deletion variants. ONE definition (the Spark twin is
+    operators/fuzzy.py::deletion_variants_col) so the three oracles can
+    never drift from each other or the operator."""
+    return f"""k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer{where}
+),
+v AS (
+  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm,
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
+    END) AS variant
+  FROM k
+)"""
+
+
 def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer names within edit distance 1, via FastSS/SymSpell
     deletion-variant blocking + exact levenshtein verify on candidates
@@ -690,17 +708,7 @@ def _fuzzy_pairs_oracle() -> str:
     from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_MAX_BUCKET
 
     return f"""
-WITH k AS (
-  SELECT c_custkey AS id, c_name AS nm FROM customer
-),
-v AS (
-  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
-    ELSE list_distinct(list_prepend(nm,
-      list_transform(generate_series(1, length(nm)),
-                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
-    END) AS variant
-  FROM k
-),
+WITH {_fuzzy_variant_cte()},
 sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS key_a, b.nm AS key_b
@@ -732,17 +740,7 @@ def _fuzzy_overflow_oracle() -> str:
     from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_MAX_BUCKET
 
     return f"""
-WITH k AS (
-  SELECT c_custkey AS id, c_name AS nm FROM customer
-),
-v AS (
-  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
-    ELSE list_distinct(list_prepend(nm,
-      list_transform(generate_series(1, length(nm)),
-                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
-    END) AS variant
-  FROM k
-)
+WITH {_fuzzy_variant_cte()}
 SELECT variant, CAST(count(*) AS BIGINT) AS n_keys
 FROM v GROUP BY variant
 HAVING count(*) > {FUZZY_MAX_BUCKET}
@@ -874,17 +872,7 @@ def _fuzzy_entities_oracle() -> str:
 
     return f"""
 WITH RECURSIVE
-k AS (
-  SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey < 300
-),
-v AS (
-  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
-    ELSE list_distinct(list_prepend(nm,
-      list_transform(generate_series(1, length(nm)),
-                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
-    END) AS variant
-  FROM k
-),
+{_fuzzy_variant_cte(" WHERE c_custkey < 300")},
 sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

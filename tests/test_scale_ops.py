@@ -2560,6 +2560,29 @@ class TestIncrementalMartRefresh:
         cols = full.columns
         assert sorted(inc.select(cols).collect()) == sorted(full.collect())
 
+    def test_null_predicate_rows_stay_in_base_leg(self, spark):
+        """A row whose batch predicate evaluates NULL must be treated as
+        base (not silently dropped from both legs)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators.payments import (
+            build_payments_daily,
+            build_payments_daily_incremental,
+        )
+
+        rows = self._fact(spark).collect()
+        fact = spark.createDataFrame(rows, self._fact(spark).schema).withColumn(
+            "late_flag",
+            F.when(F.col("order_index") == 0, F.lit(None).cast("boolean"))
+            .otherwise(F.col("order_index") >= 100),
+        )
+        hol = spark.createDataFrame([(dt.date(2024, 1, 1),)], "fecha date")
+        full = build_payments_daily(fact, hol)
+        inc = build_payments_daily_incremental(fact, hol, F.col("late_flag"))
+        assert sorted(inc.select(full.columns).collect()) == sorted(full.collect())
+
     def test_affected_legs_broadcast(self, spark):
         from pyspark.sql import functions as F
 
@@ -2592,7 +2615,9 @@ class TestFuzzyKeyPairs:
                 (1, "smith"),
                 (2, "smyth"),   # substitution, dist 1
                 (3, "smiths"),  # insertion, dist 1 from smith
-                (4, "msith"),   # shares variant "mith"? no — stays out
+                (4, "msith"),   # D1 shares "mith"/"sith" with smith, so it
+                                # IS a blocking candidate — the levenshtein
+                                # verify (distance 3) removes it
                 (5, "jones"),
             ],
             "id long, k string",
