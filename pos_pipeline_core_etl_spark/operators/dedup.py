@@ -572,10 +572,14 @@ def containment_overflow(
 # ---------------------------------------------------------------------------
 # SimHash
 
-# Default SimHash width. 16 bits suits sf-scale fixtures; at billion-doc
-# scale use 64 bits (the md5-derived token hash below yields 32 exact
-# bits — widen the substring for more) so random collisions stay rare.
-SIMHASH_BITS = 16
+# Default SimHash width: 60 bits, the repo's signed-BIGINT-safe
+# production width (4 bands × 15 bits at max_hamming=3, so band values
+# stay selective as the corpus grows).  PERFORMANCE.md measured the old
+# 16/32-bit defaults collapsing template-heavy corpora into 301K-pair
+# mega-cliques — narrow widths remain available as an explicit ``bits``
+# knob (the overflow-audit query uses 16 deliberately to exercise the
+# degenerate mode), but the default is the width you would ship.
+SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
@@ -677,9 +681,9 @@ def simhash_banded_pairs(
     ``max_bucket_size`` (buckets above the cap are excluded from pair
     expansion, same discipline and constant as the MinHash path; a
     degenerate corpus that skipped exact dedup should run that first).
-    Widen ``bits`` (≤ 32 with the 8-hex token hash) as the corpus
-    grows so band values stay selective: buckets per band ≈
-    2^(bits/(h+1)).
+    The token hash widens automatically with ``bits`` (8 hex chars up
+    to 32 bits, 15 above); keep ``bits`` large enough that band values
+    stay selective: buckets per band ≈ 2^(bits/(h+1)).
     """
     sigs = simhash(docs, text_col, bits=bits)
     return banded_hamming_pairs(

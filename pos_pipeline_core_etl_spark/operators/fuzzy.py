@@ -32,16 +32,46 @@ from pyspark.sql import functions as F
 
 FUZZY_MAX_BUCKET = 50
 
+# Delete-2 blocking keeps buckets hotter than delete-1 (every variant is
+# reachable from ~L²/2 more keys), so its cap is correspondingly larger.
+# Measured on the sf0.01 customer fixture: the audit subset has total
+# recall at 150 while the handful of boilerplate mega-variants (up to
+# 294 keys) stay excluded and land in the overflow report.
+FUZZY_D2_MAX_BUCKET = 150
 
-def deletion_variants_col(key: str) -> Column:
-    """Array of D1 variants of column ``key``: the key itself plus every
-    single-character deletion, deduped. Empty keys yield [key]."""
-    variants = (
-        f"array_distinct(concat(array({key}), "
+
+def deletion_variants_col(key: str, depth: int = 1) -> Column:
+    """Array of deletion-neighborhood variants of column ``key``: the key
+    itself plus every string reachable by deleting up to ``depth``
+    characters (depth 1 or 2), deduped. Empty keys yield [key].
+
+    FastSS identity: levenshtein(a, b) <= d implies the depth-d
+    neighborhoods intersect (align the edit script; each substitution
+    deletes one char from both sides, each insert/delete one char from
+    one side), so an equi-join on the variant is candidate-complete for
+    distance d. Explode factor: 1 + L for depth 1; 1 + L + L(L-1)/2 for
+    depth 2 (≈190 extra variants at L=20 — the measured cost of catching
+    two-character typos relationally)."""
+    if depth not in (1, 2):
+        raise ValueError(f"depth must be 1 or 2, got {depth}")
+    del1 = (
         f"transform(sequence(1, length({key})), "
         f"i -> concat(substring({key}, 1, i-1), "
-        f"substring({key}, i+1, length({key}))))))"
+        f"substring({key}, i+1, length({key}))))"
     )
+    parts = [f"array({key})", del1]
+    if depth == 2:
+        del2 = (
+            f"CASE WHEN length({key}) >= 2 THEN "
+            f"flatten(transform(sequence(1, length({key}) - 1), "
+            f"i -> transform(sequence(i + 1, length({key})), "
+            f"j -> concat(substring({key}, 1, i-1), "
+            f"substring({key}, i+1, j-i-1), "
+            f"substring({key}, j+1, length({key})))))) "
+            f"ELSE array() END"
+        )
+        parts.append(del2)
+    variants = f"array_distinct(concat({', '.join(parts)}))"
     return F.expr(
         f"CASE WHEN length({key}) = 0 THEN array({key}) ELSE {variants} END"
     )
@@ -56,12 +86,23 @@ def fuzzy_key_pairs(
 ) -> DataFrame:
     """(id_a, id_b, key_a, key_b, dist) for all pairs with
     levenshtein(key_a, key_b) <= ``max_distance`` (candidate-complete
-    for max_distance=1 by the deletion-neighborhood identity; for 0 it
-    degenerates to exact duplicate keys)."""
+    for max_distance in {1, 2} by the deletion-neighborhood identity;
+    for 0 it degenerates to exact duplicate keys). Distance 2 explodes
+    the depth-2 neighborhood (cost model in
+    :func:`deletion_variants_col`); callers should pair it with the
+    larger ``FUZZY_D2_MAX_BUCKET`` cap."""
+    if max_distance > 2:
+        raise ValueError(
+            f"max_distance must be <= 2 (depth-{max_distance} deletion "
+            "neighborhoods explode combinatorially; chain through a "
+            "d<=2 pass or use the MinHash family instead)"
+        )
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(key_col).alias("k"),
-        F.explode(deletion_variants_col(key_col)).alias("variant"),
+        F.explode(
+            deletion_variants_col(key_col, depth=max(1, max_distance))
+        ).alias("variant"),
     )
     keep = F.size("ids") > 1
     if max_bucket_size is not None:
@@ -97,14 +138,15 @@ def fuzzy_key_overflow(
     id_col: str,
     key_col: str,
     max_bucket_size: int = FUZZY_MAX_BUCKET,
+    depth: int = 1,
 ) -> DataFrame:
-    """(variant, n_keys) for every deletion variant shared by more than
-    ``max_bucket_size`` keys — the stop-variant population the blocking
-    stage refuses to expand (observability twin of
-    ``minhash_lsh_overflow``)."""
+    """(variant, n_keys) for every depth-``depth`` deletion variant
+    shared by more than ``max_bucket_size`` keys — the stop-variant
+    population the blocking stage refuses to expand (observability twin
+    of ``minhash_lsh_overflow``)."""
     v = df.select(
         F.col(id_col).alias("id"),
-        F.explode(deletion_variants_col(key_col)).alias("variant"),
+        F.explode(deletion_variants_col(key_col, depth=depth)).alias("variant"),
     )
     return (
         v.groupBy("variant")

@@ -548,12 +548,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    bits = dedup.SIMHASH_BITS
+    hexw = 8 if bits <= 32 else 15  # mirrors dedup.simhash's hash width
     bit_cells = ",\n  ".join(
         f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_{j}"
-        for j in range(dedup.SIMHASH_BITS)
+        for j in range(bits)
     )
     sig = " + ".join(
-        f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(dedup.SIMHASH_BITS)
+        f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
     )
     return rf"""
 WITH tok AS (
@@ -563,7 +565,7 @@ WITH tok AS (
          regexp_split_to_array(trim(lower(d.text)), '\s+'))) AS tok) u
 ),
 h AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, {hexw})) AS BIGINT) AS h FROM tok
 ),
 bits AS (
   SELECT doc_id,
@@ -723,6 +725,13 @@ DEDUP_SIMHASH_RECALL_SQL = _simhash_recall_oracle()
 # driver check exercises the OVERFLOW branch, not the empty frame.
 DEDUP_OVERFLOW_CAP = 24
 
+# The overflow audit deliberately runs at the NARROW width (16 bits) —
+# the measured-degenerate mode it exists to detect.  The repo default
+# (dedup.SIMHASH_BITS) is now the 60-bit production width, at which
+# this fixture produces zero overflow; auditing the narrow width keeps
+# the driver exercising the overflow branch rather than an empty frame.
+OVERFLOW_AUDIT_BITS = 16
+
 
 def dedup_simhash_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-overflow observability for the banded SimHash path
@@ -733,10 +742,13 @@ def dedup_simhash_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses; this report is how a run detects that and knows to
     stage exact dedup first or widen the signature. One keyed agg over
     the band projection — same cost class as the candidate stage
-    itself."""
+    itself. Pinned to the 16-bit audit width (OVERFLOW_AUDIT_BITS) so
+    the overflow branch stays exercised now that the repo default is
+    60 bits."""
     df = dedup.simhash_banded_overflow(
         load_table(spark, sf_dir, "documents"),
         max_hamming=3,
+        bits=OVERFLOW_AUDIT_BITS,
         max_bucket_size=DEDUP_OVERFLOW_CAP,
     )
     return df.select(
@@ -747,7 +759,7 @@ def dedup_simhash_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_overflow_oracle(max_hamming: int = 3) -> str:
-    bits = dedup.SIMHASH_BITS
+    bits = OVERFLOW_AUDIT_BITS  # audits the degenerate narrow width on purpose
     bit_cells = ",\n  ".join(
         f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_{j}"
         for j in range(bits)

@@ -901,3 +901,363 @@ QUERIES["fuzzy_customer_entities"] = (
     fuzzy_customer_entities,
     _fuzzy_entities_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# delete-2 fuzzy blocking (round 7) — two-character typos, VERDICT r6 #4
+
+
+def _fuzzy_variant_d2_cte(where: str = "") -> str:
+    """Shared k/v CTE for the depth-2 oracles: keys + exploded D≤2
+    deletion variants (SQL twin of
+    operators/fuzzy.py::deletion_variants_col(depth=2))."""
+    return f"""k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer{where}
+),
+v AS (
+  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm, list_concat(
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1)),
+      flatten(list_transform(generate_series(1, length(nm) - 1),
+        i -> list_transform(generate_series(i + 1, length(nm)),
+          j -> substr(nm, 1, i - 1) || substr(nm, i + 1, j - i - 1)
+               || substr(nm, j + 1)))))))
+    END) AS variant
+  FROM k
+)"""
+
+
+def fuzzy_customer_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer names within edit distance 2 via depth-2 deletion
+    neighborhoods (FastSS at d=2 — catches the two-character typos the
+    d=1 pass misses, e.g. a substitution plus a dropped letter; the
+    reference's accent-normalized name matching motivates exactly this
+    tolerance). Same candidate-then-verify contract as d=1 with the
+    larger FUZZY_D2_MAX_BUCKET cap: equivalence to brute force holds
+    whenever no variant bucket overflows, and the overflow twin
+    quantifies what was skipped (this digit-substituted fixture is
+    deliberately dense, so some boilerplate variants DO overflow —
+    honest capped semantics, the production knob). Cost model: explode
+    factor 1 + L + L(L-1)/2 ≈ 172 at L=18, one keyed shuffle on the
+    variant, JVM levenshtein on candidates only."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy.fuzzy_key_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        max_distance=2,
+        max_bucket_size=fuzzy.FUZZY_D2_MAX_BUCKET,
+    )
+
+
+def _fuzzy_pairs_d2_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_D2_MAX_BUCKET
+
+    return f"""
+WITH {_fuzzy_variant_d2_cte()},
+sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS key_a, b.nm AS key_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+  JOIN sizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_D2_MAX_BUCKET}
+)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+FROM cands
+WHERE levenshtein(key_a, key_b) <= 2
+"""
+
+
+QUERIES["fuzzy_customer_pairs_d2"] = (
+    fuzzy_customer_pairs_d2,
+    _fuzzy_pairs_d2_oracle(),
+)
+
+
+def fuzzy_customer_overflow_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-variant audit for the depth-2 blocking stage: every D≤2
+    variant shared by more keys than FUZZY_D2_MAX_BUCKET — exactly the
+    buckets fuzzy_customer_pairs_d2 skipped."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    df = fuzzy.fuzzy_key_overflow(
+        cust,
+        "c_custkey",
+        "c_name",
+        max_bucket_size=fuzzy.FUZZY_D2_MAX_BUCKET,
+        depth=2,
+    )
+    return df.select(
+        "variant", F.col("n_keys").cast("long").alias("n_keys")
+    ).orderBy("variant")
+
+
+def _fuzzy_overflow_d2_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_D2_MAX_BUCKET
+
+    return f"""
+WITH {_fuzzy_variant_d2_cte()}
+SELECT variant, CAST(count(DISTINCT id) AS BIGINT) AS n_keys
+FROM v GROUP BY variant
+HAVING count(DISTINCT id) > {FUZZY_D2_MAX_BUCKET}
+ORDER BY variant
+"""
+
+
+QUERIES["fuzzy_customer_overflow_d2"] = (
+    fuzzy_customer_overflow_d2,
+    _fuzzy_overflow_d2_oracle(),
+)
+
+
+def fuzzy_customer_recall_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing recall audit for depth-2 blocking on the bounded subset
+    (c_custkey < 300): brute-force distance-≤2 ground truth vs pairs the
+    capped index recovered. On this subset no bucket the true pairs need
+    exceeds FUZZY_D2_MAX_BUCKET (measured: total recall at 150), so the
+    oracle hard-codes n_matched = n_true per distance — any regression
+    in the depth-2 neighborhood construction or the cap hash-fails the
+    driver check."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    truth = (
+        a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .where(F.levenshtein("a.c_name", "b.c_name") <= 2)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein("a.c_name", "b.c_name").cast("long").alias("dist"),
+        )
+    )
+    idx = fuzzy.fuzzy_key_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        max_distance=2,
+        max_bucket_size=fuzzy.FUZZY_D2_MAX_BUCKET,
+    ).select(F.col("id_a").alias("i_a"), F.col("id_b").alias("i_b"))
+    joined = truth.join(
+        idx,
+        (F.col("id_a") == F.col("i_a")) & (F.col("id_b") == F.col("i_b")),
+        "left",
+    )
+    return (
+        joined.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("i_a").isNotNull().cast("long")).alias("n_matched"),
+        )
+        .orderBy("dist")
+    )
+
+
+FUZZY_CUSTOMER_RECALL_D2_SQL = """
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey < 300
+),
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM k a JOIN k b ON a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 2
+)
+SELECT dist,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM truth
+GROUP BY dist
+ORDER BY dist
+"""
+
+QUERIES["fuzzy_customer_recall_d2"] = (
+    fuzzy_customer_recall_d2,
+    FUZZY_CUSTOMER_RECALL_D2_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# attribute survivorship (round 7) — golden records, VERDICT r6 #6
+
+
+def fuzzy_customer_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based golden records over the resolved entities (upgrades
+    fuzzy_customer_entities' min-id canonicalization to real MDM
+    survivorship): per entity, each attribute survives by its own rule
+    with per-attribute provenance —
+
+    - ``golden_name`` / ``golden_nationkey``: MOST RECENT non-null
+      (c_custkey stands in for a record timestamp on this fixture;
+      ``name_src`` / ``nation_src`` record the supplying member),
+    - ``golden_mktsegment``: MODE across members (ties break to the
+      lexicographically smallest segment; ``segment_src`` = smallest
+      member id carrying the winning segment),
+    - ``golden_acctbal``: MAX (``acctbal_src`` = smallest member id
+      attaining it).
+
+    Scale shape: one components run (shared with the entities query),
+    then one window + two keyed aggs over members — per-attribute rules
+    are conditional aggregates, never per-entity collects. Bounded to
+    c_custkey < 300 for the same reason as the entities query (the
+    RECURSIVE oracle's reachability set)."""
+    from pos_pipeline_core_etl_spark.operators import dedup as dedup_ops
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+    pairs = fuzzy.fuzzy_key_pairs(cust, "c_custkey", "c_name").select(
+        "id_a", "id_b"
+    )
+    comps = dedup_ops.connected_components(pairs, src="id_a", dst="id_b")
+    members = cust.join(
+        comps.select(
+            F.col("id").alias("c_custkey"),
+            F.col("component_id").alias("entity_id"),
+        ),
+        "c_custkey",
+        "left",
+    ).withColumn("entity_id", F.coalesce("entity_id", "c_custkey"))
+
+    w = Window.partitionBy("entity_id")
+    with_max = members.withColumn("max_bal", F.max("c_acctbal").over(w))
+    recency = with_max.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            "c_name",
+            F.when(F.col("c_name").isNotNull(), F.col("c_custkey")),
+        ).alias("golden_name"),
+        F.max(
+            F.when(F.col("c_name").isNotNull(), F.col("c_custkey"))
+        ).alias("name_src"),
+        F.max_by(
+            "c_nationkey",
+            F.when(F.col("c_nationkey").isNotNull(), F.col("c_custkey")),
+        ).cast("long").alias("golden_nationkey"),
+        F.max(
+            F.when(F.col("c_nationkey").isNotNull(), F.col("c_custkey"))
+        ).alias("nation_src"),
+        F.max("c_acctbal").alias("golden_acctbal"),
+        F.min(
+            F.when(F.col("c_acctbal") == F.col("max_bal"), F.col("c_custkey"))
+        ).alias("acctbal_src"),
+    )
+    seg_counts = members.groupBy("entity_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.min("c_custkey").alias("seg_min_id"),
+    )
+    ws = Window.partitionBy("entity_id").orderBy(
+        F.col("n_seg").desc(), F.col("c_mktsegment").asc()
+    )
+    seg_win = (
+        seg_counts.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            F.col("c_mktsegment").alias("golden_mktsegment"),
+            F.col("seg_min_id").alias("segment_src"),
+        )
+    )
+    return (
+        recency.join(seg_win, "entity_id")
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            "n_members",
+            "golden_name",
+            "name_src",
+            "golden_nationkey",
+            "nation_src",
+            "golden_mktsegment",
+            "segment_src",
+            "golden_acctbal",
+            "acctbal_src",
+        )
+        .orderBy("entity_id")
+    )
+
+
+def _fuzzy_golden_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_MAX_BUCKET
+
+    return f"""
+WITH RECURSIVE
+{_fuzzy_variant_cte(" WHERE c_custkey < 300")},
+sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+  JOIN sizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_MAX_BUCKET}
+    AND levenshtein(a.nm, b.nm) <= 1
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+members0 AS (
+  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         COALESCE(p.component_id, c.c_custkey) AS entity_id
+  FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
+  WHERE c.c_custkey < 300
+),
+members AS (
+  SELECT *, MAX(c_acctbal) OVER (PARTITION BY entity_id) AS max_bal
+  FROM members0
+),
+recency AS (
+  SELECT entity_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         arg_max(c_name, CASE WHEN c_name IS NOT NULL
+                              THEN c_custkey END) AS golden_name,
+         MAX(CASE WHEN c_name IS NOT NULL THEN c_custkey END) AS name_src,
+         CAST(arg_max(c_nationkey, CASE WHEN c_nationkey IS NOT NULL
+                                        THEN c_custkey END) AS BIGINT)
+           AS golden_nationkey,
+         MAX(CASE WHEN c_nationkey IS NOT NULL THEN c_custkey END)
+           AS nation_src,
+         MAX(c_acctbal) AS golden_acctbal,
+         MIN(CASE WHEN c_acctbal = max_bal THEN c_custkey END) AS acctbal_src
+  FROM members
+  GROUP BY entity_id
+),
+segs AS (
+  SELECT entity_id, c_mktsegment, count(*) AS n_seg,
+         MIN(c_custkey) AS seg_min_id
+  FROM members GROUP BY entity_id, c_mktsegment
+),
+seg_pick AS (
+  SELECT entity_id, c_mktsegment AS golden_mktsegment,
+         seg_min_id AS segment_src,
+         row_number() OVER (PARTITION BY entity_id
+                            ORDER BY n_seg DESC, c_mktsegment ASC) AS rn
+  FROM segs
+)
+SELECT CAST(r.entity_id AS BIGINT) AS entity_id, r.n_members,
+       r.golden_name, r.name_src, r.golden_nationkey, r.nation_src,
+       s.golden_mktsegment, s.segment_src, r.golden_acctbal, r.acctbal_src
+FROM recency r JOIN seg_pick s ON s.entity_id = r.entity_id AND s.rn = 1
+ORDER BY entity_id
+"""
+
+
+QUERIES["fuzzy_customer_golden"] = (
+    fuzzy_customer_golden,
+    _fuzzy_golden_oracle(),
+)

@@ -258,3 +258,26 @@ def test_fastss_identity_is_tight():
     candidates over-generate, which is why the verify stage exists."""
     assert _lev("ab", "cd") == 2 and not (_d1("ab") & _d1("cd"))
     assert _lev("ab", "ba") == 2 and (_d1("ab") & _d1("ba"))
+
+
+def _d2(s: str) -> set[str]:
+    """Depth-2 deletion neighborhood: s plus every string reachable by
+    deleting up to two characters (pure-python twin of
+    operators/fuzzy.py::deletion_variants_col(depth=2))."""
+    d1 = _d1(s)
+    return d1 | {t[:i] + t[i + 1 :] for t in d1 for i in range(len(t))}
+
+
+@given(
+    st.text(alphabet="abcde", min_size=0, max_size=8),
+    st.text(alphabet="abcde", min_size=0, max_size=8),
+)
+@settings(max_examples=500)
+def test_fastss_deletion_identity_depth2(a, b):
+    """The depth-2 theorem behind fuzzy_customer_pairs_d2: levenshtein
+    (a,b) <= 2 implies the depth-2 deletion neighborhoods intersect
+    (align the edit script — each substitution deletes one char from
+    both sides, each insert/delete one char from one side), so d=2
+    blocking is CANDIDATE-COMPLETE."""
+    if _lev(a, b) <= 2:
+        assert _d2(a) & _d2(b), (a, b)

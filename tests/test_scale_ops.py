@@ -532,13 +532,18 @@ class TestLshParameterization:
         from pos_pipeline_core_etl_spark.operators.dedup import simhash
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
-        s16 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        s16 = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
         s32 = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
-        assert set(s16) == set(s32)
+        s60 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        assert set(s16) == set(s32) == set(s60)
         for d in s16:
             # low 16 bits of the 32-bit signature == the 16-bit signature
+            # (same 8-hex token hash below 32 bits)
             assert s32[d] & 0xFFFF == s16[d]
             assert s32[d] < (1 << 32)
+            # the default is the 60-bit production width (15-hex hash)
+            assert 0 <= s60[d] < (1 << 60)
+        assert any(v >= (1 << 32) for v in s60.values())
         with pytest.raises(ValueError):
             simhash(docs, bits=64).collect()
 
@@ -2672,6 +2677,56 @@ class TestFuzzyKeyPairs:
         capped = fuzzy.fuzzy_key_pairs(df, "id", "k", max_bucket_size=2)
         uncapped = fuzzy.fuzzy_key_pairs(df, "id", "k", max_bucket_size=None)
         assert capped.count() <= uncapped.count()
+
+    def test_distance2_matches_bruteforce(self, spark):
+        """d=2 blocking (depth-2 deletion neighborhoods) must equal the
+        brute-force levenshtein <= 2 join: candidate-complete by the
+        depth-2 FastSS identity, false-positive-free by the verify."""
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        words = ["abc", "abd", "acb", "bbc", "ab", "abcd", "xyz", "xzy",
+                 "abce", "aabc", "cba", "bac", "a", "", "abcde", "vwxyz"]
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "id long, k string"
+        )
+        got = {(r.id_a, r.id_b): r.dist for r in
+               fuzzy.fuzzy_key_pairs(
+                   df, "id", "k", max_distance=2, max_bucket_size=None
+               ).collect()}
+        a, b = df.alias("a"), df.alias("b")
+        brute = {
+            (r[0], r[1]): r[2]
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .where(F.levenshtein("a.k", "b.k") <= 2)
+            .select("a.id", "b.id", F.levenshtein("a.k", "b.k").cast("long"))
+            .collect()
+        }
+        assert got == brute
+
+    def test_distance2_superset_of_distance1(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        df = spark.createDataFrame(
+            [(1, "smith"), (2, "smyth"), (3, "smythe"), (4, "jones")],
+            "id long, k string",
+        )
+        d1 = {(r.id_a, r.id_b) for r in
+              fuzzy.fuzzy_key_pairs(df, "id", "k").collect()}
+        d2 = {(r.id_a, r.id_b) for r in
+              fuzzy.fuzzy_key_pairs(df, "id", "k", max_distance=2).collect()}
+        assert d1 <= d2
+        assert (1, 3) in d2 - d1  # smith→smythe: substitution + insertion
+
+    def test_distance3_rejected(self, spark):
+        import pytest
+
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        df = spark.createDataFrame([(1, "a")], "id long, k string")
+        with pytest.raises(ValueError):
+            fuzzy.fuzzy_key_pairs(df, "id", "k", max_distance=3)
 
 
 class TestSparseCosine:
