@@ -886,7 +886,15 @@ def _kmeans_assignments(
 PQ_M = 8          # subspaces (64-d vector → 8 subvectors of 8 dims)
 PQ_K = 8          # codewords per subspace (real deployments use 256)
 PQ_ITERS = 2      # Lloyd iterations per subspace codebook
-IVFPQ_REFINE = 32  # ADC shortlist size for the exact re-rank (refine) stage
+# ADC shortlist size for the exact re-rank (refine) stage. 64 is the
+# r7 sweep-measured default (sim_ivfpq_recall_sweep): at fixed nprobe=2
+# the move 32 -> 64 buys +0.10 recall@3 at sf0.01 (0.77 -> 0.87) and
+# +0.17 at sf0.1 (0.50 -> 0.67) for a shortlist-sized join only;
+# deeper shortlists plateau, and the >= 0.9 region requires probing
+# every coarse list (a full-corpus ADC scan — not an IVF operating
+# point on this cluster count). The remaining recall gap is quantizer
+# resolution (KMEANS_K / PQ_K), not shortlist depth.
+IVFPQ_REFINE = 64
 
 
 def pq_encode(
@@ -1347,46 +1355,31 @@ def ivfpq_search_topk(
     )
 
 
-def ivfpq_kmeans_search_topk(
+def _ivfpq_kmeans_scored(
     embeddings: DataFrame,
-    k: int = 3,
-    n_queries: int = 10,
-    nprobe: int = IVF_NPROBE,
-    n_clusters: int = KMEANS_K,
-    coarse_iters: int = KMEANS_ITERS,
-    m: int = PQ_M,
-    n_codes: int = PQ_K,
-    iters: int = PQ_ITERS,
-    refine: int = IVFPQ_REFINE,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    quant: int = KMEANS_QUANT,
-    dim: int = 64,
-) -> DataFrame:
-    """IVF-PQ with a LEARNED (k-means) coarse quantizer and an exact
-    re-rank ("refine") stage — the quality fix the sim_ivfpq_recall
-    audit demanded (round 6). Two measured failure modes of the
-    fixed-grid :func:`ivfpq_search_topk` on this data, two standard
-    fixes:
-
-    - the pseudo-random grid co-locates true neighbors at chance level
-      (coverage of the exact top-3 ≈ nprobe/n_clusters, recall@3 = 0);
-      full-corpus Lloyd centroids raise coverage to ~0.87 at the same
-      nprobe;
-    - small codebooks (k=8 per subspace) make ADC a noisy RANKER even
-      when the neighbor is in a probed list, so — the FAISS IVFPQR
-      convention — ADC only SHORTLISTS ``refine`` candidates and the
-      final k are ranked by exact distance on the original vectors
-      (one shortlist-sized equi-join back to the index).
-
-    Same relational shape as the grid version — the new legs are joins
-    against the (n_clusters-row, broadcast) learned-centroid frame
-    where the grid version folds literal expressions: full-corpus
-    Lloyd training via :func:`_kmeans_assignments` (integer-exact, one
-    keyed agg per iteration), residuals by centroid join, shared
-    :func:`_pq_fit` codebooks, broadcast ADC distance table confined
-    to probed lists.  Zero driver collect; the corpus-sized legs are
-    map-side folds + the Lloyd/PQ keyed aggs."""
+    n_queries: int,
+    nprobe: int,
+    n_clusters: int,
+    coarse_iters: int,
+    m: int,
+    n_codes: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    quant: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate-scoring stage of the learned-quantizer IVF-PQ:
+    Lloyd coarse quantizer → residual PQ → probe the ``nprobe`` nearest
+    lists per query → ADC-score list members. Returns
+    ``(scored, assigned)`` where ``scored`` is one row per ADC-scored
+    (query_id, vec_id) candidate with its ``adc_d2`` AND the probe rank
+    ``pr`` of the list that surfaced it (each candidate lives in exactly
+    one inverted list, so ``pr`` is single-valued) — carrying ``pr``
+    lets :func:`ivfpq_kmeans_recall_sweep` evaluate every
+    nprobe' <= nprobe from ONE training + scoring pass instead of
+    re-running Lloyd + PQ per operating point. ``assigned`` is the
+    checkpointed (vec_id, vq, cluster) index frame for refine stages."""
     from pyspark.sql import Window
 
     from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
@@ -1448,6 +1441,7 @@ def ivfpq_kmeans_search_topk(
     qres = probes.select(
         "query_id",
         F.col("cluster").alias("pcluster"),
+        "pr",
         _quantize_vec(
             F.zip_with(v, F.col("centroid"), lambda x, y: x - y), quant
         ).alias("rvq"),
@@ -1465,8 +1459,14 @@ def ivfpq_kmeans_search_topk(
             for s in range(m)
         ]
     )
-    qsubs = qres.select("query_id", "pcluster", F.explode(subs).alias("x")).select(
-        "query_id", "pcluster", F.col("x.sub").alias("sub"), F.col("x.qv").alias("qv")
+    qsubs = qres.select(
+        "query_id", "pcluster", "pr", F.explode(subs).alias("x")
+    ).select(
+        "query_id",
+        "pcluster",
+        "pr",
+        F.col("x.sub").alias("sub"),
+        F.col("x.qv").alias("qv"),
     )
     pd2 = F.aggregate(
         F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
@@ -1476,6 +1476,7 @@ def ivfpq_kmeans_search_topk(
     dtab = qsubs.join(rcents, "sub").select(
         "query_id",
         "pcluster",
+        "pr",
         F.col("sub").alias("dsub"),
         F.col("cluster").alias("dcode"),
         pd2.alias("pd2"),
@@ -1495,8 +1496,101 @@ def ivfpq_kmeans_search_topk(
                 F.array_sort(F.collect_list(F.struct("sub", "pd2"))),
                 F.lit(0.0),
                 lambda acc, x: acc + x["pd2"],
-            ).alias("adc_d2")
+            ).alias("adc_d2"),
+            F.min("pr").alias("pr"),
         )
+    )
+    return scored, assigned
+
+
+def _ivfpq_exact_rerank(
+    shortlist: DataFrame,
+    assigned: DataFrame,
+    quant: int,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Refine stage shared by the search and sweep operators: fetch the
+    shortlisted candidates' ORIGINAL vectors (one shortlist-sized
+    equi-join back to the index — never corpus-sized) and compute exact
+    squared L2 per (``extra_keys``…, query_id, vec_id) row."""
+    qf = float(quant)
+    qv = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("vq").alias("qvq")
+    )
+    cv = assigned.select("vec_id", F.col("vq").alias("cvq"))
+    exact_d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("qvq"), lambda x: x / F.lit(qf)),
+            F.transform(F.col("cvq"), lambda x: x / F.lit(qf)),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda s, d: s + d,
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            *extra_keys, "query_id", "vec_id", hround(exact_d2, 6).alias("d2")
+        )
+    )
+
+
+def ivfpq_kmeans_search_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_clusters: int = KMEANS_K,
+    coarse_iters: int = KMEANS_ITERS,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    refine: int = IVFPQ_REFINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ with a LEARNED (k-means) coarse quantizer and an exact
+    re-rank ("refine") stage — the quality fix the sim_ivfpq_recall
+    audit demanded (round 6). Two measured failure modes of the
+    fixed-grid :func:`ivfpq_search_topk` on this data, two standard
+    fixes:
+
+    - the pseudo-random grid co-locates true neighbors at chance level
+      (coverage of the exact top-3 ≈ nprobe/n_clusters, recall@3 = 0);
+      full-corpus Lloyd centroids raise coverage to ~0.87 at the same
+      nprobe;
+    - small codebooks (k=8 per subspace) make ADC a noisy RANKER even
+      when the neighbor is in a probed list, so — the FAISS IVFPQR
+      convention — ADC only SHORTLISTS ``refine`` candidates and the
+      final k are ranked by exact distance on the original vectors
+      (one shortlist-sized equi-join back to the index).
+
+    Same relational shape as the grid version — the new legs are joins
+    against the (n_clusters-row, broadcast) learned-centroid frame
+    where the grid version folds literal expressions: full-corpus
+    Lloyd training via :func:`_kmeans_assignments` (integer-exact, one
+    keyed agg per iteration), residuals by centroid join, shared
+    :func:`_pq_fit` codebooks, broadcast ADC distance table confined
+    to probed lists.  Zero driver collect; the corpus-sized legs are
+    map-side folds + the Lloyd/PQ keyed aggs."""
+    from pyspark.sql import Window
+
+    scored, assigned = _ivfpq_kmeans_scored(
+        embeddings,
+        n_queries=n_queries,
+        nprobe=nprobe,
+        n_clusters=n_clusters,
+        coarse_iters=coarse_iters,
+        m=m,
+        n_codes=n_codes,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        quant=quant,
+        dim=dim,
     )
     # refine stage (FAISS IVFPQR convention): ADC is a SHORTLISTER, not
     # a ranker — with small codebooks its quantization noise swamps the
@@ -1512,24 +1606,7 @@ def ivfpq_kmeans_search_topk(
         .where(F.col("arnk") <= refine)
         .select("query_id", "vec_id")
     )
-    qv = assigned.select(
-        F.col("vec_id").alias("query_id"), F.col("vq").alias("qvq")
-    )
-    cv = assigned.select("vec_id", F.col("vq").alias("cvq"))
-    exact_d2 = F.aggregate(
-        F.zip_with(
-            F.transform(F.col("qvq"), lambda x: x / F.lit(qf)),
-            F.transform(F.col("cvq"), lambda x: x / F.lit(qf)),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda s, d: s + d,
-    )
-    refined = (
-        shortlist.join(F.broadcast(qv), "query_id")
-        .join(cv, "vec_id")
-        .select("query_id", "vec_id", hround(exact_d2, 6).alias("d2"))
-    )
+    refined = _ivfpq_exact_rerank(shortlist, assigned, quant)
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("vec_id").asc()
     )
@@ -1542,4 +1619,122 @@ def ivfpq_kmeans_search_topk(
             F.col("vec_id").alias("cand_id"),
             "d2",
         )
+    )
+
+
+IVFPQ_SWEEP_NPROBES = (1, 2, 4, 8)
+IVFPQ_SWEEP_REFINES = (8, 32, 64, 128)
+
+
+def ivfpq_kmeans_recall_sweep(
+    embeddings: DataFrame,
+    nprobes: tuple[int, ...] = IVFPQ_SWEEP_NPROBES,
+    refines: tuple[int, ...] = IVFPQ_SWEEP_REFINES,
+    k: int = 3,
+    n_queries: int = 10,
+    n_clusters: int = KMEANS_K,
+    coarse_iters: int = KMEANS_ITERS,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+) -> DataFrame:
+    """Recall-vs-cost operating curve for the learned-quantizer IVF-PQ
+    (VERDICT r6 #8): one row per (nprobe, refine_depth) grid point with
+    aggregate recall@k over the query set and the candidate-scoring
+    cost (``n_scored`` = ADC-scored candidates — the quantity that
+    grows with nprobe at corpus scale). The standing point audits pin
+    ONE operating point; this query documents the whole knee so the
+    default is a measured choice.
+
+    Cost shape: Lloyd + PQ training and ADC scoring run ONCE at
+    max(nprobes) — each candidate carries the probe rank ``pr`` of its
+    list, so every smaller nprobe is a FILTER (pr <= n), not a re-run;
+    refine depths are extra shortlist windows over the same scored
+    frame. The whole sweep costs one search plus per-point windows."""
+    from pyspark.sql import Window
+
+    scored, assigned = _ivfpq_kmeans_scored(
+        embeddings,
+        n_queries=n_queries,
+        nprobe=max(nprobes),
+        n_clusters=n_clusters,
+        coarse_iters=coarse_iters,
+        m=m,
+        n_codes=n_codes,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        quant=quant,
+        dim=dim,
+    )
+    # the scored frame feeds every grid point plus the cost agg — one
+    # materialization of the Lloyd+PQ+ADC chain (multi-consumer rule)
+    scored = scored.localCheckpoint(eager=False)
+    grid = scored.sparkSession.createDataFrame(
+        [(n, r) for n in nprobes for r in refines],
+        "nprobe long, refine_depth long",
+    )
+    cand = scored.crossJoin(F.broadcast(grid)).where(
+        F.col("pr") <= F.col("nprobe")
+    )
+    aw = Window.partitionBy("nprobe", "refine_depth", "query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("arnk", F.row_number().over(aw))
+        .where(F.col("arnk") <= F.col("refine_depth"))
+        .select("nprobe", "refine_depth", "query_id", "vec_id")
+    )
+    refined = _ivfpq_exact_rerank(
+        shortlist, assigned, quant, extra_keys=("nprobe", "refine_depth")
+    )
+    w = Window.partitionBy("nprobe", "refine_depth", "query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        refined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "nprobe",
+            "refine_depth",
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    exact = l2_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "cand_id"
+    )
+    truth = exact.crossJoin(
+        F.broadcast(grid.select("nprobe", "refine_depth").distinct())
+    )
+    joined = truth.join(
+        approx, ["nprobe", "refine_depth", "query_id", "cand_id"], "left"
+    )
+    n_exact = F.count(F.lit(1))
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    recall_agg = joined.groupBy("nprobe", "refine_depth").agg(
+        n_exact.cast("long").alias("n_exact"),
+        n_hit.cast("long").alias("n_hit"),
+        hround(n_hit / n_exact, 6).alias("recall"),
+    )
+    # cost leg: ADC-scored candidates per nprobe (refine-independent)
+    costs = (
+        scored.crossJoin(
+            F.broadcast(grid.select("nprobe").distinct())
+        )
+        .where(F.col("pr") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_scored"))
+    )
+    return (
+        recall_agg.join(costs, "nprobe")
+        .select(
+            "nprobe", "refine_depth", "n_exact", "n_hit", "recall", "n_scored"
+        )
+        .orderBy("nprobe", "refine_depth")
     )

@@ -448,6 +448,106 @@ def decontaminate_bloom(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark_max_id: int = 50,
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash-banded NEAR-match benchmark decontamination — catches
+    paraphrased / lightly edited contamination that the exact-gram
+    variants (:func:`decontaminate`, :func:`decontaminate_bloom`) miss,
+    and attributes each hit to the specific benchmark document.
+
+    Pipeline: one MinHash-signature pass over ALL docs (checkpointed —
+    both the benchmark and corpus legs consume it), LSH band buckets on
+    each side, then a ONE-SIDED broadcast join: corpus band rows probe
+    the (benchmark-sized, broadcast) benchmark buckets. Never
+    corpus × corpus, and no bucket cap is needed — the benchmark side
+    IS the cap (each corpus band row meets at most |benchmark| rows).
+    Candidates are verified with exact shingle Jaccard via ONE
+    gather-form shingle join (both pair sides live in the same doc_id
+    space), then reduced to a per-corpus-doc report: candidate count,
+    best-matching benchmark doc (ties: higher Jaccard first, then
+    smaller bench_id), and the flag.
+
+    100 TB shape: signature pass is one keyed agg; the candidate join
+    broadcasts only benchmark-derived rows; verify touches candidate
+    docs only. Corpus docs with no banded candidate never appear — the
+    report is contamination-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.operators.dedup import (
+        _ensure_parallelism,
+        lsh_band_buckets,
+        minhash_signatures,
+        shingles_col,
+    )
+
+    docs = _ensure_parallelism(docs)
+    # two consumers (benchmark + corpus band legs): without a checkpoint
+    # the shingle explode + 16 min-aggs run twice (multi-consumer rule)
+    sigs = minhash_signatures(docs, text_col).localCheckpoint(eager=False)
+    bench_buckets = lsh_band_buckets(
+        sigs.where(F.col("doc_id") < benchmark_max_id)
+    ).select(F.col("doc_id").alias("bench_id"), "band", "bucket_key")
+    corpus_buckets = lsh_band_buckets(
+        sigs.where(F.col("doc_id") >= benchmark_max_id)
+    )
+    cands = (
+        corpus_buckets.join(
+            F.broadcast(bench_buckets), ["band", "bucket_key"]
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    # gather-form verify: both sides share the doc_id space, so ONE
+    # shingle join covers corpus and benchmark members
+    sh = docs.select(
+        F.col("doc_id").alias("side_id"),
+        shingles_col(F.col(text_col)).alias("sh"),
+    )
+    sides = cands.select(
+        "doc_id",
+        "bench_id",
+        F.explode(F.array("doc_id", "bench_id")).alias("side_id"),
+    )
+    gathered = (
+        sides.join(sh, "side_id")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.max(
+                F.when(F.col("side_id") == F.col("doc_id"), F.col("sh"))
+            ).alias("sh_c"),
+            F.max(
+                F.when(F.col("side_id") == F.col("bench_id"), F.col("sh"))
+            ).alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_c"), F.col("sh_b")))
+    union = F.size("sh_c") + F.size("sh_b") - inter
+    scored = gathered.select(
+        "doc_id", "bench_id", hround(inter / union, 6).alias("jaccard")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("bench_id").asc()
+    )
+    wc = Window.partitionBy("doc_id")
+    return (
+        scored.withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_candidates",
+            F.col("bench_id").alias("best_bench_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            (F.col("jaccard") >= F.lit(threshold)).alias("flagged"),
+        )
+    )
+
+
 def prep_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The cheap per-row gate signals of the corpus-prep recipe in ONE
     projection: quality score, predicted language, duplicate-token

@@ -302,6 +302,81 @@ FROM scored GROUP BY doc_id
 TEXT_DECONTAMINATE_BLOOM_SQL = _decontaminate_bloom_oracle()
 
 
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded NEAR-match decontamination (VERDICT r6 #7): the
+    exact-gram variants miss paraphrased / reformatted benchmark leakage;
+    this one LSH-bands both sides, probes the broadcast benchmark
+    buckets with the corpus rows (one-sided — never corpus × corpus),
+    verifies exact shingle Jaccard on candidates only, and reports the
+    best-matching benchmark doc per candidate corpus doc
+    (operators/text.py::decontaminate_fuzzy)."""
+    return text.decontaminate_fuzzy(load_table(spark, sf_dir, "documents"))
+
+
+def _decontaminate_fuzzy_oracle(
+    benchmark_max_id: int = 50, threshold: float = 0.3
+) -> str:
+    sh = dedup.shingles_sql("text")
+    xid = dedup.SHINGLE_ID_SQL.format(s="u.s")
+    sig_cells = ",\n  ".join(
+        f"MIN(({a} * x + {b}) % {dedup.HASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup._hash_params())
+    )
+    band_selects = []
+    for band in range(dedup.LSH_BANDS):
+        cols = [f"mh_{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({key}) AS bucket_key FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    jac = (
+        "len(list_intersect(a.s, b.s)) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+x AS (
+  SELECT sh.doc_id, {xid} AS x
+  FROM sh, LATERAL (SELECT unnest(sh.s) AS s) u
+),
+sig AS (
+  SELECT doc_id,
+  {sig_cells}
+  FROM x GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+  FROM bands c
+  JOIN bands b ON b.band = c.band AND b.bucket_key = c.bucket_key
+  WHERE c.doc_id >= {benchmark_max_id} AND b.doc_id < {benchmark_max_id}
+),
+scored AS (
+  SELECT cand.doc_id, cand.bench_id, {hround_sql(jac, 6)} AS jaccard
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_id
+  JOIN sh b ON b.doc_id = cand.bench_id
+),
+ranked AS (
+  SELECT doc_id, bench_id, jaccard,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_candidates,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, bench_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+       bench_id AS best_bench_id, jaccard AS best_jaccard,
+       jaccard >= {threshold} AS flagged
+FROM ranked WHERE rn = 1
+"""
+
+
+TEXT_DECONTAMINATE_FUZZY_SQL = _decontaminate_fuzzy_oracle()
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals."""
     return text.repetition_signals(load_table(spark, sf_dir, "documents"))
@@ -1551,6 +1626,10 @@ QUERIES: dict[str, tuple] = {
     "text_decontaminate_bloom": (
         text_decontaminate_bloom,
         TEXT_DECONTAMINATE_BLOOM_SQL,
+    ),
+    "text_decontaminate_fuzzy": (
+        text_decontaminate_fuzzy,
+        TEXT_DECONTAMINATE_FUZZY_SQL,
     ),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_pii_scan": (text_pii_scan, TEXT_PII_SCAN_SQL),
@@ -3668,6 +3747,180 @@ SIM_IVFPQ_KMEANS_RECALL_SQL = _ivfpq_kmeans_recall_oracle()
 QUERIES["sim_ivfpq_kmeans_recall"] = (
     sim_ivfpq_kmeans_recall,
     SIM_IVFPQ_KMEANS_RECALL_SQL,
+)
+
+
+def sim_ivfpq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost operating curve for the learned-quantizer IVF-PQ
+    (VERDICT r6 #8): per (nprobe, refine_depth) grid point, aggregate
+    recall@3 over the query set plus the ADC-scored candidate count —
+    the knee of the curve the point audits can't see. One Lloyd + PQ +
+    ADC pass at max(nprobe); smaller operating points are probe-rank
+    FILTERS (operators/similarity.py::ivfpq_kmeans_recall_sweep)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_kmeans_recall_sweep(emb)
+
+
+def _ivfpq_sweep_oracle(k: int = 3, n_queries: int = 10, dim: int = 64) -> str:
+    m = similarity.PQ_M
+    q = float(similarity.KMEANS_QUANT)
+    nprobes = list(similarity.IVFPQ_SWEEP_NPROBES)
+    refines = list(similarity.IVFPQ_SWEEP_REFINES)
+    max_nprobe = max(nprobes)
+    sub_d = dim // m
+    kch, ka, kc = _kmeans_coarse_chain("km")
+    base_section = f"""{kch},
+coarse AS (SELECT vec_id, vq, cluster FROM {ka}),
+resid AS (
+  SELECT c.vec_id, c.cluster,
+         list_transform(generate_series(1, {dim}),
+                        i -> c.vq[i] / {q} - s.centroid[i]) AS r
+  FROM coarse c JOIN {kc} s USING (cluster)
+),
+base AS (
+  SELECT vec_id, u.sub AS sub,
+         list_transform(generate_series(1, {sub_d}),
+             i -> CAST(floor(r[u.sub * {sub_d} + i] * {q} + 0.5) AS BIGINT)) AS svq
+  FROM resid, unnest(generate_series(0, {m - 1})) AS u(sub)
+)"""
+    chain, last_assign, cents = _pq_chain(base_section)
+    qd2 = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (b.vq[i] / {q} - s.centroid[i]) * (b.vq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(dim=dim, q=q)
+    pd2 = (
+        "list_reduce(list_transform(generate_series(1, {sd}),"
+        " i -> (qs.qv[i] - s.centroid[i]) * (qs.qv[i] - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(sd=sub_d)
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (q.qv[i] - b.v[i]) * (q.qv[i] - b.v[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH {chain},
+qprobes AS (
+  SELECT query_id, cluster, centroid, pr FROM (
+    SELECT b.vec_id AS query_id, s.cluster, s.centroid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {qd2} ASC, s.cluster ASC) AS pr
+    FROM km_base b CROSS JOIN {kc} s WHERE b.vec_id < {n_queries}) t
+  WHERE pr <= {max_nprobe}
+),
+qres AS (
+  SELECT p.query_id, p.cluster AS pcluster, p.pr,
+         list_transform(generate_series(1, {dim}),
+             i -> CAST(floor((b.vq[i] / {q} - p.centroid[i]) * {q} + 0.5)
+                       AS BIGINT)) AS rvq
+  FROM qprobes p JOIN km_base b ON b.vec_id = p.query_id
+),
+qsubs AS (
+  SELECT query_id, pcluster, pr, u.sub AS sub,
+         list_transform(generate_series(1, {sub_d}),
+                        i -> rvq[u.sub * {sub_d} + i] / {q}) AS qv
+  FROM qres, unnest(generate_series(0, {m - 1})) AS u(sub)
+),
+dtab AS (
+  SELECT qs.query_id, qs.pcluster, qs.pr, qs.sub, s.cluster AS code,
+         {pd2} AS pd2
+  FROM qsubs qs JOIN {cents} s ON s.sub = qs.sub
+),
+scored AS (
+  SELECT d.query_id, a.vec_id AS cand_id,
+         list_reduce(list(pd2 ORDER BY d.sub), (x, y) -> x + y) AS adc_d2,
+         MIN(d.pr) AS pr
+  FROM {last_assign} a
+  JOIN coarse co ON co.vec_id = a.vec_id
+  JOIN dtab d ON d.pcluster = co.cluster AND d.sub = a.sub
+             AND d.code = a.cluster
+  WHERE a.vec_id != d.query_id
+  GROUP BY d.query_id, a.vec_id
+),
+grid AS (
+  SELECT n.nprobe, r.refine_depth
+  FROM (SELECT unnest({nprobes}) AS nprobe) n,
+       (SELECT unnest({refines}) AS refine_depth) r
+),
+cand AS (
+  SELECT g.nprobe, g.refine_depth, s.query_id, s.cand_id, s.adc_d2
+  FROM scored s JOIN grid g ON s.pr <= g.nprobe
+),
+short AS (
+  SELECT nprobe, refine_depth, query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY nprobe, refine_depth, query_id
+        ORDER BY adc_d2, cand_id) AS arnk
+    FROM cand) t
+  WHERE arnk <= refine_depth
+),
+refined AS (
+  SELECT s.nprobe, s.refine_depth, s.query_id, s.cand_id,
+         list_reduce(list_transform(generate_series(1, {dim}),
+             i -> (qb.vq[i] / {q} - cb.vq[i] / {q})
+                  * (qb.vq[i] / {q} - cb.vq[i] / {q})),
+           (x, y) -> x + y) AS d2
+  FROM short s
+  JOIN km_base qb ON qb.vec_id = s.query_id
+  JOIN km_base cb ON cb.vec_id = s.cand_id
+),
+approx AS (
+  SELECT nprobe, refine_depth, query_id, cand_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY nprobe, refine_depth, query_id
+        ORDER BY {hround_sql("d2", 6)}, cand_id) AS rnk
+    FROM refined) t
+  WHERE rnk <= {k}
+),
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, b.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {hround_sql(l2, 6)}, b.vec_id) AS rn
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) b
+    JOIN (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {n_queries}) q
+      ON b.vec_id != q.query_id) t
+  WHERE rn <= {k}
+),
+truth AS (
+  SELECT g.nprobe, g.refine_depth, e.query_id, e.cand_id
+  FROM exact e CROSS JOIN grid g
+),
+recall_agg AS (
+  SELECT t.nprobe, t.refine_depth,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+         {hround_sql(
+             "sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)"
+             " / count(*)", 6
+         )} AS recall
+  FROM truth t
+  LEFT JOIN approx a ON a.nprobe = t.nprobe
+                    AND a.refine_depth = t.refine_depth
+                    AND a.query_id = t.query_id AND a.cand_id = t.cand_id
+  GROUP BY t.nprobe, t.refine_depth
+),
+costs AS (
+  SELECT n.nprobe, CAST(count(*) AS BIGINT) AS n_scored
+  FROM scored s JOIN (SELECT unnest({nprobes}) AS nprobe) n
+    ON s.pr <= n.nprobe
+  GROUP BY n.nprobe
+)
+SELECT CAST(r.nprobe AS BIGINT) AS nprobe,
+       CAST(r.refine_depth AS BIGINT) AS refine_depth,
+       r.n_exact, r.n_hit, r.recall, c.n_scored
+FROM recall_agg r JOIN costs c ON c.nprobe = r.nprobe
+ORDER BY nprobe, refine_depth
+"""
+
+
+SIM_IVFPQ_RECALL_SWEEP_SQL = _ivfpq_sweep_oracle()
+
+QUERIES["sim_ivfpq_recall_sweep"] = (
+    sim_ivfpq_recall_sweep,
+    SIM_IVFPQ_RECALL_SWEEP_SQL,
 )
 
 

@@ -2126,6 +2126,36 @@ class TestIvfPqRecall:
         assert learned >= grid + 0.3
         assert learned >= 0.6
 
+    def test_recall_sweep_monotonicity_and_cost(self, spark):
+        """The operating-curve invariants that make the sweep a usable
+        tuning artifact: ADC-scored candidate count is non-decreasing
+        in nprobe (it's the cost axis), recall is non-decreasing in
+        refine_depth at fixed nprobe (deeper shortlists can only add
+        true neighbors), and the pinned default (IVF_NPROBE,
+        IVFPQ_REFINE) is on the grid."""
+        from pos_pipeline_core_etl_spark.operators.similarity import (
+            IVF_NPROBE,
+            IVFPQ_REFINE,
+            IVFPQ_SWEEP_NPROBES,
+            IVFPQ_SWEEP_REFINES,
+            ivfpq_kmeans_recall_sweep,
+        )
+
+        assert IVF_NPROBE in IVFPQ_SWEEP_NPROBES
+        assert IVFPQ_REFINE in IVFPQ_SWEEP_REFINES
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = ivfpq_kmeans_recall_sweep(emb).collect()
+        assert len(rows) == len(IVFPQ_SWEEP_NPROBES) * len(IVFPQ_SWEEP_REFINES)
+        by_np = {}
+        for r in rows:
+            by_np.setdefault(r.nprobe, []).append(r)
+        costs = [grp[0].n_scored for _, grp in sorted(by_np.items())]
+        assert costs == sorted(costs)
+        for _, grp in by_np.items():
+            grp.sort(key=lambda r: r.refine_depth)
+            recalls = [r.recall for r in grp]
+            assert recalls == sorted(recalls)
+
     def test_kmeans_ivfpq_no_quadratic_join(self, spark):
         """The learned-quantizer path must stay relational: no
         cartesian corpus×corpus leg, no driver collect — the centroid
@@ -2727,6 +2757,63 @@ class TestFuzzyKeyPairs:
         df = spark.createDataFrame([(1, "a")], "id long, k string")
         with pytest.raises(ValueError):
             fuzzy.fuzzy_key_pairs(df, "id", "k", max_distance=3)
+
+
+class TestDecontaminateFuzzy:
+    """MinHash-banded near-match decontamination (operators/text.py r7):
+    planted paraphrases of benchmark docs must be flagged AND attributed
+    to the right benchmark doc; unrelated docs must not appear."""
+
+    def _docs(self, spark):
+        bench0 = ("the capital of france is paris and the capital of spain "
+                  "is madrid while the capital of italy is rome")
+        bench1 = ("a binary search tree supports insertion deletion and "
+                  "lookup in logarithmic time when the tree stays balanced")
+        # light paraphrase of bench1: two token substitutions
+        para = ("a binary search tree supports insertion removal and "
+                "lookup in logarithmic time when the tree remains balanced")
+        other = ("completely unrelated text about cooking pasta with "
+                 "tomato sauce basil garlic and olive oil for dinner")
+        return spark.createDataFrame(
+            [(0, bench0), (1, bench1), (100, para), (101, other)],
+            "doc_id long, text string",
+        )
+
+    def test_planted_paraphrase_flagged_and_attributed(self, spark):
+        from pos_pipeline_core_etl_spark.operators import text as text_ops
+
+        got = {r.doc_id: r for r in
+               text_ops.decontaminate_fuzzy(self._docs(spark)).collect()}
+        assert 100 in got, "paraphrase of a benchmark doc must surface"
+        assert got[100].flagged
+        assert got[100].best_bench_id == 1
+        assert got[100].best_jaccard > 0.3
+        assert 101 not in got or not got[101].flagged
+
+    def test_exact_variant_misses_doc_attribution(self, spark):
+        """The fuzzy variant's report names WHICH benchmark doc leaked;
+        the exact variant only scores gram overlap against the pooled
+        benchmark set — the attribution column is the new capability."""
+        from pos_pipeline_core_etl_spark.operators import text as text_ops
+
+        exact = text_ops.decontaminate(self._docs(spark))
+        assert "best_bench_id" not in exact.columns
+        fuzzy = text_ops.decontaminate_fuzzy(self._docs(spark))
+        assert "best_bench_id" in fuzzy.columns
+
+    def test_one_sided_join_shape(self, spark):
+        """The candidate stage must broadcast the benchmark side — never
+        a corpus × corpus join (sort-merge on the band key would mean
+        both sides shuffled at corpus scale)."""
+        from pos_pipeline_core_etl_spark.operators import text as text_ops
+
+        plan = (
+            text_ops.decontaminate_fuzzy(self._docs(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
 
 
 class TestSparseCosine:
