@@ -203,6 +203,17 @@ def main() -> None:
         warm_dir = SF_DIR
     scale_path = ("salted_agg_lineitem", "bucketed_join_lineitem")
     timed = (*HEADLINE, *scale_path)
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set — the
+    # isolated-pass tool for separating plan regressions from same-run
+    # contention (VERDICT r6 #2): re-measure a drifted subset without
+    # the other entries' heap/codegen pressure in the same JVM.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in timed]
+        if unknown:
+            raise SystemExit(f"unknown bench entries: {unknown}")
+        timed = tuple(n for n in timed if n in wanted)
     for name in timed:
         try:
             # the scale-path entries warm at FULL SF, twice: their AQE

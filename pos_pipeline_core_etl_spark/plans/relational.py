@@ -932,8 +932,10 @@ def fuzzy_customer_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer names within edit distance 2 via depth-2 deletion
     neighborhoods (FastSS at d=2 — catches the two-character typos the
     d=1 pass misses, e.g. a substitution plus a dropped letter; the
-    reference's accent-normalized name matching motivates exactly this
-    tolerance). Same candidate-then-verify contract as d=1 with the
+    reference's accent-normalized fuzzy name matching —
+    cleaning_utils.py:261-313 `remove_accents` /
+    `normalize_spanish_name`, "suitable for fuzzy matching" — motivates
+    exactly this tolerance). Same candidate-then-verify contract as d=1 with the
     larger FUZZY_D2_MAX_BUCKET cap: equivalence to brute force holds
     whenever no variant bucket overflows, and the overflow twin
     quantifies what was skipped (this digit-substituted fixture is

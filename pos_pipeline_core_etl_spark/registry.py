@@ -12,28 +12,24 @@ oldest driver rows.  History: r1 covered the first 50 of 82; r2 the other
 round-3 queries; r4 front-loaded the 24 never-checked round-4 names and
 the value-affecting r4 fixes.
 
-Round-6 window (this file): r5 went 50/50 green, so the record now
-reads r5×50, r4×45, r3×39, r2×7 across the 141 round-5 names.  Tier 0
-= the NEW round-6 queries (staged SimHash dedup, banding-overflow
-report, learned-quantizer IVF-PQ + its recall audits, grid-IVF-PQ
-recall audit, fast BPE trainer, image dedup decisions, decoder
-coverage, snapshot-diff incremental dedup; second pass: the
-distributed logistic-regression family — train / scores / eval /
-AUC / top-fraction gate — Broder containment doc-in-doc dedup with
-staged + overflow + recall-audit twins, the incremental mart refresh
-whose oracle is the full-mart SQL, FastSS deletion-variant fuzzy
-matching + stop-variant audit + total-recall audit + entity
-survivorship, idf-weighted sparse shingle cosine (plain + staged),
-the naive-forecast backtest, z-order layout analysis, the lineitem
-column profile, and contained-doc subset pruning) — never
-driver-checked.
-Tier 1 = the round-6 VALUE changes: text_bpe_train / text_bpe_apply
-moved to canonical double-space merge semantics AFTER their r5 row
-was recorded (ADVICE r5 item 2).  Tier 2 = the 7 names whose newest
-row is still from ROUND 2 (the oldest record, VERDICT r5 #1).  Tier 3
-= the 39 r3-latest names; whatever spills past slot 50 leads round 7,
-after which every name's newest driver row is from round-4 code or
-later.
+Round-7 window (this file): r6 went 50/50 green; across r1∪…∪r6 all
+171 names are union-green with zero latest-row failures, and the only
+stale records are the 28 r3-latest names that spilled past slot 50
+last round (VERDICT r6 #1).  Tier 0 = the NEW round-7 queries
+(delete-2 FastSS fuzzy blocking + its overflow and total-recall
+audits, rule-based golden-record survivorship, MinHash-banded fuzzy
+benchmark decontamination, the IVF-PQ recall-vs-cost sweep, and the
+z-order layout writer's read-back file stats + pruning report) —
+never driver-checked.  Tier 1 = the round-7 VALUE changes:
+dedup_simhash / dedup_simhash_banded / dedup_simhash_recall moved to
+the 60-bit production default (VERDICT r6 #3) and sim_ivfpq_kmeans_
+topk / _recall to the sweep-measured refine=64 default (VERDICT r6
+#8) after their r6 rows were recorded.  Tier 2 = the 28 r3-latest
+names — all replica-verified green on r6 code last round; fresh
+driver rows here retire the backlog entirely, after which every
+name's newest driver row is from round-4 code or later.  41 explicit
+slots; the ~9 to the 50 cap fall through to registration order
+(r4/r5-green names — free freshness).
 """
 
 from __future__ import annotations
@@ -44,63 +40,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-6 window: see module docstring for the tier rationale.
+# Round-7 window: see module docstring for the tier rationale.
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0: new round-6 queries (never driver-checked) --------------
-    "dedup_simhash_staged",       # exact-first + banded SimHash over survivors (r5 #3)
-    "dedup_simhash_overflow",     # banded-bucket overflow report (ADVICE r5)
-    "sim_ivfpq_kmeans_topk",      # learned coarse quantizer + exact refine
-    "sim_ivfpq_kmeans_recall",    # standing recall audit for the learned index
-    "sim_ivfpq_recall",           # recall audit pinning the grid-IVF-PQ baseline
-    "text_bpe_train_fast",        # driver-side incremental pair-delta trainer (r5 #4)
-    "multimodal_dedup_decisions", # image decision table via dHash components (r5 #5)
-    "multimodal_decode_coverage", # png/stub/error denominator per source (r5 #8)
-    "dedup_incremental_diff",     # snapshot-diff-driven incremental dedup (r5 #6)
-    "corpus_build_manifest",      # full curation recipe → sharded export manifest
-    "docs_lr_train",              # distributed logistic-regression GD (quality filter)
-    "docs_lr_scores",             # per-doc probability under the trained model
-    "docs_lr_eval",               # confusion matrix + accuracy, one row
-    "dedup_containment",          # doc-in-doc Broder containment (inverted index)
-    "dedup_containment_overflow", # stop-shingle posting-list audit
-    "dedup_containment_staged",   # exact-first containment (the scale path)
-    "dedup_containment_recall",   # two-sided recall audit vs bounded all-pairs truth
-    "docs_lr_auc",                # rank-statistic ROC-AUC (bounded-window form)
-    "payments_daily_mart_incremental",  # late-batch refresh ≡ full mart (oracle-pinned)
-    "fuzzy_customer_pairs",       # FastSS deletion-variant blocking + verify
-    "fuzzy_customer_overflow",    # stop-variant audit for the blocking stage
-    "corpus_lr_gate",             # top-fraction classifier gate, per-source report
-    "dedup_sparse_cosine",        # idf-weighted shingle cosine (inverted index)
-    "dedup_sparse_cosine_staged", # exact-first sparse cosine (the scale path)
-    "forecast_backtest_naive",    # walk-forward holdout MAPE/MAE per branch
-    "events_layout_skipping",     # z-order vs single-dim file pruning report
-    "fuzzy_customer_recall",      # total-recall audit (oracle hard-codes n=true)
-    "fuzzy_customer_entities",    # blocking→verify→components→survivorship
-    "profile_lineitem",           # column profile: nulls/distincts/ranges
-    "dedup_contained_docs",       # subset pruning: drop docs contained in longer ones
-    # -- tier 1: round-6 value changes (r5 rows recorded on the old
-    #    single-space merge semantics) ----------------------------------
-    "text_bpe_train",             # canonical double-space merges (values changed post-r5 row)
-    "text_bpe_apply",             # same merge-semantics change
-    # -- tier 2: the 7 names whose newest driver row is from round 2 -----
-    "text_unigram_logprob",
-    "dedup_simhash",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "deposit_cash_flow",
-    "forecast_loglinear",
-    # -- tier 3: the 39 r3-latest names; the tail past slot 50 leads r7 --
-    "fn_clean_strings",
-    "fn_to_float_locale",
-    "fn_to_float_expr",
-    "fn_to_int",
-    "fn_to_date_multi",
-    "fn_accent_bucket",
-    "fn_coerce_bool",
-    "fn_safe_unit_cost",
-    "fn_json_extract",
-    "qa_duplicates",
-    "qa_nulls",
+    # -- tier 0: new round-7 queries (never driver-checked) --------------
+    "fuzzy_customer_pairs_d2",    # depth-2 deletion-neighborhood blocking (r6 #4)
+    "fuzzy_customer_overflow_d2", # stop-variant audit for the d=2 stage
+    "fuzzy_customer_recall_d2",   # total-recall audit on the bounded subset
+    "fuzzy_customer_golden",      # rule-based MDM survivorship + provenance (r6 #6)
+    "text_decontaminate_fuzzy",   # MinHash-banded near-match decontamination (r6 #7)
+    "sim_ivfpq_recall_sweep",     # (nprobe × refine) recall-vs-cost curve (r6 #8)
+    "events_zorder_files",        # z-order WRITER + read-back file stats (r6 #5)
+    "events_zorder_pruning",      # min/max pruning cost of the written layout
+    # -- tier 1: round-7 value changes (r6 rows recorded on the old
+    #    defaults) -------------------------------------------------------
+    "dedup_simhash",              # 60-bit default (was 16 when the r6 row was cut)
+    "dedup_simhash_banded",       # same width flip
+    "dedup_simhash_recall",       # recall audit re-pinned at 60 bits
+    "sim_ivfpq_kmeans_topk",      # refine 32 → 64 (sweep-measured default)
+    "sim_ivfpq_kmeans_recall",    # recall audit re-pinned at refine=64
+    # -- tier 2: the 28 r3-latest names (the final rotation backlog) -----
     "qa_non_negative",
     "qa_revenue_consistency",
     "qa_per_sucursal_ranges",
@@ -129,8 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "value_mode",
     "stratified_sample",
     "text_chunk_windows",
-    # Everything after this point has a round-4-or-5 driver-green row on
-    # unchanged code and is re-verified replica-green each round.
+    # Everything after this point has a round-4-or-later driver-green row
+    # on unchanged code and is re-verified replica-green each round.
 )
 
 

@@ -2759,6 +2759,53 @@ class TestFuzzyKeyPairs:
             fuzzy.fuzzy_key_pairs(df, "id", "k", max_distance=3)
 
 
+class TestZorderWriter:
+    """Z-order layout writer (operators/layout.py r7): the written tree
+    must be exactly the deterministic layout the oracle predicts — 32
+    z-file directories, ONE data file each — and its read-back pruning
+    stats must show the z-order property (both dimensions bounded)."""
+
+    def test_writes_one_file_per_zfile(self, spark, tmp_path):
+        import os
+
+        from pos_pipeline_core_etl_spark.operators import layout
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        path = str(tmp_path / "zorder")
+        layout.write_zorder_layout(ev, path)
+        # one directory per zfile value PRESENT in the data (the small
+        # fixture's date span populates a subset of the 32 Morton cells)
+        expected = layout.zorder_buckets(ev).select("zfile").distinct().count()
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("zfile="))
+        assert len(dirs) == expected
+        assert len(dirs) <= layout.ZORDER_N_FILES
+        for d in dirs:
+            files = [
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d} has {len(files)} data files"
+
+    def test_pruning_bounds_both_dimensions(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators import layout
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        path = str(tmp_path / "zorder")
+        layout.write_zorder_layout(ev, path)
+        stats = layout.read_zorder_file_stats(spark, path)
+        report = {r.dim: r for r in layout.zorder_pruning_report(stats).collect()}
+        assert set(report) == {"user_bucket", "day_bucket"}
+        # the z-order property: NEITHER dimension degenerates to a full
+        # scan (a single-dimension layout reads all 32 files for the
+        # other dimension's point queries)
+        for dim in report:
+            assert report[dim].avg_files_read < 32
+        # and the written stats cover every row exactly once
+        n_rows = sum(r.n_rows for r in stats.collect())
+        assert n_rows == ev.count()
+
+
 class TestDecontaminateFuzzy:
     """MinHash-banded near-match decontamination (operators/text.py r7):
     planted paraphrases of benchmark docs must be flagged AND attributed
