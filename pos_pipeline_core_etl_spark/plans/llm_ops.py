@@ -494,7 +494,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = "documents", prefix_ctes: str = "") -> str:
     sh = dedup.shingles_sql("text")
     xid = dedup.SHINGLE_ID_SQL.format(s="u.s")
     sig_cells = ",\n  ".join(
@@ -510,7 +510,7 @@ def _minhash_oracle() -> str:
         )
     bands = "\nUNION ALL\n".join(band_selects)
     return f"""
-WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+WITH {prefix_ctes}sh AS (SELECT doc_id, {sh} AS s FROM {source}),
 x AS (
   SELECT sh.doc_id, {xid} AS x
   FROM sh, LATERAL (SELECT unnest(sh.s) AS s) u
@@ -560,6 +560,90 @@ WHERE {hround_sql(jac, 6)} >= {threshold}
 
 
 DEDUP_MINHASH_VERIFIED_SQL = _minhash_verified_oracle()
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing recall audit for the MinHash-LSH family — the one
+    near-dup family that previously lacked one (SimHash, containment
+    and fuzzy blocking each carry theirs). Unlike the pigeonhole
+    families, LSH recall is PROBABILISTIC (P(candidate) = 1-(1-j^r)^b),
+    so the audit doesn't hard-code totality: on the bounded subset
+    (doc_id < 500) it compares brute-force Jaccard-&ge;-0.5 ground
+    truth against the banded-verified pipeline per Jaccard decile, and
+    the oracle re-derives BOTH legs from the frozen hash params — any
+    banding/signature regression shifts n_matched and hash-fails the
+    driver check. This fixture's pair population is bimodal (near-dups
+    sit at 0.9+, everything else under 0.2), so the populated decile
+    is the 0.9 bucket where the 4-band/4-row S-curve predicts
+    P(candidate) ≈ 0.99 — the audit pins the LSH miss pattern exactly,
+    cross-engine."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    sh = dedup._ensure_parallelism(docs).select(
+        "doc_id", dedup.shingles_col(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hround(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+    got = dedup.minhash_lsh_verified(docs).select(
+        F.col("doc_a").alias("g_a"), F.col("doc_b").alias("g_b")
+    )
+    joined = truth.join(
+        got,
+        (F.col("doc_a") == F.col("g_a")) & (F.col("doc_b") == F.col("g_b")),
+        "left",
+    )
+    bucket = F.floor(F.col("jaccard") * 10).cast("long")
+    return (
+        joined.groupBy(bucket.alias("jac_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("g_a").isNotNull().cast("long")).alias("n_matched"),
+        )
+        .orderBy("jac_decile")
+    )
+
+
+def _minhash_recall_oracle() -> str:
+    sh = dedup.shingles_sql("text")
+    jac = (
+        "len(list_intersect(a.s, b.s)) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    cand = _minhash_oracle(
+        source="sub", prefix_ctes="sub AS (SELECT * FROM documents WHERE doc_id < 500),\n"
+    ).strip()
+    return f"""
+WITH got AS ({cand}),
+sh AS (SELECT doc_id, {sh} AS s FROM documents WHERE doc_id < 500),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {hround_sql(jac, 6)} AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {hround_sql(jac, 6)} >= 0.5
+),
+verified AS (
+  SELECT g.doc_a, g.doc_b FROM got g
+  JOIN sh a ON a.doc_id = g.doc_a
+  JOIN sh b ON b.doc_id = g.doc_b
+  WHERE {hround_sql(jac, 6)} >= 0.5
+)
+SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS jac_decile,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched
+FROM truth t
+LEFT JOIN verified v ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+GROUP BY floor(t.jaccard * 10)
+ORDER BY jac_decile
+"""
+
+
+DEDUP_MINHASH_RECALL_SQL = _minhash_recall_oracle()
 
 
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,6 +1721,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_minhash_verified": (dedup_minhash_verified, DEDUP_MINHASH_VERIFIED_SQL),
+    "dedup_minhash_recall": (dedup_minhash_recall, DEDUP_MINHASH_RECALL_SQL),
     "dedup_minhash_components": (
         dedup_minhash_components,
         DEDUP_MINHASH_COMPONENTS_SQL,
@@ -4361,6 +4446,90 @@ CORPUS_SHARD_CHECKSUMS_SQL = _shard_checksums_oracle()
 QUERIES["corpus_shard_checksums"] = (
     corpus_shard_checksums,
     CORPUS_SHARD_CHECKSUMS_SQL,
+)
+
+
+# Compaction target: tokens per output file. Chosen so the sf fixtures
+# produce several multi-shard groups (mean shard ≈ 9K tokens at
+# sf0.01); a real deployment sets this to its parquet sweet spot
+# (~512 MB–1 GB equivalents) — the plan math is size-unit-agnostic.
+COMPACT_TARGET_TOKENS = 30_000
+
+
+def corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan (round 7): pack the export's shards
+    into output files of ~COMPACT_TARGET_TOKENS each by contiguous
+    start-offset binning — shard s joins the group its cumulative
+    START offset falls in, the classic deterministic one-pass packing
+    (no NP-hard bin packing, no reordering, stable under re-runs). Per
+    output group: the shard range to concatenate (contiguous by
+    construction — `first_shard..last_shard` IS the merge list), doc
+    and token totals, and the over-target flag for single oversized
+    shards. The maintenance job every long-lived table needs once
+    incremental writes accumulate small files.
+
+    Scale shape: the per-shard manifest is one corpus-sized keyed agg
+    (shared with corpus_shard_checksums); the packing window runs on
+    MANIFEST-sized data (one row per shard — thousands at 100 TB, not
+    corpus rows), so the single-partition running sum is bounded by
+    contract, same class as the QA summary collects."""
+    from pyspark.sql import Window
+
+    shards = corpus_shard_checksums(spark, sf_dir).select(
+        "shard_id", "n_docs", "token_total"
+    )
+    w = (
+        Window.orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("token_total").over(w) - F.col("token_total")
+    planned = shards.withColumn(
+        "group_id", F.floor(start / F.lit(COMPACT_TARGET_TOKENS)).cast("long")
+    )
+    return (
+        planned.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.min("shard_id").alias("first_shard"),
+            F.max("shard_id").alias("last_shard"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("token_total").alias("group_tokens"),
+            (F.sum("token_total") > F.lit(COMPACT_TARGET_TOKENS)).alias(
+                "over_target"
+            ),
+        )
+        .orderBy("group_id")
+    )
+
+
+def _compaction_plan_oracle() -> str:
+    manifest = _shard_checksums_oracle().strip()
+    return f"""
+WITH manifest AS ({manifest}),
+planned AS (
+  SELECT shard_id, n_docs, token_total,
+         CAST(floor((sum(token_total) OVER (ORDER BY shard_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - token_total) / {COMPACT_TARGET_TOKENS}) AS BIGINT)
+           AS group_id
+  FROM manifest
+)
+SELECT group_id,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       MIN(shard_id) AS first_shard,
+       MAX(shard_id) AS last_shard,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(token_total) AS BIGINT) AS group_tokens,
+       sum(token_total) > {COMPACT_TARGET_TOKENS} AS over_target
+FROM planned
+GROUP BY group_id
+ORDER BY group_id
+"""
+
+
+QUERIES["corpus_compaction_plan"] = (
+    corpus_compaction_plan,
+    _compaction_plan_oracle(),
 )
 
 
