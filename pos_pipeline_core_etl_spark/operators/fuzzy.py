@@ -133,6 +133,103 @@ def fuzzy_key_pairs(
     ).where(F.col("dist") <= max_distance)
 
 
+SN_WINDOW = 5
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], rank_name: str = "rank"
+) -> DataFrame:
+    """Deterministic 1-based global rank in (order_cols…) order WITHOUT
+    a single-partition sort — the distributed zipWithIndex recipe:
+    range-partition on the sort key, per-partition row_number, then add
+    each partition's cumulative predecessor count (a partition-count
+    frame, tiny, broadcast back). The sampled range boundaries are
+    nondeterministic, but the RANK is a pure function of the total
+    order (ties broken by the caller's trailing unique column), so the
+    output is deterministic and oracle-checkable while the plan stays
+    parallel at any scale."""
+    from pyspark.sql import Window
+
+    n_part = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    # TWO consumers (the rank leg and the offsets leg) must see the SAME
+    # partition assignment: range boundaries come from sampling, so the
+    # checkpoint pins one materialization instead of re-executing the
+    # range exchange per consumer (multi-consumer rule — here it would
+    # be a CORRECTNESS bug, not just wasted work, if the two executions
+    # sampled different boundaries)
+    rp = (
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pw = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = rp.withColumn("_rn", F.row_number().over(pw))
+    # per-partition counts: one tiny agg; running offset over pid order
+    ow = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        rp.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_offset", F.sum("_n").over(ow) - F.col("_n"))
+        .select("_pid", "_offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("_offset") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = SN_WINDOW,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic entity-resolution alternative to deletion-variant blocking:
+    rank all keys in sorted order, candidate pairs are rows within
+    ``window`` positions of each other, verify exact levenshtein on
+    candidates only.
+
+    Why it exists next to FastSS: its candidate count is EXACTLY
+    window·n regardless of how typo-dense the key space is — the
+    measured d=2 degenerate mode (231M output pairs on sequential ids)
+    cannot happen, because the output is bounded by construction. The
+    trade is recall: only pairs that sort near each other are seen
+    (a first-character typo sorts far away), which is why the standing
+    recall audit (fuzzy_customer_sn_recall) pins the measured recall
+    instead of claiming totality. Multi-pass SN (re-run with a rotated
+    or reversed key) is the standard recall fix and composes by union.
+
+    Scale shape: one range-partitioned rank (:func:`global_rank` — no
+    single-partition sort), one explode of ``window`` probe offsets,
+    one equi-join on rank, JVM levenshtein on window·n candidates."""
+    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k"))
+    ranked = global_rank(keyed, ["k", "id"])
+    probes = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("k").alias("key_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("j"),
+    ).select(
+        "id_a", "key_a", (F.col("rank_a") + F.col("j")).alias("rank")
+    )
+    joined = probes.join(
+        ranked.select(
+            F.col("id").alias("id_b"), F.col("k").alias("key_b"), "rank"
+        ),
+        "rank",
+    )
+    dist = F.levenshtein("key_a", "key_b")
+    return joined.select(
+        "id_a", "id_b", "key_a", "key_b", dist.cast("long").alias("dist")
+    ).where(F.col("dist") <= max_distance)
+
+
 def fuzzy_key_overflow(
     df: DataFrame,
     id_col: str,

@@ -80,3 +80,48 @@ def salted_broadcast_left(
         salted_big.join(F.broadcast(exploded_small), [key, "_salt"], "left")
         .drop("_salt")
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Key-distribution diagnosis for a planned groupBy/join key — the
+    report that decides whether :func:`salted_aggregate` is needed and
+    with how many salts, BEFORE the job hits the hot-key wall. Per
+    top-``top_k`` key: row count, corpus share, and the suggested salt
+    factor ``ceil(share × n_partitions)`` (how many reducers one key's
+    rows would need to spread evenly — 1 means no salting required),
+    computed with pure integer math so both engines agree exactly.
+
+    Scale shape: ONE keyed count agg (map-side partials), a scalar
+    total folded in the same frame via a window over the tiny per-key
+    result, top-k via rank. The per-key frame is |distinct keys| rows,
+    not data rows."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    wt = Window.partitionBy()
+    wr = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    totaled = per_key.withColumn("total", F.sum("n_rows").over(wt))
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    return (
+        totaled.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "rank",
+            F.col("key").cast("string").alias("key"),
+            "n_rows",
+            hround(F.col("n_rows") / F.col("total"), 6).alias("share"),
+            F.expr(
+                f"CAST((n_rows * {n_partitions} + total - 1) DIV total"
+                " AS BIGINT)"
+            ).alias("suggested_salts"),
+        )
+        .orderBy("rank")
+    )

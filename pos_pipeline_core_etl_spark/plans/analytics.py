@@ -894,6 +894,47 @@ QUERIES["events_zorder_pruning"] = (
 
 
 # ---------------------------------------------------------------------------
+# key-skew diagnosis (round 7) — the report that sizes salted_aggregate
+
+
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile of events.event_type (operators/
+    skew.py::key_skew_profile): top keys by row count with corpus share
+    and the integer suggested-salt factor ceil(share × 32) — the
+    pre-flight diagnosis that decides whether a groupBy on this key
+    needs the two-phase salted aggregation and with how many salts.
+    One keyed count agg; the ranking windows run over |distinct keys|
+    rows (bounded by contract), never data rows."""
+    from pos_pipeline_core_etl_spark.operators.skew import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "event_type")
+
+
+def _skew_profile_oracle(top_k: int = 10, n_partitions: int = 32) -> str:
+    return f"""
+WITH per_key AS (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type
+),
+totaled AS (
+  SELECT key, n_rows, SUM(n_rows) OVER () AS total,
+         row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+  FROM per_key
+)
+SELECT CAST(rank AS INTEGER) AS rank, CAST(key AS VARCHAR) AS key, n_rows,
+       {hround_sql("CAST(n_rows AS DOUBLE) / total", 6)} AS share,
+       CAST((n_rows * {n_partitions} + total - 1) // total AS BIGINT)
+         AS suggested_salts
+FROM totaled WHERE rank <= {top_k}
+ORDER BY rank
+"""
+
+
+QUERIES["skew_profile_events"] = (skew_profile_events, _skew_profile_oracle())
+
+
+# ---------------------------------------------------------------------------
 # data profiling (round 6) — the pre-ingestion column report
 
 _PROFILE_NUM = (

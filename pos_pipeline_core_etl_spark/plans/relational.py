@@ -1090,6 +1090,148 @@ QUERIES["fuzzy_customer_recall_d2"] = (
 
 
 # ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (round 7) — the bounded-output ER path
+
+
+def fuzzy_customer_sorted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking over customer names (Hernández &
+    Stolfo 1995; operators/fuzzy.py::sorted_neighborhood_pairs):
+    candidates are rows within SN_WINDOW positions of the name sort
+    order, exact levenshtein verify, distance ≤ 2 kept. The
+    bounded-output complement to the deletion-variant family — its
+    candidate count is window·n BY CONSTRUCTION, so the measured
+    d2-on-dense-keys degenerate mode (231M output pairs,
+    PERFORMANCE.md round-7 ladder) cannot occur; the price is
+    sort-locality recall, pinned honestly by fuzzy_customer_sn_recall."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy.sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", max_distance=2
+    ).orderBy("id_a", "id_b")
+
+
+def _sorted_pairs_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import SN_WINDOW
+
+    return f"""
+WITH k AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+ranked AS (
+  SELECT id, nm, row_number() OVER (ORDER BY nm, id) AS rank FROM k
+),
+probes AS (
+  SELECT a.id AS id_a, a.nm AS key_a, a.rank + u.j AS rank
+  FROM ranked a, unnest(generate_series(1, {SN_WINDOW})) AS u(j)
+),
+joined AS (
+  SELECT p.id_a, b.id AS id_b, p.key_a, b.nm AS key_b
+  FROM probes p JOIN ranked b ON b.rank = p.rank
+)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+FROM joined
+WHERE levenshtein(key_a, key_b) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["fuzzy_customer_sorted_pairs"] = (
+    fuzzy_customer_sorted_pairs,
+    _sorted_pairs_oracle(),
+)
+
+
+def fuzzy_customer_sn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing recall audit for sorted-neighborhood blocking on the
+    bounded subset (c_custkey < 300): brute-force distance-≤2 truth vs
+    SN-recovered pairs per distance. SN has NO totality guarantee (a
+    typo in the first character sorts the key far away), so — like the
+    containment audit — the oracle RECOMPUTES both sides and pins the
+    measured recall; a window or ranking regression shifts n_matched
+    and hash-fails the driver check."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    truth = (
+        a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .where(F.levenshtein("a.c_name", "b.c_name") <= 2)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein("a.c_name", "b.c_name").cast("long").alias("dist"),
+        )
+    )
+    got = fuzzy.sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", max_distance=2
+    ).select(
+        F.least("id_a", "id_b").alias("g_a"),
+        F.greatest("id_a", "id_b").alias("g_b"),
+    )
+    joined = truth.join(
+        got,
+        (F.col("id_a") == F.col("g_a")) & (F.col("id_b") == F.col("g_b")),
+        "left",
+    )
+    return (
+        joined.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("g_a").isNotNull().cast("long")).alias("n_matched"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _sn_recall_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import SN_WINDOW
+
+    return f"""
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey < 300
+),
+ranked AS (
+  SELECT id, nm, row_number() OVER (ORDER BY nm, id) AS rank FROM k
+),
+probes AS (
+  SELECT a.id AS id_a, a.nm AS key_a, a.rank + u.j AS rank
+  FROM ranked a, unnest(generate_series(1, {SN_WINDOW})) AS u(j)
+),
+got AS (
+  SELECT LEAST(p.id_a, b.id) AS g_a, GREATEST(p.id_a, b.id) AS g_b
+  FROM probes p JOIN ranked b ON b.rank = p.rank
+  WHERE levenshtein(p.key_a, b.nm) <= 2
+),
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM k a JOIN k b ON a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 2
+)
+SELECT t.dist,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN g.g_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched
+FROM truth t
+LEFT JOIN (SELECT DISTINCT g_a, g_b FROM got) g
+  ON g.g_a = t.id_a AND g.g_b = t.id_b
+GROUP BY t.dist
+ORDER BY t.dist
+"""
+
+
+QUERIES["fuzzy_customer_sn_recall"] = (
+    fuzzy_customer_sn_recall,
+    _sn_recall_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
 # attribute survivorship (round 7) — golden records, VERDICT r6 #6
 
 

@@ -2759,6 +2759,98 @@ class TestFuzzyKeyPairs:
             fuzzy.fuzzy_key_pairs(df, "id", "k", max_distance=3)
 
 
+class TestSortedNeighborhood:
+    """Sorted-neighborhood blocking (operators/fuzzy.py r7): bounded
+    window·n candidates, distributed global rank with no
+    single-partition sort."""
+
+    def test_global_rank_is_total_order_position(self, spark):
+        from pos_pipeline_core_etl_spark.operators.fuzzy import global_rank
+
+        rows = [(i, f"k{(i * 37) % 100:03d}") for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, k string")
+        got = {
+            r.id: r.rank
+            for r in global_rank(df, ["k", "id"]).collect()
+        }
+        expected = {
+            rid: pos + 1
+            for pos, (rid, _k) in enumerate(
+                sorted(rows, key=lambda t: (t[1], t[0]))
+            )
+        }
+        assert got == expected
+
+    def test_global_rank_plan_has_no_single_partition_sort(self, spark):
+        from pos_pipeline_core_etl_spark.operators.fuzzy import global_rank
+
+        df = spark.range(1000).select(
+            F.col("id"), F.expr("CAST(id % 97 AS STRING)").alias("k")
+        )
+        plan = (
+            global_rank(df, ["k", "id"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the ROW-LEVEL rank window partitions by _pid (range
+        # partitions) — never a global Window over one partition. The
+        # offsets leg does run a SinglePartition running sum, but over
+        # n_partitions COUNT rows (tiny by contract), not data rows.
+        # (the range exchange itself sits behind the localCheckpoint
+        # boundary — the checkpointed subplan scans back as ExistingRDD)
+        assert "row_number() windowspecdefinition(_pid" in plan
+
+    def test_matches_window_bounded_bruteforce(self, spark):
+        from pos_pipeline_core_etl_spark.operators.fuzzy import (
+            SN_WINDOW,
+            sorted_neighborhood_pairs,
+        )
+
+        words = ["smith", "smyth", "smythe", "jones", "jonas", "stone",
+                 "stane", "abc", "abd", "zzz"]
+        rows = [(i, w) for i, w in enumerate(words)]
+        df = spark.createDataFrame(rows, "id long, k string")
+        got = {(r.id_a, r.id_b, r.dist) for r in
+               sorted_neighborhood_pairs(df, "id", "k").collect()}
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        srt = sorted(rows, key=lambda t: (t[1], t[0]))
+        want = set()
+        for i, (ida, ka) in enumerate(srt):
+            for j in range(i + 1, min(i + 1 + SN_WINDOW, len(srt))):
+                idb, kb = srt[j]
+                d = lev(ka, kb)
+                if d <= 2:
+                    want.add((ida, idb, d))
+        assert got == want
+
+    def test_output_bounded_by_window_times_n(self, spark):
+        """The whole point vs deletion-variant blocking: candidates are
+        window·n even on the degenerate-dense sequential-id names."""
+        from pos_pipeline_core_etl_spark.operators.fuzzy import (
+            SN_WINDOW,
+            sorted_neighborhood_pairs,
+        )
+
+        n = 2000
+        df = spark.range(n).select(
+            F.col("id").alias("id"),
+            F.format_string("Customer#%09d", F.col("id")).alias("k"),
+        )
+        pairs = sorted_neighborhood_pairs(df, "id", "k").count()
+        assert pairs <= SN_WINDOW * n
+
+
 class TestZorderWriter:
     """Z-order layout writer (operators/layout.py r7): the written tree
     must be exactly the deterministic layout the oracle predicts — 32
