@@ -108,6 +108,48 @@ def read_zorder_file_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def apply_zorder_increment(
+    spark: SparkSession, late_events: DataFrame, path: str
+) -> None:
+    """Incremental maintenance of a written z-order layout: merge a
+    late slice of events into the existing tree by rewriting ONLY the
+    z-files the slice touches (dynamic partition overwrite — untouched
+    directories keep their bytes). The new content of a touched file =
+    its existing rows (read back from the artifact) ∪ the slice's rows,
+    so after the call the tree is byte-for-byte equivalent in stats to
+    a full rewrite over base ∪ slice — the payments_daily_mart_
+    incremental discipline applied to physical layout.
+
+    Scale shape: the slice's z-assignment is map-side math; the
+    existing-rows leg reads only touched files (a broadcast semi join
+    on the partition column prunes directories at scan time); the
+    rewrite shuffles touched-file rows only. The eager checkpoint
+    breaks the read-path → overwrite-path dependency (Spark refuses to
+    overwrite a path its own plan is reading) and bounds the
+    materialization at touched-files size, never layout size."""
+    late = zorder_buckets(late_events)
+    touched = late.select("zfile").distinct()
+    existing = (
+        spark.read.parquet(path)
+        .join(F.broadcast(touched), "zfile")
+        .select("user_id", "d_bucket", "u_bucket", "zfile")
+    )
+    merged = (
+        existing.unionByName(
+            late.select("user_id", "d_bucket", "u_bucket", "zfile")
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.repartition(ZORDER_N_FILES, "zfile")
+        .sortWithinPartitions("zfile", "u_bucket", "d_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("zfile")
+        .parquet(path)
+    )
+
+
 def zorder_pruning_report(stats: DataFrame) -> DataFrame:
     """Min/max-pruning cost of the written layout, from its file stats:
     for every probe value of each dimension (the 32 user buckets, the

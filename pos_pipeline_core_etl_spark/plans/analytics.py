@@ -893,6 +893,38 @@ QUERIES["events_zorder_pruning"] = (
 )
 
 
+def events_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental z-order layout maintenance, hash-proven equivalent
+    to a full rebuild: write the layout from all events EXCEPT the
+    newest day, merge that day in via operators/layout.py::
+    apply_zorder_increment (dynamic partition overwrite of ONLY the
+    z-files the day touches), then report the read-back per-file stats.
+    The oracle is the SAME full-layout SQL as events_zorder_files, so
+    the driver proves incremental maintenance ≡ full rewrite every
+    round — the payments_daily_mart_incremental discipline applied to
+    physical data layout."""
+    from pos_pipeline_core_etl_spark.operators import layout
+
+    ev = load_table(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.expr("CAST(ts AS DATE)")).alias("md"))
+    base = ev.join(
+        F.broadcast(maxd), F.expr("CAST(ts AS DATE) < md")
+    ).drop("md")
+    late = ev.join(
+        F.broadcast(maxd), F.expr("CAST(ts AS DATE) = md")
+    ).drop("md")
+    path = _zorder_path(sf_dir) + "_incr"
+    layout.write_zorder_layout(base, path)
+    layout.apply_zorder_increment(spark, late, path)
+    return layout.read_zorder_file_stats(spark, path)
+
+
+QUERIES["events_zorder_incremental"] = (
+    events_zorder_incremental,
+    _zorder_files_oracle(),  # incremental must equal the FULL layout
+)
+
+
 # ---------------------------------------------------------------------------
 # key-skew diagnosis (round 7) — the report that sizes salted_aggregate
 

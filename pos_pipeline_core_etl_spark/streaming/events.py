@@ -811,6 +811,99 @@ def run_streaming_mart_maintenance(
     return spark.read.parquet(mart_dir)
 
 
+def run_streaming_decontaminate_fuzzy(
+    spark: SparkSession,
+    stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Decontamination-on-arrival: each micro-batch of incoming corpus
+    documents is MinHash-banded and probed against the PRECOMPUTED
+    benchmark band-bucket index (benchmark-sized — built offline once,
+    rebuilt per batch session from collected rows, the weights pattern
+    of :func:`run_streaming_lr_scores`), candidates verified with exact
+    shingle Jaccard against the broadcast benchmark shingle arrays, and
+    the per-doc best-match report written through the idempotent
+    batch_id sink. Scoring is per-doc against a static benchmark, so
+    the union of batch outputs is ≡ the batch operator
+    (operators/text.py::decontaminate_fuzzy) over the same documents —
+    pinned by test. The ingest-time guard that keeps benchmark leakage
+    from ever landing in a training corpus, instead of a post-hoc
+    sweep."""
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+    from pos_pipeline_core_etl_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+        shingles_col,
+    )
+
+    bench_buckets = lsh_band_buckets(minhash_signatures(benchmark)).select(
+        F.col("doc_id").alias("bench_id"), "band", "bucket_key"
+    )
+    bb_rows = bench_buckets.collect()
+    bb_schema = bench_buckets.schema
+    bench_sh = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        shingles_col(F.col("text")).alias("sh_b"),
+    )
+    bs_rows = bench_sh.collect()
+    bs_schema = bench_sh.schema
+
+    schema = "doc_id long, text string"
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        bb = ss.createDataFrame(bb_rows, bb_schema)
+        bsh = ss.createDataFrame(bs_rows, bs_schema)
+        sigs = minhash_signatures(batch_df)
+        cands = (
+            lsh_band_buckets(sigs)
+            .join(F.broadcast(bb), ["band", "bucket_key"])
+            .select("doc_id", "bench_id")
+            .distinct()
+        )
+        csh = batch_df.select(
+            "doc_id", shingles_col(F.col("text")).alias("sh_c")
+        )
+        joined = cands.join(csh, "doc_id").join(F.broadcast(bsh), "bench_id")
+        inter = F.size(F.array_intersect(F.col("sh_c"), F.col("sh_b")))
+        union = F.size("sh_c") + F.size("sh_b") - inter
+        scored = joined.select(
+            "doc_id", "bench_id", hround(inter / union, 6).alias("jaccard")
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("jaccard").desc(), F.col("bench_id").asc()
+        )
+        wc = Window.partitionBy("doc_id")
+        report = (
+            scored.withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                "n_candidates",
+                F.col("bench_id").alias("best_bench_id"),
+                F.col("jaccard").alias("best_jaccard"),
+                (F.col("jaccard") >= F.lit(threshold)).alias("flagged"),
+            )
+        )
+        write_batch_idempotent(report, batch_id, out_dir)
+
+    q = (
+        raw.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+
+
 def run_streaming_lr_scores(
     spark: SparkSession,
     stream_dir: str,

@@ -2879,6 +2879,55 @@ class TestZorderWriter:
             ]
             assert len(files) == 1, f"{d} has {len(files)} data files"
 
+    def test_incremental_rewrites_only_touched_files(self, spark, tmp_path):
+        """apply_zorder_increment must (a) leave every untouched z-file
+        directory's bytes alone, (b) produce stats identical to a full
+        rewrite over base ∪ slice."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import layout
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        maxd = ev.agg(F.max(F.expr("CAST(ts AS DATE)")).alias("md"))
+        base = ev.join(F.broadcast(maxd), F.expr("CAST(ts AS DATE) < md")).drop("md")
+        late = ev.join(F.broadcast(maxd), F.expr("CAST(ts AS DATE) = md")).drop("md")
+
+        inc_path = str(tmp_path / "inc")
+        layout.write_zorder_layout(base, inc_path)
+        touched = {
+            r.zfile for r in layout.zorder_buckets(late).select("zfile").distinct().collect()
+        }
+        before = {}
+        for d in os.listdir(inc_path):
+            if d.startswith("zfile="):
+                f = next(
+                    p for p in os.listdir(os.path.join(inc_path, d))
+                    if p.endswith(".parquet")
+                )
+                st = os.stat(os.path.join(inc_path, d, f))
+                before[d] = (f, st.st_mtime_ns, st.st_size)
+        layout.apply_zorder_increment(spark, late, inc_path)
+        for d, (f, mtime, size) in before.items():
+            zid = int(d.split("=")[1])
+            full = os.path.join(inc_path, d, f)
+            if zid not in touched:
+                st = os.stat(full)
+                assert (st.st_mtime_ns, st.st_size) == (mtime, size), (
+                    f"untouched {d} was rewritten"
+                )
+
+        full_path = str(tmp_path / "full")
+        layout.write_zorder_layout(ev, full_path)
+        inc_stats = {
+            tuple(r) for r in layout.read_zorder_file_stats(spark, inc_path).collect()
+        }
+        full_stats = {
+            tuple(r) for r in layout.read_zorder_file_stats(spark, full_path).collect()
+        }
+        assert inc_stats == full_stats
+
     def test_pruning_bounds_both_dimensions(self, spark, tmp_path):
         from pos_pipeline_core_etl_spark.operators import layout
 

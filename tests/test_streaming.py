@@ -638,6 +638,78 @@ class TestStreamingMartMaintenance:
         assert all(f or d != rows[0][1] for d, f in flags)
 
 
+class TestStreamingDecontaminateFuzzy:
+    """Ingest-time fuzzy decontamination ≡ the batch operator."""
+
+    def test_stream_report_equals_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import text as text_ops
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_decontaminate_fuzzy,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        benchmark = docs.where(F.col("doc_id") < 50)
+        corpus = docs.where(F.col("doc_id") >= 50)
+
+        # corpus arrives in two chunks
+        stream_dir = str(tmp_path / "docs")
+        corpus.where(F.col("doc_id") < 300).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        corpus.where(F.col("doc_id") >= 300).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+        got = run_streaming_decontaminate_fuzzy(
+            spark,
+            stream_dir,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            benchmark,
+        )
+        want = text_ops.decontaminate_fuzzy(docs)
+        key = lambda r: (  # noqa: E731
+            r["doc_id"],
+            r["n_candidates"],
+            r["best_bench_id"],
+            r["best_jaccard"],
+            r["flagged"],
+        )
+        assert sorted(map(key, got.select(*want.columns).collect())) == sorted(
+            map(key, want.collect())
+        )
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_decontaminate_fuzzy,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        benchmark = docs.where(F.col("doc_id") < 50)
+        stream_dir = str(tmp_path / "docs")
+        docs.where(F.col("doc_id") >= 50).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        first = run_streaming_decontaminate_fuzzy(
+            spark, stream_dir, out, ckpt, benchmark
+        ).collect()
+        # replay with a FRESH checkpoint over the same input: batch 0
+        # re-runs with the same id and overwrites its own directory
+        second = run_streaming_decontaminate_fuzzy(
+            spark, stream_dir, out, str(tmp_path / "ckpt2"), benchmark
+        ).collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
 class TestStreamingLrScores:
     """Train-offline / score-online: streaming scores ≡ batch scores."""
 
