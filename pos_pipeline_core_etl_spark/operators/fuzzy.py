@@ -230,6 +230,40 @@ def sorted_neighborhood_pairs(
     ).where(F.col("dist") <= max_distance)
 
 
+def sorted_neighborhood_pairs_multi(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = SN_WINDOW,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Multi-pass sorted neighborhood — the standard recall fix for
+    single-pass SN's sort-locality blindness: run the forward pass on
+    the key and a second pass on the REVERSED key (a leading-character
+    typo sorts far away forward but adjacent reversed), union the
+    verified pairs with normalized orientation, dedupe. Output stays
+    bounded at passes·window·n; recall improvement is measured by
+    fuzzy_customer_sn2_recall rather than asserted."""
+    fwd = sorted_neighborhood_pairs(df, id_col, key_col, window, max_distance)
+    rev_src = df.select(
+        F.col(id_col).alias("_id"), F.reverse(F.col(key_col)).alias("_rk")
+    )
+    rev = sorted_neighborhood_pairs(rev_src, "_id", "_rk", window, max_distance)
+    norm = lambda p: p.select(  # noqa: E731
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "dist",
+    )
+    # keys from the reversed pass are reversed strings — recover the
+    # originals with one join back to the source (pair-sized)
+    both = norm(fwd).unionByName(norm(rev)).distinct()
+    ka = df.select(F.col(id_col).alias("id_a"), F.col(key_col).alias("key_a"))
+    kb = df.select(F.col(id_col).alias("id_b"), F.col(key_col).alias("key_b"))
+    return both.join(ka, "id_a").join(kb, "id_b").select(
+        "id_a", "id_b", "key_a", "key_b", "dist"
+    )
+
+
 def fuzzy_key_overflow(
     df: DataFrame,
     id_col: str,

@@ -1231,6 +1231,109 @@ QUERIES["fuzzy_customer_sn_recall"] = (
 )
 
 
+def fuzzy_customer_sn2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood recall audit: per distance, truth
+    count and how many pairs the single-pass (forward) vs two-pass
+    (forward + reversed-key) blocking recovered — the measured value of
+    the standard multi-pass recall fix, in one standing artifact. Output
+    stays bounded at 2·window·n; the recall delta is whatever the data
+    says (the oracle recomputes all three legs)."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    truth = (
+        a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .where(F.levenshtein("a.c_name", "b.c_name") <= 2)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein("a.c_name", "b.c_name").cast("long").alias("dist"),
+        )
+    )
+    one = fuzzy.sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", max_distance=2
+    ).select(
+        F.least("id_a", "id_b").alias("o_a"),
+        F.greatest("id_a", "id_b").alias("o_b"),
+    ).distinct()
+    two = fuzzy.sorted_neighborhood_pairs_multi(
+        cust, "c_custkey", "c_name", max_distance=2
+    ).select(F.col("id_a").alias("t_a"), F.col("id_b").alias("t_b"))
+    joined = truth.join(
+        one,
+        (F.col("id_a") == F.col("o_a")) & (F.col("id_b") == F.col("o_b")),
+        "left",
+    ).join(
+        two,
+        (F.col("id_a") == F.col("t_a")) & (F.col("id_b") == F.col("t_b")),
+        "left",
+    )
+    return (
+        joined.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("o_a").isNotNull().cast("long")).alias("n_matched_1pass"),
+            F.sum(F.col("t_a").isNotNull().cast("long")).alias("n_matched_2pass"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _sn2_recall_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import SN_WINDOW
+
+    def pass_ctes(prefix: str, key_expr: str) -> str:
+        return f"""{prefix}_ranked AS (
+  SELECT id, nm, row_number() OVER (ORDER BY {key_expr}, id) AS rank FROM k
+),
+{prefix}_got AS (
+  SELECT DISTINCT LEAST(p.id, b.id) AS g_a, GREATEST(p.id, b.id) AS g_b
+  FROM (SELECT a.id, a.nm, a.rank + u.j AS rank
+        FROM {prefix}_ranked a,
+             unnest(generate_series(1, {SN_WINDOW})) AS u(j)) p
+  JOIN {prefix}_ranked b ON b.rank = p.rank
+  WHERE levenshtein(p.nm, b.nm) <= 2
+)"""
+
+    return f"""
+WITH k AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer WHERE c_custkey < 300
+),
+{pass_ctes("f", "nm")},
+{pass_ctes("r", "reverse(nm)")},
+two AS (SELECT g_a, g_b FROM f_got UNION SELECT g_a, g_b FROM r_got),
+truth AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM k a JOIN k b ON a.id < b.id
+  WHERE levenshtein(a.nm, b.nm) <= 2
+)
+SELECT t.dist,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN o.g_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched_1pass,
+       CAST(sum(CASE WHEN w.g_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched_2pass
+FROM truth t
+LEFT JOIN f_got o ON o.g_a = t.id_a AND o.g_b = t.id_b
+LEFT JOIN two w ON w.g_a = t.id_a AND w.g_b = t.id_b
+GROUP BY t.dist
+ORDER BY t.dist
+"""
+
+
+QUERIES["fuzzy_customer_sn2_recall"] = (
+    fuzzy_customer_sn2_recall,
+    _sn2_recall_oracle(),
+)
+
+
 # ---------------------------------------------------------------------------
 # attribute survivorship (round 7) — golden records, VERDICT r6 #6
 

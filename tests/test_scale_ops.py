@@ -2834,6 +2834,29 @@ class TestSortedNeighborhood:
                     want.add((ida, idb, d))
         assert got == want
 
+    def test_multi_pass_recovers_leading_char_typo(self, spark):
+        """A first-character typo sorts far away forward but adjacent on
+        the reversed key: the two-pass union must find it, the single
+        pass must not (the measured rationale for multi-pass SN)."""
+        from pos_pipeline_core_etl_spark.operators.fuzzy import (
+            sorted_neighborhood_pairs,
+            sorted_neighborhood_pairs_multi,
+        )
+
+        # 'amith'/'smith' differ in char 1; the filler rows push them
+        # >SN_WINDOW apart in forward sort order
+        words = (["amith"] + [f"b{i:02d}" for i in range(10)] + ["smith"])
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "id long, k string"
+        )
+        one = {(r.id_a, r.id_b) for r in
+               sorted_neighborhood_pairs(df, "id", "k").collect()}
+        two = {(r.id_a, r.id_b) for r in
+               sorted_neighborhood_pairs_multi(df, "id", "k").collect()}
+        assert (0, 11) not in one
+        assert (0, 11) in two
+        assert one <= two
+
     def test_output_bounded_by_window_times_n(self, spark):
         """The whole point vs deletion-variant blocking: candidates are
         window·n even on the degenerate-dense sequential-id names."""
