@@ -4533,6 +4533,109 @@ QUERIES["corpus_compaction_plan"] = (
 )
 
 
+def corpus_compaction_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity proof for the compaction plan, from the checksum
+    ALGEBRA: bit_xor is commutative/associative, so a merged output
+    file's checksum must equal the xor of its constituent shards'
+    checksums. Per planned group, compute the checksum BOTH ways —
+    composed from the shard manifest vs direct over the group's
+    documents — and emit the equality. This is how both ends of a
+    compaction job verify the rewrite moved every byte exactly once
+    WITHOUT re-reading the inputs a second time (the manifest already
+    has the shard checksums). On this fixture every group matches by
+    construction; a mismatch after a real rewrite means rows were
+    dropped or duplicated."""
+    from pyspark.sql import Window
+
+    shards = corpus_shard_checksums(spark, sf_dir)
+    w = (
+        Window.orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("token_total").over(w) - F.col("token_total")
+    planned = shards.withColumn(
+        "group_id", F.floor(start / F.lit(COMPACT_TARGET_TOKENS)).cast("long")
+    )
+    composed = planned.groupBy("group_id").agg(
+        F.expr("bit_xor(checksum)").alias("checksum_composed"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    shard = sampling.hash_selector(
+        F.col("doc_id"), "shuf", sampling.SHUFFLE_SHARDS
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    doc_rows = docs.select(shard.alias("shard_id"), digest.alias("digest"))
+    direct = (
+        doc_rows.join(
+            F.broadcast(planned.select("shard_id", "group_id")), "shard_id"
+        )
+        .groupBy("group_id")
+        .agg(F.expr("bit_xor(digest)").alias("checksum_direct"))
+    )
+    return (
+        composed.join(direct, "group_id")
+        .select(
+            "group_id",
+            "n_docs",
+            "checksum_composed",
+            "checksum_direct",
+            (F.col("checksum_composed") == F.col("checksum_direct")).alias(
+                "match"
+            ),
+        )
+        .orderBy("group_id")
+    )
+
+
+def _compaction_verify_oracle() -> str:
+    manifest = _shard_checksums_oracle().strip()
+    shard_sql = sampling.hash_selector_sql("doc_id", "shuf", sampling.SHUFFLE_SHARDS)
+    return f"""
+WITH manifest AS ({manifest}),
+planned AS (
+  SELECT shard_id, n_docs, checksum,
+         CAST(floor((sum(token_total) OVER (ORDER BY shard_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - token_total) / {COMPACT_TARGET_TOKENS}) AS BIGINT)
+           AS group_id
+  FROM manifest
+),
+composed AS (
+  SELECT group_id, bit_xor(checksum) AS checksum_composed,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs
+  FROM planned GROUP BY group_id
+),
+doc_rows AS (
+  SELECT {shard_sql} AS shard_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+           AS BIGINT) AS digest
+  FROM documents
+),
+direct AS (
+  SELECT p.group_id, bit_xor(d.digest) AS checksum_direct
+  FROM doc_rows d JOIN planned p ON p.shard_id = d.shard_id
+  GROUP BY p.group_id
+)
+SELECT c.group_id, c.n_docs, c.checksum_composed, r.checksum_direct,
+       c.checksum_composed = r.checksum_direct AS match
+FROM composed c JOIN direct r ON r.group_id = c.group_id
+ORDER BY c.group_id
+"""
+
+
+QUERIES["corpus_compaction_verify"] = (
+    corpus_compaction_verify,
+    _compaction_verify_oracle(),
+)
+
+
 def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus build as ONE artifact (round 6): run the
     full preprocessing recipe (gates → exact dedup → LSH components,
