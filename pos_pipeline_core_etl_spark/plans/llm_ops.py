@@ -2191,6 +2191,201 @@ ORDER BY doc_id
 QUERIES["corpus_snapshot_diff"] = (corpus_snapshot_diff, CORPUS_SNAPSHOT_DIFF_SQL)
 
 
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift between two corpus versions (same OLD/NEW
+    convention as corpus_snapshot_diff): doc and token counts on each
+    side with signed deltas — the release-note table a corpus version
+    bump publishes, and the first thing a consumer checks before
+    retraining. Two keyed aggs + one source-level join; everything
+    else is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    old = (
+        docs.where(F.col("doc_id") % 10 != 7)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_old"),
+            F.sum(toks).alias("n_tokens_old"),
+        )
+    )
+    new = (
+        docs.where(F.col("doc_id") % 13 != 5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_new"),
+            F.sum(toks).alias("n_tokens_new"),
+        )
+    )
+    j = old.join(new, "source", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return j.select(
+        "source",
+        z("n_docs_old").alias("n_docs_old"),
+        z("n_docs_new").alias("n_docs_new"),
+        (z("n_docs_new") - z("n_docs_old")).alias("docs_delta"),
+        z("n_tokens_old").alias("n_tokens_old"),
+        z("n_tokens_new").alias("n_tokens_new"),
+        (z("n_tokens_new") - z("n_tokens_old")).alias("tokens_delta"),
+    ).orderBy("source")
+
+
+CORPUS_DRIFT_REPORT_SQL = r"""
+WITH old_a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_old,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens_old
+  FROM documents WHERE doc_id % 10 != 7 GROUP BY source
+),
+new_a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_new,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens_new
+  FROM documents WHERE doc_id % 13 != 5 GROUP BY source
+)
+SELECT coalesce(o.source, n.source) AS source,
+       CAST(coalesce(n_docs_old, 0) AS BIGINT) AS n_docs_old,
+       CAST(coalesce(n_docs_new, 0) AS BIGINT) AS n_docs_new,
+       CAST(coalesce(n_docs_new, 0) - coalesce(n_docs_old, 0) AS BIGINT)
+         AS docs_delta,
+       CAST(coalesce(n_tokens_old, 0) AS BIGINT) AS n_tokens_old,
+       CAST(coalesce(n_tokens_new, 0) AS BIGINT) AS n_tokens_new,
+       CAST(coalesce(n_tokens_new, 0) - coalesce(n_tokens_old, 0) AS BIGINT)
+         AS tokens_delta
+FROM old_a o FULL OUTER JOIN new_a n ON n.source = o.source
+ORDER BY source
+"""
+
+QUERIES["corpus_drift_report"] = (corpus_drift_report, CORPUS_DRIFT_REPORT_SQL)
+
+
+def corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two corpus versions over
+    the power-of-two token-length buckets (the corpus_length_histogram
+    convention — integer-exact bucket edges, no percentile
+    interpolation to drift cross-engine). Laplace-smoothed shares
+    p = (n + 1) / (total + K) keep empty buckets finite and
+    deterministic; per-bucket PSI terms (p_new − p_old)·ln(p_new/p_old)
+    plus the grand-total row (len_bucket = -1, the standard <0.1 /
+    0.1-0.25 / >0.25 drift thresholds apply to it). The standing
+    distribution-shift monitor a corpus version bump runs next to the
+    count-level drift report."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        r"CAST(shiftleft(1L, length(conv(greatest(size(split(trim(text),"
+        r" '\\s+')), 1), 10, 2)) - 1) AS BIGINT)"
+    )
+    old = (
+        docs.where(F.col("doc_id") % 10 != 7)
+        .select(bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    new = (
+        docs.where(F.col("doc_id") % 13 != 5)
+        .select(bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    j = (
+        old.join(new, "len_bucket", "full_outer")
+        .select(
+            "len_bucket",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        # two consumers (per-bucket rows + the total row) — don't re-run
+        # the two corpus aggs per leg
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy()
+    t = j.select(
+        "len_bucket",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(w).alias("total_old"),
+        F.sum("n_new").over(w).alias("total_new"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    p_old = (F.col("n_old") + 1) / (F.col("total_old") + F.col("k"))
+    p_new = (F.col("n_new") + 1) / (F.col("total_new") + F.col("k"))
+    term = (p_new - p_old) * F.log(p_new / p_old)
+    terms = t.select(
+        "len_bucket",
+        "n_old",
+        "n_new",
+        hround(p_old, 6).alias("p_old"),
+        hround(p_new, 6).alias("p_new"),
+        hround(term, 6).alias("psi_term"),
+        term.alias("_raw"),
+    )
+    total = terms.agg(
+        F.lit(-1).cast("long").alias("len_bucket"),
+        F.sum("n_old").alias("n_old"),
+        F.sum("n_new").alias("n_new"),
+        hround(F.lit(1.0), 6).alias("p_old"),
+        hround(F.lit(1.0), 6).alias("p_new"),
+        hround(F.sum("_raw"), 6).alias("psi_term"),
+    )
+    return (
+        terms.drop("_raw").unionByName(total).orderBy("len_bucket")
+    )
+
+
+CORPUS_PSI_DRIFT_SQL = rf"""
+WITH old_c AS (
+  SELECT 1::BIGINT << (length(bin(greatest(
+           len(regexp_split_to_array(trim(text), '\s+')), 1)::BIGINT)) - 1)
+           AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n_old
+  FROM documents WHERE doc_id % 10 != 7 GROUP BY 1
+),
+new_c AS (
+  SELECT 1::BIGINT << (length(bin(greatest(
+           len(regexp_split_to_array(trim(text), '\s+')), 1)::BIGINT)) - 1)
+           AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM documents WHERE doc_id % 13 != 5 GROUP BY 1
+),
+j AS (
+  SELECT coalesce(o.len_bucket, n.len_bucket) AS len_bucket,
+         CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+  FROM old_c o FULL OUTER JOIN new_c n ON n.len_bucket = o.len_bucket
+),
+t AS (
+  SELECT len_bucket, n_old, n_new,
+         SUM(n_old) OVER () AS total_old,
+         SUM(n_new) OVER () AS total_new,
+         COUNT(*) OVER () AS k
+  FROM j
+),
+terms AS (
+  SELECT len_bucket, n_old, n_new,
+         (n_old + 1.0) / (total_old + k) AS p_old_raw,
+         (n_new + 1.0) / (total_new + k) AS p_new_raw
+  FROM t
+)
+SELECT len_bucket, n_old, n_new,
+       {hround_sql("p_old_raw", 6)} AS p_old,
+       {hround_sql("p_new_raw", 6)} AS p_new,
+       {hround_sql("(p_new_raw - p_old_raw) * ln(p_new_raw / p_old_raw)", 6)}
+         AS psi_term
+FROM terms
+UNION ALL
+SELECT -1::BIGINT, CAST(SUM(n_old) AS BIGINT), CAST(SUM(n_new) AS BIGINT),
+       1.0, 1.0,
+       {hround_sql(
+           "SUM((p_new_raw - p_old_raw) * ln(p_new_raw / p_old_raw))", 6
+       )}
+FROM terms
+ORDER BY len_bucket
+"""
+
+QUERIES["corpus_psi_drift"] = (corpus_psi_drift, CORPUS_PSI_DRIFT_SQL)
+
+
 def dedup_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff-driven incremental dedup (VERDICT r5 #6): on a new
     corpus version, re-dedup ONLY the docs the version diff says are

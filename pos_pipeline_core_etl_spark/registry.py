@@ -25,16 +25,16 @@ family-audit gap, the shard-compaction plan, sorted-neighborhood
 blocking with its measured-recall audit, the key-skew profile, and incremental
 z-order layout maintenance proven ≡ a full rewrite, and the
 multi-pass SN recall comparison, and the compaction checksum
-verifier) — never driver-checked.  Tier 1 = the round-7 VALUE changes:
+verifier; the corpus drift report + PSI monitor, also new, wait for
+round 8's window — see the tier-0 comment) — never driver-checked.  Tier 1 = the round-7 VALUE changes:
 dedup_simhash / dedup_simhash_banded / dedup_simhash_recall moved to
 the 60-bit production default (VERDICT r6 #3) and sim_ivfpq_kmeans_
 topk / _recall to the sweep-measured refine=64 default (VERDICT r6
 #8) after their r6 rows were recorded.  Tier 2 = the 28 r3-latest
 names — all replica-verified green on r6 code last round; fresh
 driver rows here retire the backlog entirely, after which every
-name's newest driver row is from round-4 code or later.  49 explicit
-slots; the ~1 to the 50 cap fall through to registration order
-(r4/r5-green names — free freshness).
+name's newest driver row is from round-4 code or later.  49 explicit slots; the one to the
+50 cap falls through to registration order.
 """
 
 from __future__ import annotations
@@ -64,6 +64,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_zorder_incremental",  # dynamic-overwrite layout maintenance ≡ full rewrite
     "fuzzy_customer_sn2_recall",  # multi-pass SN recall vs single-pass, measured
     "corpus_compaction_verify",   # xor-checksum algebra proves the merge plan
+    # (corpus_drift_report / corpus_psi_drift, also new this round, are
+    # deliberately NOT in the window: slots are exactly full and VERDICT
+    # r6 #1 — retiring the 28-name backlog — outranks fresh rows for
+    # queries the replica already proves at both SFs. They lead tier 0
+    # in round 8.)
     # -- tier 1: round-7 value changes (r6 rows recorded on the old
     #    defaults) -------------------------------------------------------
     "dedup_simhash",              # 60-bit default (was 16 when the r6 row was cut)
