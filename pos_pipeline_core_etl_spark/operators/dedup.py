@@ -596,18 +596,23 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE))
         ).alias("tok"),
     ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, hexw), 16, 10).cast("long"))
+    # F.expr, not hand-built Column trees (the minhash_signatures rule):
+    # 60 per-bit aggs plus a 60-term signature sum assembled via py4j
+    # cost ~0.5 s of DRIVER-side plan construction per invocation; the
+    # parsed SQL forms compile to the identical plans in one call each.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s_{j}")
         for j in range(bits)
     ]
     agg = tokens.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+    sig_sql = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN {1 << j}L ELSE 0L END" for j in range(bits)
+    )
+    return agg.select(
+        "doc_id", F.expr(f"CAST({sig_sql} AS BIGINT)").alias("simhash")
+    )
 
 
 def simhash_near_pairs(
