@@ -2386,6 +2386,171 @@ ORDER BY len_bucket
 QUERIES["corpus_psi_drift"] = (corpus_psi_drift, CORPUS_PSI_DRIFT_SQL)
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit: for each held-out split, how many docs
+    are EXACT duplicates of a training doc (fingerprint semi-join — one
+    hash shuffle, complete at any scale) and how many are NEAR-dups of
+    one (MinHash-banded + Jaccard-verified pairs over exact SURVIVORS,
+    the staged discipline; near-leakage is decided at the canonical
+    level, so byte-identical clique members inherit their canonical's
+    verdict without expanding clique pairs). The eval-hygiene check a
+    benchmark split must pass before a number is reported: test docs
+    with a training near-dup measure memorization, not generalization.
+
+    Output per held-out split: doc count, exact-leaked count,
+    near-leaked count (exact-leaked docs excluded — the classes
+    partition), and the combined leak rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = sampling.train_split(docs).select("doc_id", "split")
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    labeled = fp.join(splits, "doc_id")
+    # exact leakage: eval doc whose fingerprint occurs among train docs
+    train_fps = (
+        labeled.where(F.col("split") == "train").select("fp").distinct()
+    )
+    # near leakage at the canonical grain over exact survivors
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    survivors = docs.join(
+        canon.select(F.col("canon_id").alias("doc_id")), "doc_id"
+    )
+    near = dedup.minhash_lsh_verified(survivors).select("doc_a", "doc_b")
+    member = fp.join(canon, "fp").select("doc_id", "canon_id")
+    train_canons = (
+        member.join(
+            splits.where(F.col("split") == "train"), "doc_id"
+        )
+        .select(F.col("canon_id").alias("tc"))
+        .distinct()
+    )
+    sym = near.select(
+        F.col("doc_a").alias("c"), F.col("doc_b").alias("p")
+    ).unionByName(
+        near.select(F.col("doc_b").alias("c"), F.col("doc_a").alias("p"))
+    )
+    leaked_canons = (
+        sym.join(train_canons, sym["p"] == train_canons["tc"])
+        .select("c")
+        .distinct()
+    )
+    ev = (
+        labeled.where(F.col("split") != "train")
+        .join(member.select("doc_id", "canon_id"), "doc_id")
+        .join(
+            train_fps.withColumn("x_fp", F.lit(1)).withColumnRenamed(
+                "fp", "tfp"
+            ),
+            F.col("fp") == F.col("tfp"),
+            "left",
+        )
+        .join(
+            leaked_canons.withColumn("x_near", F.lit(1)).withColumnRenamed(
+                "c", "lc"
+            ),
+            F.col("canon_id") == F.col("lc"),
+            "left",
+        )
+    )
+    exact_flag = F.col("x_fp").isNotNull()
+    near_flag = F.col("x_near").isNotNull() & ~exact_flag
+    n_docs = F.count(F.lit(1))
+    n_exact = F.sum(exact_flag.cast("long"))
+    n_near = F.sum(near_flag.cast("long"))
+    return (
+        ev.groupBy("split")
+        .agg(
+            n_docs.alias("n_docs"),
+            n_exact.alias("n_exact_leaked"),
+            n_near.alias("n_near_leaked"),
+            hround((n_exact + n_near) / n_docs, 6).alias("leak_rate"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    split_sel = sampling.hash_selector_sql("doc_id", "split", sampling.SPLIT_MOD)
+    jac = (
+        "len(list_intersect(a.s, b.s)) / "
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+    )
+    sh = dedup.shingles_sql("text")
+    prefix = r"""fpx AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canonx AS (SELECT fp, MIN(doc_id) AS canon_id FROM fpx GROUP BY fp),
+survivors AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN canonx ON canonx.canon_id = d.doc_id
+),
+"""
+    cand = _minhash_oracle(source="survivors", prefix_ctes=prefix).strip()
+    return f"""
+WITH cand AS ({cand}),
+shs AS (SELECT doc_id, {sh} AS s FROM documents),
+near AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN shs a ON a.doc_id = c.doc_a
+  JOIN shs b ON b.doc_id = c.doc_b
+  WHERE {hround_sql(jac, 6)} >= 0.5
+),
+fp2 AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canon2 AS (SELECT fp, MIN(doc_id) AS canon_id FROM fp2 GROUP BY fp),
+member AS (SELECT f.doc_id, c.canon_id, f.fp FROM fp2 f JOIN canon2 c USING (fp)),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {split_sel} < {sampling.SPLIT_TRAIN} THEN 'train'
+              WHEN {split_sel} < {sampling.SPLIT_VAL} THEN 'validation'
+              ELSE 'test' END AS split
+  FROM documents
+),
+train_fps AS (
+  SELECT DISTINCT m.fp FROM member m JOIN splits s USING (doc_id)
+  WHERE s.split = 'train'
+),
+train_canons AS (
+  SELECT DISTINCT m.canon_id FROM member m JOIN splits s USING (doc_id)
+  WHERE s.split = 'train'
+),
+sym AS (SELECT doc_a AS c, doc_b AS p FROM near
+        UNION ALL SELECT doc_b, doc_a FROM near),
+leaked_canons AS (
+  SELECT DISTINCT sym.c FROM sym JOIN train_canons t ON t.canon_id = sym.p
+),
+ev AS (
+  SELECT s.split,
+         CASE WHEN m.fp IN (SELECT fp FROM train_fps) THEN 1 ELSE 0 END
+           AS is_exact,
+         CASE WHEN m.canon_id IN (SELECT c FROM leaked_canons) THEN 1 ELSE 0
+           END AS is_near
+  FROM splits s JOIN member m USING (doc_id)
+  WHERE s.split != 'train'
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_exact) AS BIGINT) AS n_exact_leaked,
+       CAST(sum(CASE WHEN is_near = 1 AND is_exact = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_leaked,
+       {hround_sql(
+           "CAST(sum(is_exact) + sum(CASE WHEN is_near = 1 AND is_exact = 0"
+           " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6
+       )} AS leak_rate
+FROM ev GROUP BY split ORDER BY split
+"""
+
+
+QUERIES["split_leakage_report"] = (split_leakage_report, _split_leakage_oracle())
+
+
 def dedup_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff-driven incremental dedup (VERDICT r5 #6): on a new
     corpus version, re-dedup ONLY the docs the version diff says are
