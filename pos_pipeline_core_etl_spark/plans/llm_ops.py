@@ -2551,6 +2551,163 @@ FROM ev GROUP BY split ORDER BY split
 QUERIES["split_leakage_report"] = (split_leakage_report, _split_leakage_oracle())
 
 
+def docs_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — per-doc sampling weight 1/cluster_size instead of
+    dropping duplicates (the standard alternative when outright removal
+    is too aggressive: a document seen N times contributes total
+    expected mass 1 under weighted sampling, preserving topical balance
+    while killing memorization pressure). Cluster = the transitive
+    exact+near family: fingerprint groups collapse first, MinHash
+    components run over exact survivors, every member inherits its
+    canonical's component (the dedup_decisions staging). One fp
+    shuffle, the capped LSH pipeline, two keyed joins — no pair
+    expansion inside exact cliques."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    member = fp.join(canon, "fp").select("doc_id", "canon_id")
+    survivors = docs.join(
+        canon.select(F.col("canon_id").alias("doc_id")), "doc_id"
+    )
+    pairs = dedup.minhash_lsh_candidates(survivors)
+    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    final = member.join(
+        comps.select(
+            F.col("id").alias("canon_id"),
+            F.col("component_id").alias("comp"),
+        ),
+        "canon_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("comp", "canon_id").cast("long").alias("final_canonical"),
+    )
+    sizes = final.groupBy("final_canonical").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        final.join(sizes, "final_canonical")
+        .select(
+            "doc_id",
+            "final_canonical",
+            "cluster_size",
+            hround(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_weights_oracle() -> str:
+    prefix = r"""fpx AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canonx AS (SELECT fp, MIN(doc_id) AS canon_id FROM fpx GROUP BY fp),
+survivors AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN canonx ON canonx.canon_id = d.doc_id
+),
+"""
+    cand = _minhash_oracle(source="survivors", prefix_ctes=prefix).strip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({cand}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comps AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+fp2 AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canon2 AS (SELECT fp, MIN(doc_id) AS canon_id FROM fp2 GROUP BY fp),
+finals AS (
+  SELECT f.doc_id,
+         CAST(coalesce(c.component_id, m.canon_id) AS BIGINT)
+           AS final_canonical
+  FROM fp2 f
+  JOIN canon2 m USING (fp)
+  LEFT JOIN comps c ON c.id = m.canon_id
+),
+sizes AS (
+  SELECT final_canonical, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM finals GROUP BY final_canonical
+)
+SELECT f.doc_id, f.final_canonical, s.cluster_size,
+       {hround_sql("1.0 / s.cluster_size", 6)} AS weight
+FROM finals f JOIN sizes s USING (final_canonical)
+ORDER BY f.doc_id
+"""
+
+
+QUERIES["docs_cluster_weights"] = (docs_cluster_weights, _cluster_weights_oracle())
+
+
+def text_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over text_pack_sequences' bins: per
+    shard, bin count, token total, capacity utilization, and the
+    worst/best bin fill — the training-batch efficiency number that
+    decides whether the packing budget or shard count needs tuning
+    (waste is concentrated in each shard's partial tail bin and in
+    oversized docs). Two keyed aggs over the packed assignment."""
+    packed = text_pack_sequences(spark, sf_dir)
+    per_bin = packed.groupBy("shard_id", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    util = F.col("bin_tokens") / F.lit(float(PACK_BUDGET))
+    return (
+        per_bin.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            hround(
+                F.sum("bin_tokens") / (F.count(F.lit(1)) * PACK_BUDGET), 6
+            ).alias("utilization"),
+            hround(F.min(util), 6).alias("min_bin_util"),
+            hround(F.max(util), 6).alias("max_bin_util"),
+        )
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_bins",
+            "total_tokens",
+            "utilization",
+            "min_bin_util",
+            "max_bin_util",
+        )
+        .orderBy("shard_id")
+    )
+
+
+TEXT_PACK_EFFICIENCY_SQL = f"""
+WITH packed AS ({TEXT_PACK_SEQUENCES_SQL.strip()}),
+per_bin AS (
+  SELECT shard_id, bin_id, SUM(n_tokens) AS bin_tokens
+  FROM packed GROUP BY shard_id, bin_id
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+       {hround_sql(
+           f"CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * {PACK_BUDGET})", 6
+       )} AS utilization,
+       {hround_sql(f"MIN(bin_tokens / {float(PACK_BUDGET)})", 6)} AS min_bin_util,
+       {hround_sql(f"MAX(bin_tokens / {float(PACK_BUDGET)})", 6)} AS max_bin_util
+FROM per_bin GROUP BY shard_id ORDER BY shard_id
+"""
+
+QUERIES["text_pack_efficiency"] = (text_pack_efficiency, TEXT_PACK_EFFICIENCY_SQL)
+
+
 def dedup_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff-driven incremental dedup (VERDICT r5 #6): on a new
     corpus version, re-dedup ONLY the docs the version diff says are
