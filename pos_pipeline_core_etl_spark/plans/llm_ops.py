@@ -2399,7 +2399,10 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per held-out split: doc count, exact-leaked count,
     near-leaked count (exact-leaked docs excluded — the classes
-    partition), and the combined leak rate."""
+    partition), and the combined leak rate. Near-leakage here is the
+    PRECISE verified notion (direct Jaccard-≥-0.5 partner in train);
+    the repair twin (split_leakage_repair) quarantines by the more
+    conservative transitive-cluster notion — measurement vs safety."""
     docs = load_table(spark, sf_dir, "documents")
     splits = sampling.train_split(docs).select("doc_id", "split")
     fp = text.fingerprint(docs).select("doc_id", "fp")
@@ -2562,26 +2565,7 @@ def docs_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical's component (the dedup_decisions staging). One fp
     shuffle, the capped LSH pipeline, two keyed joins — no pair
     expansion inside exact cliques."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = text.fingerprint(docs).select("doc_id", "fp")
-    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
-    member = fp.join(canon, "fp").select("doc_id", "canon_id")
-    survivors = docs.join(
-        canon.select(F.col("canon_id").alias("doc_id")), "doc_id"
-    )
-    pairs = dedup.minhash_lsh_candidates(survivors)
-    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
-    final = member.join(
-        comps.select(
-            F.col("id").alias("canon_id"),
-            F.col("component_id").alias("comp"),
-        ),
-        "canon_id",
-        "left",
-    ).select(
-        "doc_id",
-        F.coalesce("comp", "canon_id").cast("long").alias("final_canonical"),
-    )
+    final = _finals_spark(spark, sf_dir)
     sizes = final.groupBy("final_canonical").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -2706,6 +2690,260 @@ FROM per_bin GROUP BY shard_id ORDER BY shard_id
 """
 
 QUERIES["text_pack_efficiency"] = (text_pack_efficiency, TEXT_PACK_EFFICIENCY_SQL)
+
+
+_FINALS_PREFIX_SQL = r"""fpx AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canonx AS (SELECT fp, MIN(doc_id) AS canon_id FROM fpx GROUP BY fp),
+survivors AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN canonx ON canonx.canon_id = d.doc_id
+),
+"""
+
+
+def _finals_spark(spark: SparkSession, sf_dir: str):
+    """Shared (doc_id, final_canonical) frame: fingerprint collapse →
+    MinHash components over exact survivors → members inherit their
+    canonical's component. One construction for the soft-dedup weights
+    and the quality-survivorship queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    member = fp.join(canon, "fp").select("doc_id", "canon_id")
+    survivors = docs.join(
+        canon.select(F.col("canon_id").alias("doc_id")), "doc_id"
+    )
+    pairs = dedup.minhash_lsh_candidates(survivors)
+    comps = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return member.join(
+        comps.select(
+            F.col("id").alias("canon_id"),
+            F.col("component_id").alias("comp"),
+        ),
+        "canon_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("comp", "canon_id").cast("long").alias("final_canonical"),
+    )
+
+
+_FINALS_SQL_TAIL = r"""
+fp2 AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+  FROM documents
+),
+canon2 AS (SELECT fp, MIN(doc_id) AS canon_id FROM fp2 GROUP BY fp),
+finals AS (
+  SELECT f.doc_id,
+         CAST(coalesce(c.component_id, m.canon_id) AS BIGINT)
+           AS final_canonical
+  FROM fp2 f
+  JOIN canon2 m USING (fp)
+  LEFT JOIN comps c ON c.id = m.canon_id
+)"""
+
+
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ruled survivorship for near-dup clusters: instead of the
+    min-id convention, each exact+near cluster keeps its HIGHEST-quality
+    member (composite quality score; ties break to the smaller id) —
+    what a curation pipeline actually wants when duplicates differ in
+    OCR noise or boilerplate (keep the cleanest copy, drop the rest).
+    The fuzzy_customer_golden discipline applied to document
+    survivorship. Per doc: its cluster, the cluster's chosen survivor,
+    and whether this doc survives. One window over cluster-sized
+    partitions on top of the shared cluster construction."""
+    from pyspark.sql import Window
+
+    finals = _finals_spark(spark, sf_dir)
+    q = text.quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    scored = finals.join(q, "doc_id")
+    w = Window.partitionBy("final_canonical").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    survivor = ranked.where(F.col("rn") == 1).select(
+        "final_canonical", F.col("doc_id").alias("survivor_id")
+    )
+    return (
+        scored.join(survivor, "final_canonical")
+        .select(
+            "doc_id",
+            "final_canonical",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+            "quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_survivors_oracle() -> str:
+    cand = _minhash_oracle(
+        source="survivors", prefix_ctes=_FINALS_PREFIX_SQL
+    ).strip()
+    quality = (
+        "LEAST(n_words / 100.0, 1.0) * 0.4"
+        " + (1 - LEAST(CASE WHEN n_chars = 0 THEN 0.0"
+        " ELSE n_punct / n_chars END * 5, 1.0)) * 0.3"
+        " + LEAST(CASE WHEN n_words = 0 THEN 0.0"
+        " ELSE n_stop / n_words END * 4, 1.0) * 0.3"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return rf"""
+WITH RECURSIVE
+pairs AS ({cand}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comps AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+{_FINALS_SQL_TAIL.strip()},
+qt AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> list_contains([{stop_list}], lower(x)))) AS n_stop
+  FROM documents
+),
+q AS (SELECT doc_id, {hround_sql(quality, 6)} AS quality FROM qt),
+scored AS (
+  SELECT f.doc_id, f.final_canonical, q.quality
+  FROM finals f JOIN q USING (doc_id)
+),
+surv AS (
+  SELECT final_canonical, doc_id AS survivor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY final_canonical
+                                 ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM scored) t
+  WHERE rn = 1
+)
+SELECT s.doc_id, s.final_canonical, v.survivor_id,
+       s.doc_id = v.survivor_id AS is_survivor, s.quality
+FROM scored s JOIN surv v USING (final_canonical)
+ORDER BY s.doc_id
+"""
+
+
+QUERIES["dedup_quality_survivors"] = (
+    dedup_quality_survivors,
+    _quality_survivors_oracle(),
+)
+
+
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable artifact after split_leakage_report: per held-out
+    doc, the repair action — ``quarantine_exact`` / ``quarantine_near``
+    for leaked docs (excluded from evaluation; moving them to train
+    would silently change the split ratios), ``keep`` otherwise.
+
+    Deliberately MORE conservative than the report: the report
+    measures VERIFIED near-duplication (Jaccard ≥ 0.5 direct partners
+    — the precise number one publishes), while the repair quarantines
+    by TRANSITIVE exact+near cluster membership (the dedup_decisions
+    cluster convention) — when in doubt, don't evaluate on it. Emitted
+    at doc grain so a consumer applies the decision with one join."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = sampling.train_split(docs).select("doc_id", "split")
+    fp = text.fingerprint(docs).select("doc_id", "fp")
+    labeled = fp.join(splits, "doc_id")
+    train_fps = (
+        labeled.where(F.col("split") == "train").select("fp").distinct()
+    )
+    finals = _finals_spark(spark, sf_dir)
+    train_canons = (
+        finals.join(splits.where(F.col("split") == "train"), "doc_id")
+        .select(F.col("final_canonical").alias("tc"))
+        .distinct()
+    )
+    ev = (
+        labeled.where(F.col("split") != "train")
+        .join(finals, "doc_id")
+        .join(
+            train_fps.withColumnRenamed("fp", "tfp"),
+            F.col("fp") == F.col("tfp"),
+            "left",
+        )
+        .join(
+            train_canons,
+            F.col("final_canonical") == F.col("tc"),
+            "left",
+        )
+    )
+    action = (
+        F.when(F.col("tfp").isNotNull(), F.lit("quarantine_exact"))
+        .when(F.col("tc").isNotNull(), F.lit("quarantine_near"))
+        .otherwise(F.lit("keep"))
+    )
+    return ev.select("doc_id", "split", action.alias("action")).orderBy(
+        "doc_id"
+    )
+
+
+def _split_repair_oracle() -> str:
+    split_sel = sampling.hash_selector_sql("doc_id", "split", sampling.SPLIT_MOD)
+    cand = _minhash_oracle(
+        source="survivors", prefix_ctes=_FINALS_PREFIX_SQL
+    ).strip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({cand}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comps AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+{_FINALS_SQL_TAIL.strip()},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {split_sel} < {sampling.SPLIT_TRAIN} THEN 'train'
+              WHEN {split_sel} < {sampling.SPLIT_VAL} THEN 'validation'
+              ELSE 'test' END AS split
+  FROM documents
+),
+member AS (SELECT f.doc_id, c.canon_id, f.fp FROM fp2 f JOIN canon2 c USING (fp)),
+train_fps AS (
+  SELECT DISTINCT m.fp FROM member m JOIN splits s USING (doc_id)
+  WHERE s.split = 'train'
+),
+train_canons AS (
+  SELECT DISTINCT f.final_canonical FROM finals f JOIN splits s USING (doc_id)
+  WHERE s.split = 'train'
+)
+SELECT m.doc_id, s.split,
+       CASE WHEN m.fp IN (SELECT fp FROM train_fps) THEN 'quarantine_exact'
+            WHEN f.final_canonical IN (SELECT final_canonical FROM train_canons)
+                 THEN 'quarantine_near'
+            ELSE 'keep' END AS action
+FROM member m
+JOIN splits s USING (doc_id)
+JOIN finals f ON f.doc_id = m.doc_id
+WHERE s.split != 'train'
+ORDER BY m.doc_id
+"""
+
+
+QUERIES["split_leakage_repair"] = (split_leakage_repair, _split_repair_oracle())
 
 
 def dedup_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
