@@ -879,6 +879,60 @@ def _kmeans_assignments(
     return assigned
 
 
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+) -> DataFrame:
+    """Assign vectors to GIVEN centroids (no training): the serving /
+    monitoring half of :func:`_kmeans_assignments` — score a NEW
+    snapshot against centroids trained on an old one (embedding-drift
+    monitoring), or route fresh vectors into an existing index. Same
+    map-side broadcast-fold assignment and same determinism contract
+    (quantized integers, strict-< fold so ties go to the lowest
+    cluster id); zero shuffles."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _quantize_vec(F.col(vec_col), quant).alias("vq"),
+    )
+    qf = float(quant)
+    packed = centroids.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "centroid"))).alias(
+            "cents"
+        )
+    )
+    joined = base.crossJoin(F.broadcast(packed))
+    v = F.transform(F.col("vq"), lambda x: x / F.lit(qf))
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("d2"),
+            F.lit(-1).cast("long").alias("cluster"),
+        ),
+        lambda acc, c: F.when(
+            F.aggregate(
+                F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, d: s + d,
+            )
+            < acc["d2"],
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v, c["centroid"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda s, d: s + d,
+                ).alias("d2"),
+                c["cluster"].alias("cluster"),
+            ),
+        ).otherwise(acc),
+    )
+    return joined.select("vec_id", best["cluster"].alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # product quantization (Jégou, Douze & Schmid, "Product Quantization for
 # Nearest Neighbor Search", TPAMI 2011) — round 5

@@ -2946,6 +2946,8 @@ ORDER BY m.doc_id
 QUERIES["split_leakage_repair"] = (split_leakage_repair, _split_repair_oracle())
 
 
+
+
 def dedup_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff-driven incremental dedup (VERDICT r5 #6): on a new
     corpus version, re-dedup ONLY the docs the version diff says are
@@ -4356,7 +4358,9 @@ def sim_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_kmeans_search_topk(emb).orderBy("query_id", "rnk")
 
 
-def _kmeans_coarse_chain(prefix: str = "km") -> tuple[str, str, str]:
+def _kmeans_coarse_chain(
+    prefix: str = "km", source: str = "embeddings"
+) -> tuple[str, str, str]:
     """Prefixed (CTE-chain, last-assign, last-centroids) for the
     full-corpus Lloyd coarse quantizer, composable with _pq_chain
     (whose injected base CTE must itself be named ``base``, so these
@@ -4410,7 +4414,7 @@ def _kmeans_coarse_chain(prefix: str = "km") -> tuple[str, str, str]:
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * {q} + 0.5) AS BIGINT)) AS vq
-  FROM embeddings
+  FROM {source}
 ),
 {prefix}_seeds AS (
   SELECT vec_id AS cluster, list_transform(vq, x -> x / {q}) AS centroid
@@ -4762,6 +4766,144 @@ QUERIES["sim_ivfpq_recall_sweep"] = (
     sim_ivfpq_recall_sweep,
     SIM_IVFPQ_RECALL_SWEEP_SQL,
 )
+
+
+def emb_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: train Lloyd centroids on the OLD
+    embedding snapshot, assign BOTH snapshots to those frozen centroids
+    (operators/similarity.py::assign_to_centroids — the serving-side
+    fold, zero shuffles), and compare cluster-share distributions with
+    the same Laplace-smoothed PSI as corpus_psi_drift. The standard
+    "did my embedding distribution move" check before reusing an ANN
+    index or a trained quantizer across corpus versions — a PSI total
+    over ~0.25 says retrain the index. Old/new versions follow the
+    snapshot-diff id convention; per-cluster rows + the grand-total
+    (cluster = -1)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 10 != 7)
+    new = emb.where(F.col("vec_id") % 13 != 5)
+    assigned_old, cents = similarity._kmeans_assignments(
+        old, with_centroids=True
+    )
+    # the training chain feeds two consumers (old counts + the frozen
+    # centroid frame the new snapshot joins) — one materialization
+    assigned_old = assigned_old.localCheckpoint(eager=False)
+    cents = cents.localCheckpoint(eager=False)
+    assigned_new = similarity.assign_to_centroids(new, cents)
+    oc = assigned_old.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_old"))
+    nc = assigned_new.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_new"))
+    j = (
+        oc.join(nc, "cluster", "full_outer")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy()
+    t = j.select(
+        "cluster",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(w).alias("total_old"),
+        F.sum("n_new").over(w).alias("total_new"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    p_old = (F.col("n_old") + 1) / (F.col("total_old") + F.col("k"))
+    p_new = (F.col("n_new") + 1) / (F.col("total_new") + F.col("k"))
+    term = (p_new - p_old) * F.log(p_new / p_old)
+    terms = t.select(
+        "cluster",
+        "n_old",
+        "n_new",
+        hround(p_old, 6).alias("p_old"),
+        hround(p_new, 6).alias("p_new"),
+        hround(term, 6).alias("psi_term"),
+        term.alias("_raw"),
+    )
+    total = terms.agg(
+        F.lit(-1).cast("long").alias("cluster"),
+        F.sum("n_old").alias("n_old"),
+        F.sum("n_new").alias("n_new"),
+        hround(F.lit(1.0), 6).alias("p_old"),
+        hround(F.lit(1.0), 6).alias("p_new"),
+        hround(F.sum("_raw"), 6).alias("psi_term"),
+    )
+    return terms.drop("_raw").unionByName(total).orderBy("cluster")
+
+
+def _emb_drift_oracle() -> str:
+    q = float(similarity.KMEANS_QUANT)
+    dim = 64
+    kch, ka, kc = _kmeans_coarse_chain("km", source="old_emb")
+    d2 = (
+        "list_reduce(list_transform(generate_series(1, {dim}),"
+        " i -> (b.vq[i] / {q} - s.centroid[i]) * (b.vq[i] / {q} - s.centroid[i])),"
+        " (x, y) -> x + y)"
+    ).format(dim=dim, q=q)
+    return f"""
+WITH old_emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 7
+),
+{kch},
+new_base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {q} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings WHERE vec_id % 13 != 5
+),
+new_assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, s.cluster,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {d2} ASC, s.cluster ASC) AS rn
+    FROM new_base b CROSS JOIN {kc} s) t
+  WHERE rn = 1
+),
+oc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_old FROM {ka}
+       GROUP BY cluster),
+nc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new FROM new_assign
+       GROUP BY cluster),
+j AS (
+  SELECT CAST(coalesce(oc.cluster, nc.cluster) AS BIGINT) AS cluster,
+         CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+  FROM oc FULL OUTER JOIN nc ON nc.cluster = oc.cluster
+),
+t AS (
+  SELECT cluster, n_old, n_new,
+         SUM(n_old) OVER () AS total_old,
+         SUM(n_new) OVER () AS total_new,
+         COUNT(*) OVER () AS k
+  FROM j
+),
+terms AS (
+  SELECT cluster, n_old, n_new,
+         (n_old + 1.0) / (total_old + k) AS p_old_raw,
+         (n_new + 1.0) / (total_new + k) AS p_new_raw
+  FROM t
+)
+SELECT cluster, n_old, n_new,
+       {hround_sql("p_old_raw", 6)} AS p_old,
+       {hround_sql("p_new_raw", 6)} AS p_new,
+       {hround_sql("(p_new_raw - p_old_raw) * ln(p_new_raw / p_old_raw)", 6)}
+         AS psi_term
+FROM terms
+UNION ALL
+SELECT -1::BIGINT, CAST(SUM(n_old) AS BIGINT), CAST(SUM(n_new) AS BIGINT),
+       1.0, 1.0,
+       {hround_sql(
+           "SUM((p_new_raw - p_old_raw) * ln(p_new_raw / p_old_raw))", 6
+       )}
+FROM terms
+ORDER BY cluster
+"""
+
+
+QUERIES["emb_drift_psi"] = (emb_drift_psi, _emb_drift_oracle())
 
 
 # ---------------------------------------------------------------------------
