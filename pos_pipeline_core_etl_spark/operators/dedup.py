@@ -1191,6 +1191,77 @@ def remove_duplicate_spans(
     )
 
 
+def remove_benchmark_spans(
+    docs: DataFrame,
+    benchmark_max_id: int = 50,
+    window: int = SUBSTR_WINDOW,
+    stride: int = SUBSTR_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SURGICAL decontamination: rebuild each corpus document with the
+    token spans that also occur in ANY benchmark document REMOVED —
+    the redact-the-overlap alternative to dropping whole docs
+    (:func:`~pos_pipeline_core_etl_spark.operators.text.decontaminate`
+    flags; this one fixes). A long article quoting one benchmark
+    question keeps everything but the quote.
+
+    Same content-anchored window machinery as
+    :func:`remove_duplicate_spans` — anchors are token-hash-selected,
+    so the same content anchors at the same tokens on BOTH sides and
+    alignment never matters. The benchmark window-id set is
+    benchmark-sized and BROADCAST; the corpus leg is one explode +
+    one broadcast semi join + a map-side token filter. Never
+    corpus × corpus, no corpus-sized shuffle at all."""
+    t_lower = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    grams = F.when(
+        F.size(t_lower) >= window,
+        F.transform(
+            _anchor_positions(t_lower, window, stride),
+            lambda i: F.struct(
+                i.alias("pos"),
+                window_id(F.array_join(F.slice(t_lower, i + 1, window), " ")).alias(
+                    "wid"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wid:long>>"))
+    corpus = _ensure_parallelism(
+        docs.where(F.col(id_col) >= benchmark_max_id).select(id_col, text_col),
+        key=id_col,
+    )
+    bench_wids = (
+        docs.where(F.col(id_col) < benchmark_max_id)
+        .select(F.explode(window_grams(F.col(text_col), window, stride)).alias("g"))
+        .select(window_id(F.col("g")).alias("wid"))
+        .distinct()
+    )
+    wins = corpus.select(id_col, F.explode(grams).alias("w")).select(
+        id_col, F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid")
+    )
+    removed = (
+        wins.join(F.broadcast(bench_wids), "wid")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("rm"))
+    )
+    t_orig = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        t_orig,
+        lambda x, i: ~F.exists(rm, lambda p: (p <= i) & (i < p + window)),
+    )
+    return (
+        docs.where(F.col(id_col) >= benchmark_max_id)
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.size(t_orig).cast("long").alias("n_tokens"),
+            (F.size(t_orig) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints — Schleimer, Wilkerson & Aiken, "Winnowing:
 # Local Algorithms for Document Fingerprinting" (SIGMOD 2003; the MOSS

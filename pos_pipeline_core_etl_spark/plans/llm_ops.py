@@ -5733,6 +5733,80 @@ TEXT_DEDUP_SPANS_SQL = _dedup_spans_oracle()
 QUERIES["text_dedup_spans"] = (text_dedup_spans, TEXT_DEDUP_SPANS_SQL)
 
 
+def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical benchmark decontamination: every corpus doc rebuilt with
+    the token spans that also occur in any benchmark doc REMOVED — the
+    redaction counterpart to the doc-level flags (exact / bloom /
+    fuzzy). A document quoting one benchmark question keeps everything
+    but the quote. One-sided shape: the benchmark window-id set is
+    broadcast, the corpus never shuffles
+    (operators/dedup.py::remove_benchmark_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_benchmark_spans(docs).orderBy("doc_id")
+
+
+def _decontaminate_spans_oracle(benchmark_max_id: int = 50) -> str:
+    w, s = dedup.SUBSTR_WINDOW, dedup.SUBSTR_STRIDE
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS t,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS tl
+  FROM documents WHERE doc_id >= {benchmark_max_id}
+),
+btoks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tl
+  FROM documents WHERE doc_id < {benchmark_max_id}
+),
+bwids AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(array_to_string(
+             list_slice(tl, u.pos + 1, u.pos + {w}), ' ')), 1, 15)) AS BIGINT)
+           AS wid
+  FROM btoks,
+       unnest(CASE WHEN len(tl) >= {w}
+                   THEN list_filter(range(0, len(tl) - {w} + 1),
+                        i -> i = 0 OR CAST(('0x' || substr(md5(tl[i + 1]), 1, 8))
+                                           AS BIGINT) % {s} = 0)
+                   ELSE [] END) AS u(pos)
+),
+wins AS (
+  SELECT doc_id, u.pos,
+         CAST(('0x' || substr(md5(array_to_string(
+             list_slice(tl, u.pos + 1, u.pos + {w}), ' ')), 1, 15)) AS BIGINT) AS wid
+  FROM toks,
+       unnest(CASE WHEN len(tl) >= {w}
+                   THEN list_filter(range(0, len(tl) - {w} + 1),
+                        i -> i = 0 OR CAST(('0x' || substr(md5(tl[i + 1]), 1, 8))
+                                           AS BIGINT) % {s} = 0)
+                   ELSE [] END) AS u(pos)
+),
+removed AS (
+  SELECT wins.doc_id, list_sort(list(DISTINCT wins.pos)) AS rm
+  FROM wins JOIN bwids USING (wid)
+  GROUP BY wins.doc_id
+),
+rebuilt AS (
+  SELECT toks.doc_id, t,
+         list_filter(t, (x, i) ->
+           len(list_filter(coalesce(rm, []),
+                           p -> p <= i - 1 AND i - 1 < p + {w})) = 0) AS kept
+  FROM toks LEFT JOIN removed USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed_tokens,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+QUERIES["text_decontaminate_spans"] = (
+    text_decontaminate_spans,
+    _decontaminate_spans_oracle(),
+)
+
+
 # ---------------------------------------------------------------------------
 # per-user feature matrix — round 4 second pass
 

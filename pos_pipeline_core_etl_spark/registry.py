@@ -28,8 +28,8 @@ multi-pass SN recall comparison, and the compaction checksum
 verifier; the corpus drift report, PSI monitor, train→eval
 split-leakage audit + its quarantine-repair artifact, soft-dedup
 cluster weights, quality-ruled survivorship, the packing
-efficiency report, and the embedding-drift PSI monitor, also new,
-wait for round 8's window — see the
+efficiency report, the embedding-drift PSI monitor, and surgical
+span-level decontamination, also new, wait for round 8's window — see the
 tier-0 comment) — never driver-checked.  Tier 1 = the round-7 VALUE changes:
 dedup_simhash / dedup_simhash_banded / dedup_simhash_recall moved to
 the 60-bit production default (VERDICT r6 #3) and sim_ivfpq_kmeans_
@@ -70,8 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_compaction_verify",   # xor-checksum algebra proves the merge plan
     # (corpus_drift_report / corpus_psi_drift / split_leakage_report /
     # docs_cluster_weights / text_pack_efficiency /
-    # dedup_quality_survivors / split_leakage_repair / emb_drift_psi,
-    # also new, are
+    # dedup_quality_survivors / split_leakage_repair / emb_drift_psi /
+    # text_decontaminate_spans, also new, are
     # deliberately NOT in the window: slots are exactly full and VERDICT
     # r6 #1 — retiring the 28-name backlog — outranks fresh rows for
     # queries the replica already proves at both SFs. They lead tier 0
