@@ -780,9 +780,15 @@ _ZORDER_OUT = "/tmp/spark_graft_zorder"
 
 
 def _zorder_path(sf_dir: str) -> str:
+    # Keyed by PID so two harness processes verifying the same SF never
+    # write into each other's scratch layout (VERDICT r7 #7).  Within a
+    # process the path is stable, which the mtime-stability test relies
+    # on (incremental maintenance must NOT rewrite untouched z-files).
     import os
 
-    return os.path.join(_ZORDER_OUT, os.path.basename(sf_dir.rstrip("/")))
+    return os.path.join(
+        _ZORDER_OUT, f"pid{os.getpid()}", os.path.basename(sf_dir.rstrip("/"))
+    )
 
 
 _ZORDER_PLACED_SQL = """base AS (
