@@ -264,6 +264,73 @@ def sorted_neighborhood_pairs_multi(
     )
 
 
+def cluster_scoped_pairs_d2(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    d1_bucket: int | None = FUZZY_MAX_BUCKET,
+    d2_bucket: int | None = FUZZY_D2_MAX_BUCKET,
+) -> DataFrame:
+    """Cluster-scoped depth-2 fuzzy matching (VERDICT r7 #3) — the
+    scale prescription for the measured d=2 degenerate mode: full-table
+    depth-2 blocking is output-quadratic on dense key spaces (measured:
+    231M pairs / 1102 s at 1.5M sequential ids, PERFORMANCE.md ladder),
+    because every key participates in the d2 explode. This composition
+    runs the CHEAP d1 pass first, collapses its connected components to
+    one canonical representative per entity (min id — the component
+    label), and runs the EXPENSIVE depth-2 neighborhood over the
+    representatives only. Dense regions — exactly the ones that make
+    full d2 explode — are dense BECAUSE they are d1-connected, so they
+    collapse hardest: the d2 input shrinks from |keys| to |entities|.
+
+    Output: (entity_a, entity_b, key_a, key_b, dist) — candidate LINKS
+    between d1 entities whose representative keys are within edit
+    distance 2, i.e. the merges a second resolution round would apply.
+
+    SEMANTICS — what is lost by construction (the documented trade):
+
+    - WITHIN-cluster d2 pairs are not emitted; they are subsumed by d1
+      transitivity (both endpoints already share an entity).
+    - A CROSS-cluster pair (x in A, y in B) with lev(x, y) <= 2 is found
+      only if the REPRESENTATIVES are within distance 2; when the
+      closest members are not the representatives, the link is lost.
+      ``fuzzy_customer_d2_scoped_recall`` MEASURES this loss against
+      brute-force entity-grain truth instead of asserting totality —
+      the honest-recall discipline of the SN family.
+    - A side effect in the other direction: rep pairs at distance <= 1
+      can appear (entities d1-blocking failed to merge because the
+      shared variant bucket overflowed ``d1_bucket``); they are kept —
+      the scoped pass recovers capped d1 losses at entity grain.
+
+    100 TB shape: one d1 blocking shuffle + the linear-per-round
+    component propagation + one d2 blocking shuffle over entity
+    representatives (a set that is SMALLER the denser the keys are).
+    The dense-key notch is bounded because the quadratic stage never
+    sees the dense region uncollapsed."""
+    from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k"))
+    pairs = fuzzy_key_pairs(
+        df, id_col, key_col, max_distance=1, max_bucket_size=d1_bucket
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    ents = keyed.join(
+        comps.select(F.col("id"), F.col("component_id")), "id", "left"
+    ).withColumn("entity_id", F.coalesce("component_id", "id"))
+    reps = ents.where(F.col("id") == F.col("entity_id")).select(
+        F.col("entity_id"), F.col("k")
+    )
+    return fuzzy_key_pairs(
+        reps, "entity_id", "k", max_distance=2, max_bucket_size=d2_bucket
+    ).select(
+        F.col("id_a").alias("entity_a"),
+        F.col("id_b").alias("entity_b"),
+        "key_a",
+        "key_b",
+        "dist",
+    )
+
+
 def fuzzy_key_overflow(
     df: DataFrame,
     id_col: str,

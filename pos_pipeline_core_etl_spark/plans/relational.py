@@ -907,6 +907,20 @@ QUERIES["fuzzy_customer_entities"] = (
 # delete-2 fuzzy blocking (round 7) — two-character typos, VERDICT r6 #4
 
 
+# DuckDB list expression for the D≤2 deletion neighborhood of column
+# ``nm`` — the SQL twin of operators/fuzzy.py::deletion_variants_col
+# (depth=2), shared by every depth-2 oracle so they cannot drift.
+_D2_VARIANT_LIST_SQL = """CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm, list_concat(
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1)),
+      flatten(list_transform(generate_series(1, length(nm) - 1),
+        i -> list_transform(generate_series(i + 1, length(nm)),
+          j -> substr(nm, 1, i - 1) || substr(nm, i + 1, j - i - 1)
+               || substr(nm, j + 1)))))))
+    END"""
+
+
 def _fuzzy_variant_d2_cte(where: str = "") -> str:
     """Shared k/v CTE for the depth-2 oracles: keys + exploded D≤2
     deletion variants (SQL twin of
@@ -915,15 +929,7 @@ def _fuzzy_variant_d2_cte(where: str = "") -> str:
   SELECT c_custkey AS id, c_name AS nm FROM customer{where}
 ),
 v AS (
-  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
-    ELSE list_distinct(list_prepend(nm, list_concat(
-      list_transform(generate_series(1, length(nm)),
-                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1)),
-      flatten(list_transform(generate_series(1, length(nm) - 1),
-        i -> list_transform(generate_series(i + 1, length(nm)),
-          j -> substr(nm, 1, i - 1) || substr(nm, i + 1, j - i - 1)
-               || substr(nm, j + 1)))))))
-    END) AS variant
+  SELECT id, nm, unnest({_D2_VARIANT_LIST_SQL}) AS variant
   FROM k
 )"""
 
@@ -1507,4 +1513,260 @@ ORDER BY entity_id
 QUERIES["fuzzy_customer_golden"] = (
     fuzzy_customer_golden,
     _fuzzy_golden_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# cluster-scoped depth-2 fuzzy matching (round 8 — VERDICT r7 #3)
+#
+# Fixture note (a vacuous-green catch, SELFREVIEW_r8): the first draft
+# ran on the customer audit subset (c_custkey < 300) and returned ZERO
+# rows at both SFs — the digit-substituted names are so dense that the
+# d1 pass collapses the whole subset into ONE entity, leaving a single
+# representative and no rep pairs. Scoped d2's interesting regime needs
+# MULTIPLE d1 clusters separated by distance-2 gaps; the word-structured
+# part names provide exactly that (cold/old merge at d1; red/new sit at
+# distance 2 from them and from each other), plus a measurable
+# representative loss (the cold–old entity links to red only when its
+# min-id representative happens to be the "old …" spelling).
+
+
+def _fuzzy_d1_components_ctes(k_select: str) -> str:
+    """CTE chain text shared by the scoped-d2 oracles: keys (from the
+    caller's ``k_select``, columns ``id, nm``) → d1 deletion variants →
+    capped verified pairs → symmetric closure → recursive reachability →
+    components → entities → representatives → depth-2 variants over the
+    representatives. The d1/d2 variant expressions are the same texts
+    as the entities/golden/d2 oracles, so the chains cannot drift."""
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_MAX_BUCKET
+
+    return f"""k AS ({k_select}),
+v AS (
+  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm,
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
+    END) AS variant
+  FROM k
+),
+sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+  JOIN sizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_MAX_BUCKET}
+    AND levenshtein(a.nm, b.nm) <= 1
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+),
+comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+ents AS (
+  SELECT k.id, k.nm, COALESCE(c.component_id, k.id) AS entity_id
+  FROM k LEFT JOIN comp c ON c.id = k.id
+),
+reps AS (SELECT entity_id AS id, nm FROM ents WHERE id = entity_id),
+rv AS (
+  SELECT id, nm, unnest({_D2_VARIANT_LIST_SQL}) AS variant
+  FROM reps
+),
+rsizes AS (SELECT variant, count(*) AS n FROM rv GROUP BY variant)"""
+
+
+_PART_NAME_REGISTRY_SQL = (
+    "SELECT MIN(p_partkey) AS id, p_name AS nm FROM part GROUP BY p_name"
+)
+
+
+def _part_name_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part names keyed by their min part id — the exact-first
+    stage (dedupe identical keys BEFORE any near-match blocking) that
+    keeps the component structure name-sized rather than row-sized."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+        .select("name_id", "p_name")
+    )
+
+
+def fuzzy_part_pairs_d2_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped depth-2 fuzzy matching (VERDICT r7 #3;
+    operators/fuzzy.py::cluster_scoped_pairs_d2): resolve entities with
+    the CHEAP d1 pass first, collapse each to its canonical (min-id)
+    representative, and run the EXPENSIVE depth-2 deletion neighborhood
+    over representatives only — the scale prescription for full-table
+    d2's measured output-quadratic degenerate mode (231M pairs / 1102 s
+    at 1.5M dense sequential keys, PERFORMANCE.md ladder): dense regions
+    are dense BECAUSE they are d1-connected, so they collapse hardest
+    and the quadratic stage never sees them uncollapsed. Output =
+    candidate LINKS between d1 entities whose representative names are
+    within edit distance 2 — the merges a second resolution round would
+    apply (here: the red/new/old–cold adjective families). Cross-cluster
+    pairs between NON-representative members are lost by construction;
+    fuzzy_part_d2_scoped_recall measures that loss. Runs on the distinct
+    part-name registry (exact-first staging), which also keeps the
+    recursive oracle's reachability set name-sized."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    names = _part_name_registry(spark, sf_dir)
+    out = fuzzy.cluster_scoped_pairs_d2(names, "name_id", "p_name")
+    return out.select(
+        F.col("entity_a").cast("long").alias("entity_a"),
+        F.col("entity_b").cast("long").alias("entity_b"),
+        "key_a",
+        "key_b",
+        "dist",
+    ).orderBy("entity_a", "entity_b")
+
+
+def _fuzzy_d2_scoped_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_D2_MAX_BUCKET
+
+    return f"""
+WITH RECURSIVE
+{_fuzzy_d1_components_ctes(_PART_NAME_REGISTRY_SQL)},
+rcands AS (
+  SELECT DISTINCT a.id AS entity_a, b.id AS entity_b,
+         a.nm AS key_a, b.nm AS key_b
+  FROM rv a JOIN rv b ON a.variant = b.variant AND a.id < b.id
+  JOIN rsizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_D2_MAX_BUCKET}
+)
+SELECT CAST(entity_a AS BIGINT) AS entity_a,
+       CAST(entity_b AS BIGINT) AS entity_b,
+       key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+FROM rcands
+WHERE levenshtein(key_a, key_b) <= 2
+ORDER BY entity_a, entity_b
+"""
+
+
+QUERIES["fuzzy_part_pairs_d2_scoped"] = (
+    fuzzy_part_pairs_d2_scoped,
+    _fuzzy_d2_scoped_oracle(),
+)
+
+
+def fuzzy_part_d2_scoped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the cluster-scoped d2 pass against ENTITY-GRAIN
+    ground truth: brute-force all distance-≤2 pairs over the distinct
+    part names, map both endpoints to their d1 entities, keep
+    cross-entity pairs at the (entity_a, entity_b) grain with the MIN
+    member distance, and count how many the scoped index recovered. The
+    gap (n_matched < n_true) is exactly the documented representative
+    loss — links whose closest members are not the canonical
+    representatives (the cold–old entity reaches "red …" only through
+    its "old …" spelling, so the link survives only when that spelling
+    is the min-id representative). The oracle re-derives BOTH legs, so
+    a regression in the scoping composition hash-fails the driver
+    check rather than silently shifting the measured recall."""
+    from pos_pipeline_core_etl_spark.operators import dedup as dedup_ops
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    names = _part_name_registry(spark, sf_dir)
+    pairs_d1 = fuzzy.fuzzy_key_pairs(names, "name_id", "p_name").select(
+        "id_a", "id_b"
+    )
+    comps = dedup_ops.connected_components(pairs_d1, src="id_a", dst="id_b")
+    ents = names.join(
+        comps.select(
+            F.col("id").alias("name_id"),
+            F.col("component_id").alias("entity_id"),
+        ),
+        "name_id",
+        "left",
+    ).select(
+        "name_id",
+        F.coalesce("entity_id", "name_id").alias("entity_id"),
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    raw_truth = (
+        a.join(b, F.col("a.name_id") < F.col("b.name_id"))
+        .where(F.levenshtein("a.p_name", "b.p_name") <= 2)
+        .select(
+            F.col("a.name_id").alias("ka"),
+            F.col("b.name_id").alias("kb"),
+            F.levenshtein("a.p_name", "b.p_name").cast("long").alias("pdist"),
+        )
+    )
+    ea = ents.select(F.col("name_id").alias("ka"), F.col("entity_id").alias("ent_ka"))
+    eb = ents.select(F.col("name_id").alias("kb"), F.col("entity_id").alias("ent_kb"))
+    truth = (
+        raw_truth.join(ea, "ka")
+        .join(eb, "kb")
+        .where(F.col("ent_ka") != F.col("ent_kb"))
+        .select(
+            F.least("ent_ka", "ent_kb").alias("entity_a"),
+            F.greatest("ent_ka", "ent_kb").alias("entity_b"),
+            "pdist",
+        )
+        .groupBy("entity_a", "entity_b")
+        .agg(F.min("pdist").alias("dist"))
+    )
+    idx = fuzzy.cluster_scoped_pairs_d2(names, "name_id", "p_name").select(
+        F.col("entity_a").alias("i_a"), F.col("entity_b").alias("i_b")
+    )
+    joined = truth.join(
+        idx,
+        (F.col("entity_a") == F.col("i_a")) & (F.col("entity_b") == F.col("i_b")),
+        "left",
+    )
+    return (
+        joined.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("i_a").isNotNull().cast("long")).alias("n_matched"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _fuzzy_d2_scoped_recall_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_D2_MAX_BUCKET
+
+    return f"""
+WITH RECURSIVE
+{_fuzzy_d1_components_ctes(_PART_NAME_REGISTRY_SQL)},
+rcands AS (
+  SELECT DISTINCT a.id AS entity_a, b.id AS entity_b,
+         a.nm AS key_a, b.nm AS key_b
+  FROM rv a JOIN rv b ON a.variant = b.variant AND a.id < b.id
+  JOIN rsizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_D2_MAX_BUCKET}
+),
+idx AS (
+  SELECT entity_a, entity_b FROM rcands
+  WHERE levenshtein(key_a, key_b) <= 2
+),
+truth AS (
+  SELECT LEAST(ea.entity_id, eb.entity_id) AS entity_a,
+         GREATEST(ea.entity_id, eb.entity_id) AS entity_b,
+         MIN(levenshtein(a.nm, b.nm)) AS dist
+  FROM k a JOIN k b ON a.id < b.id
+  JOIN ents ea ON ea.id = a.id
+  JOIN ents eb ON eb.id = b.id
+  WHERE levenshtein(a.nm, b.nm) <= 2
+    AND ea.entity_id != eb.entity_id
+  GROUP BY 1, 2
+)
+SELECT CAST(t.dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(i.entity_a) AS BIGINT) AS n_matched
+FROM truth t
+LEFT JOIN idx i ON i.entity_a = t.entity_a AND i.entity_b = t.entity_b
+GROUP BY t.dist
+ORDER BY dist
+"""
+
+
+QUERIES["fuzzy_part_d2_scoped_recall"] = (
+    fuzzy_part_d2_scoped_recall,
+    _fuzzy_d2_scoped_recall_oracle(),
 )

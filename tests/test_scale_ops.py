@@ -3060,3 +3060,83 @@ class TestSparseCosine:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         capped = dedup.sparse_cosine_pairs(docs, threshold=0.0, max_df=4).collect()
         assert capped == []
+
+
+class TestClusterScopedD2:
+    """Cluster-scoped depth-2 fuzzy matching (operators/fuzzy.py r8 —
+    d1 components first, d2 over canonical representatives only)."""
+
+    def test_links_between_entities_via_representatives(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        # entity A = {10:"cold bolt", 11:"old bolt"} (d1-connected),
+        # entity B = {20:"red bolt"}, entity C = {30:"new bolt"},
+        # lone far key 40.
+        df = spark.createDataFrame(
+            [
+                (10, "cold bolt"),
+                (11, "old bolt"),
+                (20, "red bolt"),
+                (30, "new bolt"),
+                (40, "zzzzzzzzz"),
+            ],
+            "id long, k string",
+        )
+        got = {
+            (r.entity_a, r.entity_b): (r.key_a, r.key_b, r.dist)
+            for r in fuzzy.cluster_scoped_pairs_d2(df, "id", "k").collect()
+        }
+        # A's representative is min-id 10 = "cold bolt" (distance 3 from
+        # red/new) -> the A-B and A-C links are LOST by construction;
+        # B-C ("red bolt" / "new bolt") survives at distance 2.
+        assert got == {(20, 30): ("red bolt", "new bolt", 2)}
+
+    def test_dense_region_collapses_before_d2(self, spark):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        # a dense d1-connected chain (every neighbor at distance 1) plus
+        # one far-off key: the chain must collapse to ONE representative,
+        # so the d2 stage sees 2 keys, not 6 — and emits no links
+        # (representatives are far apart).
+        chain = [(i, "aaaaaa"[: 6 - i] + "b" * i) for i in range(6)]
+        df = spark.createDataFrame(
+            chain + [(99, "qqqqqq")], "id long, k string"
+        )
+        out = fuzzy.cluster_scoped_pairs_d2(df, "id", "k")
+        assert out.collect() == []
+        # and the d1 stage really did collapse the chain: recompute the
+        # component count the operator derives internally
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = fuzzy.fuzzy_key_pairs(df, "id", "k").select("id_a", "id_b")
+        comps = connected_components(pairs, src="id_a", dst="id_b")
+        n_entities = (
+            df.join(comps.withColumnRenamed("id", "cid"),
+                    F.col("id") == F.col("cid"), "left")
+            .select(F.coalesce("component_id", "id").alias("e"))
+            .distinct()
+            .count()
+        )
+        assert n_entities == 2
+
+    def test_recovers_capped_d1_loss_at_entity_grain(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        # with a d1 bucket cap of 1 nothing merges (every shared variant
+        # bucket is "overflowed"), so every key is its own entity and the
+        # d2 stage degenerates to plain depth-2 matching over all keys —
+        # including the distance-1 pair the capped d1 pass dropped.
+        df = spark.createDataFrame(
+            [(1, "smith"), (2, "smyth")], "id long, k string"
+        )
+        got = {
+            (r.entity_a, r.entity_b): r.dist
+            for r in fuzzy.cluster_scoped_pairs_d2(
+                df, "id", "k", d1_bucket=1
+            ).collect()
+        }
+        assert got == {(1, 2): 1}
