@@ -264,6 +264,144 @@ def sorted_neighborhood_pairs_multi(
     )
 
 
+# ---------------------------------------------------------------------------
+# phonetic blocking (round 8 — VERDICT r7 #4): Soundex-class keys as the
+# third blocking family for name ER, complementing deletion variants
+# (typo-complete but explode-priced) and sorted neighborhood (bounded
+# but sort-local). The classic catch: SOUND-ALIKE respellings —
+# smith/smyth, robert/rupert — which deletion variants price at d>=2
+# and SN misses whenever the respelling sorts away.
+#
+# The key is ONE algorithm with TWO renderings (spark / duckdb) built
+# from the same step list — the hround/hround_sql discipline — so the
+# oracle can never drift from the operator. Documented variant of
+# classic Odell–Russell Soundex: first letter preserved raw; the TAIL is
+# consonant-coded (B F P V→1, C G J K Q S X Z→2, D T→3, L→4, M N→5,
+# R→6, vowels/H/W/Y→0), same-digit runs collapsed, zeros dropped, first
+# three digits kept. Differences from the 1918 spec (first-letter code
+# does not merge with a following same-code consonant; H/W are not
+# transparent) are deliberate simplifications that keep the expression
+# in the regexp-backreference-free subset both engines execute
+# identically.
+
+PHONETIC_TRANSLATE_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+PHONETIC_TRANSLATE_TO = "01230120022455012623010202"
+
+
+def _phonetic_word_sql(expr: str, word: str, dialect: str) -> str:
+    """Render the word-selection step: ``whole`` feeds the entire string
+    to the key (non-letters stripped downstream — the degenerate mode on
+    identifier-like keys that fuzzy_phonetic_overflow demonstrates);
+    ``last`` keys on the final whitespace token (the textbook "block on
+    the Soundex of the surname" — for part names, the noun)."""
+    if word == "whole":
+        return expr
+    if word != "last":
+        raise ValueError(f"word must be 'whole' or 'last', got {word!r}")
+    if dialect == "duckdb":
+        return rf"list_extract(regexp_split_to_array(trim({expr}), '\s+'), -1)"
+    return rf"element_at(split(trim({expr}), '\\s+'), -1)"
+
+
+def phonetic_key_sql(expr: str, word: str = "whole", dialect: str = "spark") -> str:
+    """SQL text computing the Soundex-class key of ``expr`` — identical
+    output under Spark SQL and DuckDB (verified cell-for-cell by test
+    and by every phonetic oracle, which re-renders this same step
+    list)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect {dialect!r}")
+    g = ", 'g'" if dialect == "duckdb" else ""
+    w = _phonetic_word_sql(expr, word, dialect)
+    u = f"upper(regexp_replace({w}, '[^A-Za-z]', ''{g}))"
+    c = (
+        f"translate(substr({u}, 2), "
+        f"'{PHONETIC_TRANSLATE_FROM}', '{PHONETIC_TRANSLATE_TO}')"
+    )
+    for d in "123456":
+        c = f"regexp_replace({c}, '{d}+', '{d}'{g})"
+    c = f"replace({c}, '0', '')"
+    return f"substr({u}, 1, 1) || substr({c}, 1, 3)"
+
+
+def phonetic_key_col(key: str, word: str = "whole") -> Column:
+    """The Spark rendering of :func:`phonetic_key_sql` as a Column."""
+    return F.expr(phonetic_key_sql(key, word=word, dialect="spark"))
+
+
+def phonetic_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    word: str = "last",
+    max_distance: int = 2,
+    max_bucket_size: int | None = FUZZY_MAX_BUCKET,
+) -> DataFrame:
+    """(id_a, id_b, key_a, key_b, dist): pairs sharing a phonetic block
+    whose FULL keys verify within ``max_distance`` edits — the same
+    candidate-then-verify + capped-bucket contract as the deletion
+    families, with a phonetic equivalence class as the blocking key.
+    One map-side key expression, ONE keyed shuffle, JVM levenshtein on
+    in-bucket candidates only; no explode at all (the cheapest blocking
+    of the three families — its recall profile, not its cost, is the
+    trade, and fuzzy_family_recall_compare measures it)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("k"),
+        phonetic_key_col(key_col, word=word).alias("pk"),
+    )
+    keep = F.size("ids") > 1
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
+    grouped = (
+        v.groupBy("pk")
+        .agg(F.sort_array(F.collect_set(F.struct("id", "k"))).alias("ids"))
+        .where(keep)
+    )
+    from pos_pipeline_core_etl_spark.operators.dedup import upper_triangle_pairs
+
+    pair_structs = upper_triangle_pairs(
+        build=lambda x, y: F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            x["k"].alias("key_a"),
+            y["k"].alias("key_b"),
+        )
+    )
+    cands = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.key_a", "p.key_b")
+        .distinct()
+    )
+    dist = F.levenshtein("key_a", "key_b")
+    return cands.select(
+        "id_a", "id_b", "key_a", "key_b", dist.cast("long").alias("dist")
+    ).where(F.col("dist") <= max_distance)
+
+
+def phonetic_overflow(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    word: str = "whole",
+    max_bucket_size: int = FUZZY_MAX_BUCKET,
+) -> DataFrame:
+    """(pk, n_keys) for every phonetic block larger than the cap — the
+    stop-bucket audit of the phonetic family. On identifier-like keys
+    (letters constant, digits carrying identity) the whole-string key is
+    DEGENERATE: every row folds to one block, which lands here instead
+    of exploding quadratically — the same honest capped semantics as
+    every other blocking family."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        phonetic_key_col(key_col, word=word).alias("pk"),
+    )
+    return (
+        v.groupBy("pk")
+        .agg(F.count_distinct("id").alias("n_keys"))
+        .where(F.col("n_keys") > max_bucket_size)
+    )
+
+
 def cluster_scoped_pairs_d2(
     df: DataFrame,
     id_col: str,

@@ -3140,3 +3140,95 @@ class TestClusterScopedD2:
             ).collect()
         }
         assert got == {(1, 2): 1}
+
+
+class TestPhoneticBlocking:
+    """Soundex-class phonetic blocking (operators/fuzzy.py r8)."""
+
+    def test_key_renders_identically_in_both_engines(self, spark):
+        import duckdb
+
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        words = [
+            "smith", "smyth", "robert", "rupert", "ashcraft", "tymczak",
+            "pfister", "cold bolt", "old bolt", "Customer#000000042", "",
+            "honeyman", "jackson", "washington",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got_spark = [
+            (r.w, r.pk, r.pkl)
+            for r in df.select(
+                "w",
+                fuzzy.phonetic_key_col("w", word="whole").alias("pk"),
+                fuzzy.phonetic_key_col("w", word="last").alias("pkl"),
+            ).collect()
+        ]
+        con = duckdb.connect()
+        whole = fuzzy.phonetic_key_sql("w", word="whole", dialect="duckdb")
+        last = fuzzy.phonetic_key_sql("w", word="last", dialect="duckdb")
+        got_duck = con.execute(
+            f"SELECT w, {whole} AS pk, {last} AS pkl "
+            "FROM (SELECT unnest($1::VARCHAR[]) AS w)",
+            [words],
+        ).fetchall()
+        assert got_spark == got_duck
+
+    def test_sound_alike_pairs_found_and_verified(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        df = spark.createDataFrame(
+            [
+                (1, "smith"),
+                (2, "smyth"),    # sound-alike, dist 1 -> kept
+                (3, "schmidt"),  # S253: different block -> never a candidate
+                (4, "mith"),     # M3 block differs -> phonetic misses it
+            ],
+            "id long, k string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy.phonetic_pairs(
+                df, "id", "k", word="whole"
+            ).collect()
+        }
+        assert got == {(1, 2): 1}
+
+    def test_block_candidate_beyond_distance_filtered(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        # robert/rupert share R163 but sit at distance 2: under a
+        # max_distance=1 verify the blocking stage surfaces them and the
+        # verify stage must drop them
+        df = spark.createDataFrame(
+            [(1, "robert"), (2, "rupert")], "id long, k string"
+        )
+        assert (
+            fuzzy.phonetic_pairs(
+                df, "id", "k", word="whole", max_distance=1
+            ).collect()
+            == []
+        )
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy.phonetic_pairs(df, "id", "k", word="whole").collect()
+        }
+        assert got == {(1, 2): 2}
+
+    def test_identifier_keys_degenerate_into_overflow(self, spark):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        df = spark.range(80).select(
+            F.col("id"),
+            F.format_string("Account#%04d", F.col("id")).alias("k"),
+        )
+        pairs = fuzzy.phonetic_pairs(
+            df, "id", "k", word="whole", max_bucket_size=50
+        )
+        over = fuzzy.phonetic_overflow(
+            df, "id", "k", word="whole", max_bucket_size=50
+        ).collect()
+        assert pairs.collect() == []          # the mega-block is capped out
+        assert len(over) == 1 and over[0].n_keys == 80
