@@ -313,9 +313,14 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontaminate_fuzzy(load_table(spark, sf_dir, "documents"))
 
 
-def _decontaminate_fuzzy_oracle(
-    benchmark_max_id: int = 50, threshold: float = 0.3
-) -> str:
+def _fuzzy_decon_ctes(prefix: str = "", benchmark_max_id: int = 50) -> str:
+    """CTE chain text for the MinHash-banded fuzzy-decontamination
+    oracle, every CTE name ``prefix``-ed so downstream compositions
+    (corpus_decon_decisions / corpus_build_manifest_decon) can
+    concatenate it after the prep chain without name collisions (DuckDB
+    allows WITH RECURSIVE only at statement top, so composition is CTE
+    concatenation — the _corpus_prep_parts discipline)."""
+    p = prefix
     sh = dedup.shingles_sql("text")
     xid = dedup.SHINGLE_ID_SQL.format(s="u.s")
     sig_cells = ",\n  ".join(
@@ -327,46 +332,52 @@ def _decontaminate_fuzzy_oracle(
         cols = [f"mh_{band * dedup.LSH_ROWS + r}" for r in range(dedup.LSH_ROWS)]
         key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
         band_selects.append(
-            f"SELECT doc_id, {band} AS band, md5({key}) AS bucket_key FROM sig"
+            f"SELECT doc_id, {band} AS band, md5({key}) AS bucket_key FROM {p}sig"
         )
     bands = "\nUNION ALL\n".join(band_selects)
     jac = (
         "len(list_intersect(a.s, b.s)) / "
         "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
     )
-    return f"""
-WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
-x AS (
-  SELECT sh.doc_id, {xid} AS x
-  FROM sh, LATERAL (SELECT unnest(sh.s) AS s) u
+    return f"""{p}sh AS (SELECT doc_id, {sh} AS s FROM documents),
+{p}x AS (
+  SELECT {p}sh.doc_id, {xid} AS x
+  FROM {p}sh, LATERAL (SELECT unnest({p}sh.s) AS s) u
 ),
-sig AS (
+{p}sig AS (
   SELECT doc_id,
   {sig_cells}
-  FROM x GROUP BY doc_id
+  FROM {p}x GROUP BY doc_id
 ),
-bands AS (
+{p}bands AS (
 {bands}
 ),
-cand AS (
+{p}cand AS (
   SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
-  FROM bands c
-  JOIN bands b ON b.band = c.band AND b.bucket_key = c.bucket_key
+  FROM {p}bands c
+  JOIN {p}bands b ON b.band = c.band AND b.bucket_key = c.bucket_key
   WHERE c.doc_id >= {benchmark_max_id} AND b.doc_id < {benchmark_max_id}
 ),
-scored AS (
-  SELECT cand.doc_id, cand.bench_id, {hround_sql(jac, 6)} AS jaccard
-  FROM cand
-  JOIN sh a ON a.doc_id = cand.doc_id
-  JOIN sh b ON b.doc_id = cand.bench_id
+{p}scored AS (
+  SELECT {p}cand.doc_id, {p}cand.bench_id, {hround_sql(jac, 6)} AS jaccard
+  FROM {p}cand
+  JOIN {p}sh a ON a.doc_id = {p}cand.doc_id
+  JOIN {p}sh b ON b.doc_id = {p}cand.bench_id
 ),
-ranked AS (
+{p}ranked AS (
   SELECT doc_id, bench_id, jaccard,
          COUNT(*) OVER (PARTITION BY doc_id) AS n_candidates,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY jaccard DESC, bench_id ASC) AS rn
-  FROM scored
-)
+  FROM {p}scored
+)"""
+
+
+def _decontaminate_fuzzy_oracle(
+    benchmark_max_id: int = 50, threshold: float = 0.3
+) -> str:
+    return f"""
+WITH {_fuzzy_decon_ctes(benchmark_max_id=benchmark_max_id)}
 SELECT doc_id, CAST(n_candidates AS BIGINT) AS n_candidates,
        bench_id AS best_bench_id, jaccard AS best_jaccard,
        jaccard >= {threshold} AS flagged
@@ -3157,7 +3168,17 @@ def corpus_prep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     demands. canonical_id is NULL for gate drops (there is no surviving
     representative), the fingerprint-group min for dropped_exact, the
     component min for dropped_near, and the doc itself when kept."""
-    docs = dedup._ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return _prep_decisions_for(load_table(spark, sf_dir, "documents"))
+
+
+def _prep_decisions_for(raw_docs: DataFrame) -> DataFrame:
+    """The prep recipe over an arbitrary documents frame — factored so
+    the decontamination-composed build (corpus_decon_decisions /
+    corpus_build_manifest_decon) can run the SAME chain over the corpus
+    partition only, with the benchmark held out of the dedup universe
+    (production semantics: you never dedupe against your eval set, you
+    decontaminate against it)."""
+    docs = dedup._ensure_parallelism(raw_docs)
     sig = text.prep_signals(docs)
     pre_decision = (
         F.when(
@@ -3229,7 +3250,7 @@ def corpus_prep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_prep_parts() -> tuple[str, str]:
+def _corpus_prep_parts(where: str = "") -> tuple[str, str]:
     """The prep-decisions oracle split into (CTE body, final SELECT) so
     downstream compositions (corpus_build_manifest) can extend the chain
     — DuckDB allows WITH RECURSIVE only at statement top, so composition
@@ -3260,6 +3281,7 @@ def _corpus_prep_parts() -> tuple[str, str]:
         " ELSE (n_tokens - n_distinct) / n_tokens END",
         6,
     )
+    _where = where
     ctes = rf"""raw AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
@@ -3271,7 +3293,7 @@ def _corpus_prep_parts() -> tuple[str, str]:
          len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
            AS n_distinct,
          {lang_cells}
-  FROM documents
+  FROM documents{_where}
 ),
 sig AS (
   SELECT doc_id, text,
@@ -5745,10 +5767,14 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_benchmark_spans(docs).orderBy("doc_id")
 
 
-def _decontaminate_spans_oracle(benchmark_max_id: int = 50) -> str:
+def _span_decon_ctes(benchmark_max_id: int = 50) -> str:
+    """CTE chain for the span-redaction oracle (toks → btoks → bwids →
+    wins → removed → rebuilt → spancleaned), factored so the manifest
+    compositions can concatenate it after the prep + fuzzy chains. CTE
+    names collide with neither (_corpus_prep_parts nor
+    _fuzzy_decon_ctes("fz_"))."""
     w, s = dedup.SUBSTR_WINDOW, dedup.SUBSTR_STRIDE
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id,
          regexp_split_to_array(trim(text), '\s+') AS t,
          regexp_split_to_array(trim(lower(text)), '\s+') AS tl
@@ -5791,12 +5817,21 @@ rebuilt AS (
            len(list_filter(coalesce(rm, []),
                            p -> p <= i - 1 AND i - 1 < p + {w})) = 0) AS kept
   FROM toks LEFT JOIN removed USING (doc_id)
-)
-SELECT doc_id,
-       CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(len(t) - len(kept) AS BIGINT) AS n_removed_tokens,
-       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
-FROM rebuilt
+),
+spancleaned AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(t) - len(kept) AS BIGINT) AS n_removed_tokens,
+         coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+  FROM rebuilt
+)"""
+
+
+def _decontaminate_spans_oracle(benchmark_max_id: int = 50) -> str:
+    return f"""
+WITH {_span_decon_ctes(benchmark_max_id=benchmark_max_id)}
+SELECT doc_id, n_tokens, n_removed_tokens, cleaned_text
+FROM spancleaned
 ORDER BY doc_id
 """
 
@@ -6302,3 +6337,201 @@ ORDER BY d.doc_id
 DEDUP_CONTAINED_DOCS_SQL = _contained_docs_oracle()
 
 QUERIES["dedup_contained_docs"] = (dedup_contained_docs, DEDUP_CONTAINED_DOCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# decontamination-composed corpus build (round 8 — VERDICT r7 #6):
+# corpus_build_manifest predates the fuzzy/span decontamination family;
+# these two queries add the decontamination gate to the build recipe so
+# the SHIPPED artifact is benchmark-clean by construction — doc-level
+# near-match drops first, surgical span redaction on what survives, and
+# the manifest checksums cover the REDACTED bytes (what actually ships),
+# not the raw text.
+
+
+def _decon_decision_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc decision for the decontaminated build. The prep recipe
+    runs over the CORPUS PARTITION ONLY (doc_id >= 50) — production
+    semantics: the benchmark is a holdout, never part of the dedup
+    universe (dedupe against your eval set and contaminated docs get
+    'dropped_near' with a BENCHMARK doc as their canonical — the
+    structural leak the first draft of this query exposed,
+    SELFREVIEW_r8). Labels: every benchmark doc is 'benchmark_holdout';
+    corpus docs keep their prep label when prep dropped them; prep-kept
+    docs whose best benchmark Jaccard clears the fuzzy threshold are
+    'dropped_contaminated'; docs the span pass rewrote are 'redacted';
+    'kept' otherwise. cleaned_text rides along for the manifest."""
+    return _decon_decision_frame_for(load_table(spark, sf_dir, "documents"))
+
+
+def _decon_decision_frame_for(docs: DataFrame) -> DataFrame:
+    prep = _prep_decisions_for(docs.where(F.col("doc_id") >= 50)).select(
+        "doc_id", "decision"
+    )
+    flagged = (
+        text.decontaminate_fuzzy(docs)
+        .where(F.col("flagged"))
+        .select("doc_id", F.lit(True).alias("is_flagged"))
+    )
+    spans = dedup.remove_benchmark_spans(docs).select(
+        "doc_id",
+        (F.col("n_removed_tokens") > 0).alias("is_redacted"),
+        "cleaned_text",
+    )
+    out = prep.join(flagged, "doc_id", "left").join(spans, "doc_id", "left")
+    decision = (
+        F.when(F.col("decision") != "kept", F.col("decision"))
+        .when(F.col("is_flagged"), F.lit("dropped_contaminated"))
+        .when(F.col("is_redacted"), F.lit("redacted"))
+        .otherwise(F.lit("kept"))
+    )
+    corpus = out.select("doc_id", decision.alias("decision"), "cleaned_text")
+    bench = docs.where(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.lit("benchmark_holdout").alias("decision"),
+        F.lit(None).cast("string").alias("cleaned_text"),
+    )
+    return corpus.unionByName(bench)
+
+
+def corpus_decon_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage decision counts for the decontaminated corpus build
+    (VERDICT r7 #6): the prep stages (language / quality / repetition
+    gates, exact dedup, LSH near-dedup) EXTENDED with the
+    decontamination stages — benchmark holdout, fuzzy doc-level drops,
+    span redaction — in production precedence order. One row per
+    decision; the artifact a build publishes to show where every
+    document went. Scale shape: the prep chain is the measured-flat
+    staged pipeline; the fuzzy leg broadcasts only benchmark-derived
+    band buckets; the span leg broadcasts the benchmark window-id set —
+    nothing corpus × corpus anywhere in the chain."""
+    frame = _decon_decision_frame(spark, sf_dir)
+    return (
+        frame.groupBy("decision")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("decision")
+    )
+
+
+def _decon_compose_ctes() -> str:
+    """Shared oracle CTE chain: prep parts OVER THE CORPUS PARTITION
+    (the benchmark never enters the dedup universe) + prefixed
+    fuzzy-decon chain + span chain + the flagged-id set — concatenated
+    under one WITH RECURSIVE (DuckDB top-only rule)."""
+    ctes, final = _corpus_prep_parts(" WHERE doc_id >= 50")
+    return f"""{ctes},
+prep AS ({final}),
+{_fuzzy_decon_ctes(prefix="fz_")},
+fzflagged AS (
+  SELECT doc_id FROM fz_ranked WHERE rn = 1 AND jaccard >= 0.3
+),
+{_span_decon_ctes()}"""
+
+
+def _decon_decisions_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{_decon_compose_ctes()},
+decided AS (
+  SELECT p.doc_id,
+         CASE WHEN p.decision != 'kept' THEN p.decision
+              WHEN f.doc_id IS NOT NULL THEN 'dropped_contaminated'
+              WHEN s.n_removed_tokens > 0 THEN 'redacted'
+              ELSE 'kept' END AS decision
+  FROM prep p
+  LEFT JOIN fzflagged f ON f.doc_id = p.doc_id
+  LEFT JOIN spancleaned s ON s.doc_id = p.doc_id
+  UNION ALL
+  SELECT doc_id, 'benchmark_holdout' AS decision
+  FROM documents WHERE doc_id < 50
+)
+SELECT decision, CAST(count(*) AS BIGINT) AS n_docs
+FROM decided GROUP BY decision ORDER BY decision
+"""
+
+
+QUERIES["corpus_decon_decisions"] = (
+    corpus_decon_decisions,
+    _decon_decisions_oracle(),
+)
+
+
+def corpus_build_manifest_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated end-to-end corpus build as ONE artifact: prep
+    survivors minus benchmark holdout minus fuzzy-flagged docs, span
+    redaction applied, then the per-shard manifest — doc count, token
+    total, order-free xor checksum — plus the ROLLUP grand-total row
+    (shard_id = -1). The checksums cover the REDACTED token stream (the
+    bytes that actually ship), so both ends of a copy verify the
+    benchmark-clean artifact, not its contaminated ancestor. Composes
+    corpus_build_manifest with the text_decontaminate_fuzzy and
+    text_decontaminate_spans stages; same single-aggregation-pass shape,
+    one curated-corpus-sized shuffle on shard_id."""
+    frame = _decon_decision_frame(spark, sf_dir)
+    final = frame.where(F.col("decision").isin("kept", "redacted"))
+    shard = sampling.hash_selector(
+        F.col("doc_id"), "shuf", sampling.SHUFFLE_SHARDS
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("cleaned_text"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = F.size(text.tokens_col(F.col("cleaned_text")))
+    return (
+        final.select(
+            shard.alias("shard_id"),
+            digest.alias("digest"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .rollup("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_total"),
+            F.expr("bit_xor(digest)").alias("checksum"),
+        )
+        .select(
+            F.coalesce(F.col("shard_id"), F.lit(-1)).cast("long").alias("shard_id"),
+            "n_docs",
+            "token_total",
+            "checksum",
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _build_manifest_decon_oracle() -> str:
+    shard_sql = sampling.hash_selector_sql("doc_id", "shuf", sampling.SHUFFLE_SHARDS)
+    return rf"""
+WITH RECURSIVE
+{_decon_compose_ctes()},
+fdocs AS (
+  SELECT s.doc_id, s.cleaned_text AS text
+  FROM prep p
+  JOIN spancleaned s ON s.doc_id = p.doc_id
+  LEFT JOIN fzflagged f ON f.doc_id = p.doc_id
+  WHERE p.decision = 'kept' AND f.doc_id IS NULL
+),
+m AS (
+  SELECT {shard_sql} AS shard_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+           AS BIGINT) AS digest,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM fdocs
+)
+SELECT CAST(COALESCE(shard_id, -1) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_total,
+       bit_xor(digest) AS checksum
+FROM m
+GROUP BY ROLLUP (shard_id)
+ORDER BY shard_id
+"""
+
+
+QUERIES["corpus_build_manifest_decon"] = (
+    corpus_build_manifest_decon,
+    _build_manifest_decon_oracle(),
+)

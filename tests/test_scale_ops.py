@@ -3232,3 +3232,80 @@ class TestPhoneticBlocking:
         ).collect()
         assert pairs.collect() == []          # the mega-block is capped out
         assert len(over) == 1 and over[0].n_keys == 80
+
+
+class TestDeconDecisionFrame:
+    """Decontamination-composed build decisions (plans/llm_ops.py r8):
+    the prep chain runs over the corpus partition only (the benchmark is
+    a HOLDOUT, never part of the dedup universe), then doc-level fuzzy
+    drops, then span redaction. The sf fixtures never exercise
+    'redacted' (every span-overlapping doc is a full near-copy, so the
+    doc-level flag wins) — this constructed fixture pins that path."""
+
+    def _docs(self, spark):
+        def en_text(prefix, n=90):
+            toks = []
+            stops = ["the", "and", "of", "is", "a", "to", "in"]
+            for i in range(n):
+                toks.append(f"{prefix}{i}")
+                if i % 3 == 0:
+                    toks.append(stops[i % len(stops)])
+            return " ".join(toks)
+
+        # 'tok3' hashes to 0 mod SUBSTR_STRIDE, so it content-anchors the
+        # same window on both sides regardless of alignment
+        btoks = [f"bench{i}" for i in range(30)]
+        btoks[5] = "tok3"
+        bench = " ".join(btoks)
+        quote = " ".join(btoks[2:28])  # 26-token partial quote
+        partial = en_text("alpha") + " " + quote + " " + en_text("beta")
+        clean = en_text("gamma")
+        near_copy = bench + " " + en_text("delta", 8)
+        return spark.createDataFrame(
+            [(0, bench), (100, partial), (101, clean), (102, near_copy)],
+            "doc_id long, text string",
+        )
+
+    def test_all_stage_labels_and_redaction(self, spark):
+        from pos_pipeline_core_etl_spark.plans import llm_ops
+
+        got = {
+            r.doc_id: r
+            for r in llm_ops._decon_decision_frame_for(
+                self._docs(spark)
+            ).collect()
+        }
+        assert got[0].decision == "benchmark_holdout"
+        assert got[101].decision == "kept"
+        assert got[102].decision == "dropped_contaminated"
+        # the partial quoter survives doc-level (low Jaccard) but its
+        # quote is surgically removed
+        assert got[100].decision == "redacted"
+        cleaned = got[100].cleaned_text.split()
+        # the anchored window [anchor, anchor+16) is removed: tok3 and
+        # the 15 tokens after it.  Unanchored quote EDGES survive — the
+        # documented trade of stride anchoring (window_grams) vs the
+        # winnowing guarantee: cheap windows, not complete coverage.
+        removed = {"tok3"} | {f"bench{i}" for i in range(6, 21)}
+        assert not removed & set(cleaned)
+        assert "bench2" in cleaned  # pre-anchor quote edge survives
+        # and the doc's own content survives the redaction
+        assert "alpha0" in cleaned and "beta0" in cleaned
+
+    def test_shipping_set_is_benchmark_window_free(self, spark):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import dedup
+        from pos_pipeline_core_etl_spark.plans import llm_ops
+
+        docs = self._docs(spark)
+        frame = llm_ops._decon_decision_frame_for(docs)
+        shipped = frame.where(
+            F.col("decision").isin("kept", "redacted")
+        ).select("doc_id", F.col("cleaned_text").alias("text"))
+        # re-run the span detector treating shipped docs as the corpus:
+        # nothing may be removed from an already-clean artifact
+        again = dedup.remove_benchmark_spans(
+            docs.where(F.col("doc_id") < 50).unionByName(shipped)
+        )
+        assert again.agg(F.sum("n_removed_tokens")).collect()[0][0] == 0
