@@ -224,3 +224,32 @@ def test_performance_doc_counts_match_registry():
             f"PERFORMANCE.md claims {c} queries; registry has "
             f"{len(registry.all_queries())}"
         )
+
+
+def test_replica_artifact_covers_registry_and_is_green():
+    """The committed replica artifact (VERDICT r7 #5): the newest
+    REPLICA_r*.json must cover EVERY registry query at BOTH SFs with
+    zero failures — making the per-round all-names evidence inspectable
+    instead of asserted. Regenerate with
+    REPLICA_OUT=REPLICA_r<N>.json tools/verify_replica.py (once per SF)
+    after adding queries."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    arts = sorted(glob.glob(os.path.join(root, "REPLICA_r*.json")))
+    if not arts:
+        import pytest
+
+        pytest.skip("no replica artifact committed yet (pre-round-8 tree)")
+    with open(arts[-1]) as f:
+        doc = json.load(f)
+    assert set(doc) >= {"sf0.01", "sf0.1"}, f"{arts[-1]} missing an SF sweep"
+    names = set(registry.all_queries())
+    for sf_key in ("sf0.01", "sf0.1"):
+        recorded = doc[sf_key]
+        missing = names - set(recorded)
+        assert not missing, f"{arts[-1]}[{sf_key}] missing {sorted(missing)[:5]}"
+        bad = {n: r for n, r in recorded.items() if r["status"] == "fail"}
+        assert not bad, f"{arts[-1]}[{sf_key}] has failures: {list(bad)[:5]}"

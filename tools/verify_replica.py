@@ -38,11 +38,13 @@ if only:
     names = [s.strip() for s in only.split(",") if s.strip()]
     queries = {k: v for k, v in queries.items() if k in names}
 fails = []
+results = {}
 for name, fn in queries.items():
     try:
         sdf = fn(spark, SF).toPandas()
         if name not in oracles:
             print(f"  {name}: rows-only, {len(sdf)} rows")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         odf = con.execute(oracles[name]).fetchdf()
         if len(sdf) != len(odf):
@@ -60,10 +62,29 @@ for name, fn in queries.items():
             diff = (a != b).any(axis=1)
             fails.append((name, f"values differ in {int(diff.sum())} rows"))
         else:
-            pass
+            results[name] = {"status": "green", "rows": len(sdf)}
     except Exception as e:
         fails.append((name, f"ERR {type(e).__name__}: {e}"))
+for n_, m in fails:
+    results[n_] = {"status": "fail", "detail": m[:300]}
 print(f"checked {len(queries)} queries")
+
+# Committed per-round artifact (VERDICT r7 #5): REPLICA_OUT=<path> writes
+# {sf_key: {query: {status, rows}}}, merging across invocations so one
+# file carries both the sf0.01 and sf0.1 sweeps of the same round.
+out_path = __import__("os").environ.get("REPLICA_OUT", "")
+if out_path:
+    import json, os
+    sf_key = os.path.basename(SF.rstrip("/"))
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            doc = json.load(f)
+    doc.setdefault(sf_key, {}).update(results)
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path} [{sf_key}]: {len(results)} results")
+
 if fails:
     for n_, m in fails: print("FAIL", n_, m[:300])
     sys.exit(1)
