@@ -469,6 +469,48 @@ def cluster_scoped_pairs_d2(
     )
 
 
+def union_blocking_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    word: str = "last",
+    window: int = SN_WINDOW,
+    max_distance: int = 2,
+    max_bucket_size: int | None = FUZZY_MAX_BUCKET,
+) -> DataFrame:
+    """The production multi-family blocking prescription as ONE
+    operator: the union of the three CHEAP families — deletion variants
+    at d1 (explode ≈ key length), phonetic-of-the-word (explode ZERO),
+    and two-pass sorted neighborhood (bounded window·n) — each verified
+    by exact levenshtein, normalized and deduped. The measured family
+    table (fuzzy_family_recall_compare) is the argument: each family's
+    blind spot is covered by another (adjective typos sort apart but
+    share the noun block; sound-alike respellings cost d≥2 in deletion
+    space but share the phonetic block; reversed-sort locality catches
+    what forward sort misses), so the union reaches depth-2 recall
+    WITHOUT the d2 explode (≈ L²/2 per key) — exactly the composition a
+    100 TB entity-resolution job ships, with d2 reserved for the
+    cluster-scoped residual (cluster_scoped_pairs_d2).
+
+    All three legs emit id_a < id_b with keys aligned, so the union is
+    a plain distinct — no re-orientation pass."""
+    d1 = fuzzy_key_pairs(
+        df, id_col, key_col, max_distance=1, max_bucket_size=max_bucket_size
+    )
+    ph = phonetic_pairs(
+        df,
+        id_col,
+        key_col,
+        word=word,
+        max_distance=max_distance,
+        max_bucket_size=max_bucket_size,
+    )
+    sn = sorted_neighborhood_pairs_multi(
+        df, id_col, key_col, window=window, max_distance=max_distance
+    )
+    return d1.unionByName(ph).unionByName(sn).distinct()
+
+
 def fuzzy_key_overflow(
     df: DataFrame,
     id_col: str,

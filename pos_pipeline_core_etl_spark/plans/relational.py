@@ -1966,8 +1966,11 @@ def fuzzy_family_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort far apart); SN-2pass recovers what sorts adjacent REVERSED
     (cold/old, old/red — shared nouns) but not red/new (7 ranks apart,
     window 5); phonetic-of-the-noun is total on this fixture at explode
-    factor zero. The production prescription follows from the table:
-    phonetic + d1 cheap passes first, d2 scoped to what survives."""
+    factor zero. The sixth row IS the production prescription measured:
+    union_cheap (d1 + phonetic + SN-2pass,
+    operators/fuzzy.py::union_blocking_pairs) reaches FastSS-d2's total
+    recall while its most expensive leg explodes only L variants per
+    key — d2 stays reserved for the cluster-scoped residual."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
     names = _part_name_registry(spark, sf_dir)
@@ -2011,6 +2014,12 @@ def fuzzy_family_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sn_2pass": norm(
             fuzzy.sorted_neighborhood_pairs_multi(names, "name_id", "p_name")
         ),
+        # the production prescription: union of the three cheap legs —
+        # measured in the same table so the "covers every blind spot at
+        # explode <= L" claim is a row, not prose
+        "union_cheap": norm(
+            fuzzy.union_blocking_pairs(names, "name_id", "p_name")
+        ),
     }
     out = None
     for family, idx in families.items():
@@ -2053,6 +2062,7 @@ GROUP BY t.dist"""
             ("phonetic_noun", "php"),
             ("sn_1pass", "snp"),
             ("sn_2pass", "sn2p"),
+            ("union_cheap", "unionc"),
         ]
     )
     return f"""
@@ -2112,7 +2122,12 @@ snrev AS (
   FROM rr a JOIN rr b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SN_WINDOW}
   WHERE levenshtein(a.nm, b.nm) <= 2
 ),
-sn2p AS (SELECT id_a, id_b FROM snp UNION SELECT id_a, id_b FROM snrev)
+sn2p AS (SELECT id_a, id_b FROM snp UNION SELECT id_a, id_b FROM snrev),
+unionc AS (
+  SELECT id_a, id_b FROM d1p
+  UNION SELECT id_a, id_b FROM php
+  UNION SELECT id_a, id_b FROM sn2p
+)
 {legs}
 ORDER BY family, dist
 """
@@ -2121,4 +2136,88 @@ ORDER BY family, dist
 QUERIES["fuzzy_family_recall_compare"] = (
     fuzzy_family_recall_compare,
     _family_recall_compare_oracle(),
+)
+
+
+def fuzzy_part_pairs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production blocking prescription as a query
+    (operators/fuzzy.py::union_blocking_pairs): union of the three
+    CHEAP verified families — FastSS-d1, phonetic-of-the-noun, two-pass
+    sorted neighborhood — reaching the d2 recall the family table
+    measures WITHOUT the depth-2 explode. On this fixture the union is
+    total at both distances while its most expensive leg explodes only
+    L variants per key; the d2 machinery stays reserved for the
+    cluster-scoped residual pass."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    names = _part_name_registry(spark, sf_dir)
+    return fuzzy.union_blocking_pairs(names, "name_id", "p_name").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _pairs_union_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.fuzzy import (
+        FUZZY_MAX_BUCKET,
+        SN_WINDOW,
+        phonetic_key_sql,
+    )
+
+    pk = phonetic_key_sql("nm", word="last", dialect="duckdb")
+    sn_leg = f"""SELECT DISTINCT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+         CASE WHEN a.id < b.id THEN a.nm ELSE b.nm END AS key_a,
+         CASE WHEN a.id < b.id THEN b.nm ELSE a.nm END AS key_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM {{rel}} a JOIN {{rel}} b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SN_WINDOW}
+  WHERE levenshtein(a.nm, b.nm) <= 2"""
+    return f"""
+WITH k AS ({_PART_NAME_REGISTRY_SQL}),
+v AS (
+  SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
+    ELSE list_distinct(list_prepend(nm,
+      list_transform(generate_series(1, length(nm)),
+                     i -> substr(nm, 1, i - 1) || substr(nm, i + 1))))
+    END) AS variant
+  FROM k
+),
+sizes AS (SELECT variant, count(*) AS n FROM v GROUP BY variant),
+d1p AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS key_a, b.nm AS key_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+  JOIN sizes z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_MAX_BUCKET}
+    AND levenshtein(a.nm, b.nm) <= 1
+),
+pkc AS (SELECT id, nm, {pk} AS pk FROM k),
+psizes AS (SELECT pk, count(*) AS n FROM pkc GROUP BY pk),
+php AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS key_a, b.nm AS key_b,
+         CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+  FROM pkc a JOIN pkc b ON a.pk = b.pk AND a.id < b.id
+  JOIN psizes z ON z.pk = a.pk
+  WHERE z.n BETWEEN 2 AND {FUZZY_MAX_BUCKET}
+    AND levenshtein(a.nm, b.nm) <= 2
+),
+r AS (SELECT id, nm, row_number() OVER (ORDER BY nm, id) AS rnk FROM k),
+snpk AS (
+  {sn_leg.format(rel="r")}
+),
+rr AS (SELECT id, nm, row_number() OVER (ORDER BY reverse(nm), id) AS rnk FROM k),
+snrk AS (
+  {sn_leg.format(rel="rr")}
+)
+SELECT DISTINCT id_a, id_b, key_a, key_b, dist FROM (
+  SELECT * FROM d1p
+  UNION ALL SELECT * FROM php
+  UNION ALL SELECT * FROM snpk
+  UNION ALL SELECT * FROM snrk
+)
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["fuzzy_part_pairs_union"] = (
+    fuzzy_part_pairs_union,
+    _pairs_union_oracle(),
 )

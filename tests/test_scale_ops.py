@@ -3309,3 +3309,66 @@ class TestDeconDecisionFrame:
             docs.where(F.col("doc_id") < 50).unionByName(shipped)
         )
         assert again.agg(F.sum("n_removed_tokens")).collect()[0][0] == 0
+
+
+class TestUnionBlocking:
+    """Cheap-family blocking union (operators/fuzzy.py r8)."""
+
+    def test_union_covers_each_familys_blind_spot(self, spark):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        # smith/smyth: phonetic block (S53) catches it; deletion d1
+        # catches it too.  robert/rupert (dist 2): ONLY phonetic.
+        # "zebra park"/"cobra park" (dist 2): phonetic-last ("park")
+        # catches it; d1 cannot (dist 2), forward SN sorts c…/z… apart.
+        df = spark.createDataFrame(
+            [
+                (1, "smith"),
+                (2, "smyth"),
+                (3, "robert"),
+                (4, "rupert"),
+                (5, "zebra park"),
+                (6, "cobra park"),
+            ],
+            "id long, k string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy.union_blocking_pairs(
+                df, "id", "k", word="whole"
+            ).collect()
+        }
+        # word="whole" phonetic keys: smith/smyth collide, robert/rupert
+        # collide; zebra/cobra differ (Z vs C) -> that pair must come
+        # from another family if at all
+        assert got[(1, 2)] == 1
+        assert got[(3, 4)] == 2
+        got_last = {
+            (r.id_a, r.id_b): r.dist
+            for r in fuzzy.union_blocking_pairs(
+                df, "id", "k", word="last"
+            ).collect()
+        }
+        assert got_last[(5, 6)] == 2  # noun block catches the adjective swap
+
+    def test_union_is_superset_of_each_leg(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(
+                ["red bolt", "new bolt", "old bolt", "cold bolt",
+                 "red gear", "new gear", "old ring", "cold ring"]
+            )],
+            "id long, k string",
+        )
+        union = {(r.id_a, r.id_b) for r in
+                 fuzzy.union_blocking_pairs(df, "id", "k").collect()}
+        for leg in (
+            fuzzy.fuzzy_key_pairs(df, "id", "k", max_distance=1),
+            fuzzy.phonetic_pairs(df, "id", "k", word="last"),
+            fuzzy.sorted_neighborhood_pairs_multi(df, "id", "k"),
+        ):
+            got = {(r.id_a, r.id_b) for r in leg.collect()}
+            assert got <= union

@@ -1,0 +1,126 @@
+"""Isolated per-entry bench artifact (VERDICT r7 #2).
+
+The driver's BENCH_r{N}.json interleaves all ~34 entries in ONE JVM, so
+cheap entries absorb a heap/GC/codegen-cache tax from co-resident heavy
+plans (measured r7: 1.087x on identical code). This tool runs the same
+entries in SMALL ISOLATED BATCHES (fresh JVM per batch, grouped so no
+batch mixes the heavy dedup/ANN flagships with the sub-second entries),
+5 reps each, and writes BENCH_ISO_r{N}.json with per-entry medians +
+spreads + the batch composition — the comparable-across-rounds numbers
+PERFORMANCE.md cites.
+
+Usage: python tools/make_bench_iso.py [round] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Batches group entries of similar weight (the heavy flagships never
+# share a JVM with the sub-second relational entries).
+BATCHES = {
+    "light_relational": [
+        "agg_pricing_summary",
+        "scan_filter_project",
+        "dedup_keep_first",
+        "pivot_status_by_priority",
+        "join_broadcast_dims",
+        "text_quality",
+    ],
+    "marts_windows": [
+        "payments_daily_mart",
+        "sales_by_ticket_mart",
+        "window_rolling_mean",
+        "join_asof_purchase_view",
+        "events_sessionization",
+        "docs_quality_pct_approx",
+    ],
+    "dedup_mid": [
+        "dedup_minhash_lsh",
+        "dedup_minhash_verified",
+        "text_decontaminate_bloom",
+        "dedup_incremental_batch",
+        "text_substring_dedup",
+    ],
+    # heavy flagships in PAIRS: the first cut ran all six in one JVM and
+    # reproduced the very contention this artifact exists to remove
+    # (dedup_simhash_banded 5.59 s in the 6-up batch vs 3.65 s in a
+    # 2-up batch, identical code — recorded in SELFREVIEW_r8.md)
+    "dedup_heavy_a": [
+        "dedup_decisions",
+        "dedup_simhash_banded",
+    ],
+    "dedup_heavy_b": [
+        "corpus_prep_decisions",
+        "dedup_simhash_staged",
+    ],
+    "dedup_heavy_c": [
+        "dedup_containment_staged",
+        "dedup_sparse_cosine_staged",
+    ],
+    "ann": [
+        "sim_cosine_topk",
+        "sim_ivfpq_topk",
+        "sim_ivfpq_kmeans_topk",
+        "emb_kmeans_lloyd",
+    ],
+    "text_models": [
+        "text_bpe_train_fast",
+        "docs_lr_train",
+        "fuzzy_customer_pairs",
+    ],
+    "scale_paths": [
+        "salted_agg_lineitem",
+        "bucketed_join_lineitem",
+    ],
+}
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "8"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    reps = os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")
+    queries: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for batch, names in BATCHES.items():
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_ONLY=",".join(names),
+            SPARK_GRAFT_BENCH_REPS=reps,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        parsed = json.loads(line)
+        queries.update(parsed["queries"])
+        spread.update(parsed["rep_spread"])
+        print(f"  {batch}: {parsed['value']}s over {len(names)} entries")
+    doc = {
+        "metric": "isolated_entry_medians_sec",
+        "unit": "sec",
+        "sf": parsed["sf"],
+        "reps": int(reps),
+        "batches": BATCHES,
+        "queries": dict(sorted(queries.items())),
+        "rep_spread": dict(sorted(spread.items())),
+        "value": round(sum(queries.values()), 3),
+    }
+    path = os.path.join(REPO, f"BENCH_ISO_r{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {path}: {len(queries)} entries, total {doc['value']}s")
+
+
+if __name__ == "__main__":
+    main()
