@@ -1213,6 +1213,49 @@ def remove_benchmark_spans(
     benchmark-sized and BROADCAST; the corpus leg is one explode +
     one broadcast semi join + a map-side token filter. Never
     corpus × corpus, no corpus-sized shuffle at all."""
+    corpus = _ensure_parallelism(
+        docs.where(F.col(id_col) >= benchmark_max_id).select(id_col, text_col),
+        key=id_col,
+    )
+    bench_wids = benchmark_window_ids(
+        docs.where(F.col(id_col) < benchmark_max_id), window, stride, text_col
+    )
+    return redact_spans_with_wids(
+        corpus, bench_wids, window, stride, text_col, id_col
+    )
+
+
+def benchmark_window_ids(
+    bench: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    stride: int = SUBSTR_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct content-anchored window ids of the benchmark set — the
+    benchmark-sized broadcast side of span decontamination, factored out
+    so the streaming twin can build it ONCE offline and rebroadcast it
+    per micro-batch (the weights pattern of run_streaming_lr_scores)."""
+    return (
+        bench.select(
+            F.explode(window_grams(F.col(text_col), window, stride)).alias("g")
+        )
+        .select(window_id(F.col("g")).alias("wid"))
+        .distinct()
+    )
+
+
+def redact_spans_with_wids(
+    corpus: DataFrame,
+    bench_wids: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    stride: int = SUBSTR_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild each corpus doc with every token span whose anchored
+    window id appears in ``bench_wids`` removed. Per-doc only (one
+    explode + one broadcast join + a map-side token filter), so it
+    serves batch and per-micro-batch callers identically."""
     t_lower = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
     grams = F.when(
         F.size(t_lower) >= window,
@@ -1226,16 +1269,6 @@ def remove_benchmark_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,wid:long>>"))
-    corpus = _ensure_parallelism(
-        docs.where(F.col(id_col) >= benchmark_max_id).select(id_col, text_col),
-        key=id_col,
-    )
-    bench_wids = (
-        docs.where(F.col(id_col) < benchmark_max_id)
-        .select(F.explode(window_grams(F.col(text_col), window, stride)).alias("g"))
-        .select(window_id(F.col("g")).alias("wid"))
-        .distinct()
-    )
     wins = corpus.select(id_col, F.explode(grams).alias("w")).select(
         id_col, F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid")
     )
@@ -1250,15 +1283,11 @@ def remove_benchmark_spans(
         t_orig,
         lambda x, i: ~F.exists(rm, lambda p: (p <= i) & (i < p + window)),
     )
-    return (
-        docs.where(F.col(id_col) >= benchmark_max_id)
-        .join(removed, id_col, "left")
-        .select(
-            id_col,
-            F.size(t_orig).cast("long").alias("n_tokens"),
-            (F.size(t_orig) - F.size(kept)).cast("long").alias("n_removed_tokens"),
-            F.array_join(kept, " ").alias("cleaned_text"),
-        )
+    return corpus.join(removed, id_col, "left").select(
+        id_col,
+        F.size(t_orig).cast("long").alias("n_tokens"),
+        (F.size(t_orig) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )
 
 

@@ -1599,11 +1599,13 @@ def fuzzy_part_pairs_d2_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/fuzzy.py::cluster_scoped_pairs_d2): resolve entities with
     the CHEAP d1 pass first, collapse each to its canonical (min-id)
     representative, and run the EXPENSIVE depth-2 deletion neighborhood
-    over representatives only — the scale prescription for full-table
-    d2's measured output-quadratic degenerate mode (231M pairs / 1102 s
-    at 1.5M dense sequential keys, PERFORMANCE.md ladder): dense regions
-    are dense BECAUSE they are d1-connected, so they collapse hardest
-    and the quadratic stage never sees them uncollapsed. Output =
+    over representatives only — the scale path for DUPLICATES-dense
+    key spaces, measured on the round-8 ladder at 1.5M keys / 100k typo
+    clusters: 38 s / 87.8k entity links vs 283 s / 46.1M redundant
+    within-cluster pairs for full d2 on the same fixture (the
+    identifier-dense limit where the d1 cap blocks the collapse is
+    measured and documented too — PERFORMANCE.md round-8,
+    SELFREVIEW_r8.md cap-vs-collapse). Output =
     candidate LINKS between d1 entities whose representative names are
     within edit distance 2 — the merges a second resolution round would
     apply (here: the red/new/old–cold adjective families). Cross-cluster

@@ -12,33 +12,29 @@ oldest driver rows.  History: r1 covered the first 50 of 82; r2 the other
 round-3 queries; r4 front-loaded the 24 never-checked round-4 names and
 the value-affecting r4 fixes.
 
-Round-7 window (this file): r6 went 50/50 green; across r1∪…∪r6 all
-171 names are union-green with zero latest-row failures, and the only
-stale records are the 28 r3-latest names that spilled past slot 50
-last round (VERDICT r6 #1).  Tier 0 = the NEW round-7 queries
-(delete-2 FastSS fuzzy blocking + its overflow and total-recall
-audits, rule-based golden-record survivorship, MinHash-banded fuzzy
-benchmark decontamination, the IVF-PQ recall-vs-cost sweep, the
-z-order layout writer's read-back file stats + pruning report, the
-per-decile MinHash-LSH recall audit that closes the last
-family-audit gap, the shard-compaction plan, sorted-neighborhood
-blocking with its measured-recall audit, the key-skew profile, and incremental
-z-order layout maintenance proven ≡ a full rewrite, and the
-multi-pass SN recall comparison, and the compaction checksum
-verifier; the corpus drift report, PSI monitor, train→eval
-split-leakage audit + its quarantine-repair artifact, soft-dedup
-cluster weights, quality-ruled survivorship, the packing
-efficiency report, the embedding-drift PSI monitor, and surgical
-span-level decontamination, also new, wait for round 8's window — see the
-tier-0 comment) — never driver-checked.  Tier 1 = the round-7 VALUE changes:
-dedup_simhash / dedup_simhash_banded / dedup_simhash_recall moved to
-the 60-bit production default (VERDICT r6 #3) and sim_ivfpq_kmeans_
-topk / _recall to the sweep-measured refine=64 default (VERDICT r6
-#8) after their r6 rows were recorded.  Tier 2 = the 28 r3-latest
-names — all replica-verified green on r6 code last round; fresh
-driver rows here retire the backlog entirely, after which every
-name's newest driver row is from round-4 code or later.  49 explicit slots; the one to the
-50 cap falls through to registration order.
+Round-8 window (this file): r7 went 50/50 green and retired the r3
+backlog entirely — across r1∪…∪r7 every name's latest driver row is
+from round-4 code or later.  Tier 0a = the NINE round-7 queries whose
+slots ran out last round (drift/PSI/leakage/weights/survivorship/
+packing/span-decon — the judge replica-verified all nine at both SFs;
+fresh driver rows here reach 196-of-196-era union driver coverage,
+VERDICT r7 #1).  Tier 0b = the NINE new round-8 queries
+(cluster-scoped d2 + its entity-grain recall audit, the phonetic
+blocking family + its degenerate-mode overflow audit, the six-family
+measured recall comparison, the cheap-family blocking union, and the
+decontamination-composed build decisions + manifest).  No tier 1 this
+round: no green query's VALUES changed (the prep/fuzzy/spans oracle
+refactors are pure — replica-verified).  Tier 2 = 32 of the 45
+r4-latest names (now the oldest rows), front-loading
+corpus_prep_decisions (its implementation was refactored for the
+corpus-partition parameterization this round) and the window family
+(the entries the round-8 bench investigation scrutinized); the 13
+deferred r4 names (mixture_sample, embedding_components,
+quantize_int8, random_projection, funnel, windowed_topk,
+lsh_buckets_histogram, bigram_logprob, bpe_pairs, shuffle_shards,
+repetition, activity_gaps, naive_lastweek) spill to round 9 — each
+still has a committed inspectable row at BOTH SFs in REPLICA_r8.json,
+the new per-round artifact.  50 explicit slots exactly.
 """
 
 from __future__ import annotations
@@ -51,69 +47,64 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Round-7 window: see module docstring for the tier rationale.
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0: new round-7 queries (never driver-checked) --------------
-    "fuzzy_customer_pairs_d2",    # depth-2 deletion-neighborhood blocking (r6 #4)
-    "fuzzy_customer_overflow_d2", # stop-variant audit for the d=2 stage
-    "fuzzy_customer_recall_d2",   # total-recall audit on the bounded subset
-    "fuzzy_customer_golden",      # rule-based MDM survivorship + provenance (r6 #6)
-    "text_decontaminate_fuzzy",   # MinHash-banded near-match decontamination (r6 #7)
-    "sim_ivfpq_recall_sweep",     # (nprobe × refine) recall-vs-cost curve (r6 #8)
-    "events_zorder_files",        # z-order WRITER + read-back file stats (r6 #5)
-    "events_zorder_pruning",      # min/max pruning cost of the written layout
-    "dedup_minhash_recall",       # per-decile LSH recall audit (closes the family gap)
-    "corpus_compaction_plan",     # contiguous start-offset shard packing plan
-    "fuzzy_customer_sorted_pairs",  # sorted-neighborhood ER (bounded window·n output)
-    "fuzzy_customer_sn_recall",   # measured sort-locality recall audit
-    "skew_profile_events",        # hot-key diagnosis sizing salted_aggregate
-    "events_zorder_incremental",  # dynamic-overwrite layout maintenance ≡ full rewrite
-    "fuzzy_customer_sn2_recall",  # multi-pass SN recall vs single-pass, measured
-    "corpus_compaction_verify",   # xor-checksum algebra proves the merge plan
-    # (corpus_drift_report / corpus_psi_drift / split_leakage_report /
-    # docs_cluster_weights / text_pack_efficiency /
-    # dedup_quality_survivors / split_leakage_repair / emb_drift_psi /
-    # text_decontaminate_spans, also new, are
-    # deliberately NOT in the window: slots are exactly full and VERDICT
-    # r6 #1 — retiring the 28-name backlog — outranks fresh rows for
-    # queries the replica already proves at both SFs. They lead tier 0
-    # in round 8.)
-    # -- tier 1: round-7 value changes (r6 rows recorded on the old
-    #    defaults) -------------------------------------------------------
-    "dedup_simhash",              # 60-bit default (was 16 when the r6 row was cut)
-    "dedup_simhash_banded",       # same width flip
-    "dedup_simhash_recall",       # recall audit re-pinned at 60 bits
-    "sim_ivfpq_kmeans_topk",      # refine 32 → 64 (sweep-measured default)
-    "sim_ivfpq_kmeans_recall",    # recall audit re-pinned at refine=64
-    # -- tier 2: the 28 r3-latest names (the final rotation backlog) -----
-    "qa_non_negative",
-    "qa_revenue_consistency",
-    "qa_per_sucursal_ranges",
-    "qa_missing_days",
-    "qa_zscore_anomalies",
-    "qa_monthly_sales",
-    "qa_sample_months",
-    "qa_zero_method_flags",
-    "join_broadcast_dims",
-    "join_bigbig_revenue",
-    "join_left_flag",
-    "join_validity_window",
-    "join_validity_window_bucketed",
-    "agg_count_distinct",
-    "dedup_keep_first",
-    "duplicate_detection",
-    "topk_orders",
-    "topk_per_group",
-    "set_except_keys",
-    "union_by_name",
-    "pivot_status_by_priority",
-    "unpivot_measures",
-    "monthly_rollup",
-    "grand_totals_rollup",
-    "horizontal_sum",
-    "value_mode",
-    "stratified_sample",
-    "text_chunk_windows",
-    # Everything after this point has a round-4-or-later driver-green row
-    # on unchanged code and is re-verified replica-green each round.
+    # -- tier 0a: the nine round-7 spillovers (VERDICT r7 #1) ------------
+    "corpus_drift_report",
+    "corpus_psi_drift",
+    "split_leakage_report",
+    "split_leakage_repair",
+    "docs_cluster_weights",
+    "dedup_quality_survivors",
+    "text_pack_efficiency",
+    "emb_drift_psi",
+    "text_decontaminate_spans",
+    # -- tier 0b: new round-8 queries (never driver-checked) -------------
+    "fuzzy_part_pairs_d2_scoped",
+    "fuzzy_part_d2_scoped_recall",
+    "fuzzy_part_phonetic_pairs",
+    "fuzzy_part_phonetic_recall",
+    "fuzzy_phonetic_overflow",
+    "fuzzy_family_recall_compare",
+    "fuzzy_part_pairs_union",
+    "corpus_decon_decisions",
+    "corpus_build_manifest_decon",
+    # -- tier 2: 32 of the 45 r4-latest names (the oldest rows);
+    #    corpus_prep_decisions first (refactored this round), then the
+    #    bench-scrutinized window family ------------------------------
+    "corpus_prep_decisions",
+    "window_rolling_mean",
+    "window_lag_delta",
+    "calendar_zero_fill",
+    "corpus_mixture_plan",
+    "corpus_shard_checksums",
+    "corpus_stats",
+    "dedup_cluster_sizes",
+    "dedup_decisions",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
+    "dedup_minhash_components",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "docs_domain_quota",
+    "docs_quality_pct_rank",
+    "emb_dedup_decisions",
+    "events_mad_anomalies",
+    "events_retention",
+    "events_user_features",
+    "forecast_deposit_schedule",
+    "join_asof_next_purchase",
+    "join_asof_purchase_view",
+    "payments_daily_mart",
+    "sales_by_ticket_mart",
+    "scd2_orders_snapshot",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_topk",
+    "text_decontaminate_bloom",
+    "text_pack_sequences",
+    "text_train_split",
+    # The 13 deferred r4 names (docstring) lead tier 2 in round 9;
+    # everything after this point has a round-4+ driver-green row on
+    # unchanged code and a both-SF row in REPLICA_r8.json.
 )
 
 

@@ -904,6 +904,51 @@ def run_streaming_decontaminate_fuzzy(
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
 
 
+def run_streaming_decontaminate_spans(
+    spark: SparkSession,
+    stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+) -> DataFrame:
+    """Surgical span redaction on arrival — the streaming twin of
+    operators/dedup.py::remove_benchmark_spans (round 8; completes the
+    decontamination family's stream legs next to
+    run_streaming_decontaminate_fuzzy): the benchmark window-id set is
+    built ONCE offline (benchmark-sized), rebuilt per batch session and
+    broadcast into each micro-batch's plan; every incoming document is
+    rebuilt with its benchmark-overlapping token spans removed before it
+    ever lands in the corpus. Redaction is per-doc against a static
+    window-id set, so the union of batch outputs is ≡ the batch
+    operator over the same documents (pinned by test), and the
+    idempotent batch_id sink makes replays exact."""
+    from pos_pipeline_core_etl_spark.operators.dedup import (
+        benchmark_window_ids,
+        redact_spans_with_wids,
+    )
+
+    wids = benchmark_window_ids(benchmark)
+    wid_rows = wids.collect()  # benchmark-sized; rebuilt per batch session
+    wid_schema = wids.schema
+
+    schema = "doc_id long, text string"
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+
+    def redact_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bw = batch_df.sparkSession.createDataFrame(wid_rows, wid_schema)
+        out = redact_spans_with_wids(batch_df.select("doc_id", "text"), bw)
+        write_batch_idempotent(out, batch_id, out_dir)
+
+    q = (
+        raw.writeStream.foreachBatch(redact_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+
+
 def run_streaming_lr_scores(
     spark: SparkSession,
     stream_dir: str,

@@ -748,3 +748,73 @@ class TestStreamingLrScores:
         assert sorted(map(key, got.select(*want.columns).collect())) == sorted(
             map(key, want.collect())
         )
+
+
+class TestStreamingDecontaminateSpans:
+    """Ingest-time span redaction ≡ the batch operator."""
+
+    def test_stream_redaction_equals_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.operators import dedup
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_decontaminate_spans,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        benchmark = docs.where(F.col("doc_id") < 50)
+        corpus = docs.where(F.col("doc_id") >= 50)
+
+        stream_dir = str(tmp_path / "docs")
+        corpus.where(F.col("doc_id") < 300).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        corpus.where(F.col("doc_id") >= 300).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+        got = run_streaming_decontaminate_spans(
+            spark,
+            stream_dir,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            benchmark,
+        )
+        want = dedup.remove_benchmark_spans(docs)
+        key = lambda r: (  # noqa: E731
+            r["doc_id"],
+            r["n_tokens"],
+            r["n_removed_tokens"],
+            r["cleaned_text"],
+        )
+        assert sorted(map(key, got.select(*want.columns).collect())) == sorted(
+            map(key, want.collect())
+        )
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_decontaminate_spans,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        benchmark = docs.where(F.col("doc_id") < 50)
+        stream_dir = str(tmp_path / "docs")
+        docs.where(F.col("doc_id") >= 50).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        first = run_streaming_decontaminate_spans(
+            spark, stream_dir, out, ckpt, benchmark
+        ).count()
+        # replay the SAME input through a fresh checkpoint: the
+        # batch_id-keyed sink overwrites, never duplicates
+        again = run_streaming_decontaminate_spans(
+            spark, stream_dir, out, str(tmp_path / "ckpt2"), benchmark
+        ).count()
+        assert first == again

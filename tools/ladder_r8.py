@@ -69,6 +69,60 @@ def main() -> None:
             flush=True,
         )
 
+    # --- the DUPLICATES-dense fixture (the workload scoped d2 is FOR) --
+    # Sequential ids are 1.5M DISTINCT entities packed tightly in key
+    # space: their quadratic d2 pair count is TRUE output no complete
+    # method can avoid, and the d1 cap excludes exactly the zero-run
+    # mega-buckets that would have connected them (measured above — the
+    # cap-vs-collapse tension recorded in SELFREVIEW_r8.md). Real dedup
+    # density comes from VARIANTS OF THE SAME ENTITY: clusters of typo
+    # variants around well-separated bases. There d1 genuinely collapses
+    # each cluster and the d2 stage sees one rep per entity.
+    def clustered(n_clusters, members=15):
+        base = (F.floor(F.col("id") / members) * 7919) % 10_000_000
+        return spark.range(n_clusters * members).select(
+            F.col("id").alias("c_custkey"),
+            F.format_string(
+                "Customer#%09d", base * 100 + F.col("id") % members
+            ).alias("c_name"),
+        )
+
+    for n_clusters in (10_000, 100_000):
+        df = clustered(n_clusters)
+        sec, rows = _time(
+            lambda: fuzzy.cluster_scoped_pairs_d2(df, "c_custkey", "c_name")
+        )
+        print(
+            json.dumps(
+                {
+                    "leg": "fuzzy_d2_scoped_clustered",
+                    "keys": n_clusters * 15,
+                    "sec": sec,
+                    "pairs": rows,
+                }
+            ),
+            flush=True,
+        )
+    # full-table d2 on the SAME clustered fixture — the composition's
+    # same-fixture comparator (it must emit every within-cluster pair)
+    df = clustered(100_000)
+    sec, rows = _time(
+        lambda: fuzzy.fuzzy_key_pairs(
+            df,
+            "c_custkey",
+            "c_name",
+            max_distance=2,
+            max_bucket_size=fuzzy.FUZZY_D2_MAX_BUCKET,
+        )
+    )
+    print(
+        json.dumps(
+            {"leg": "fuzzy_d2_full_clustered", "keys": 1_500_000, "sec": sec,
+             "pairs": rows}
+        ),
+        flush=True,
+    )
+
     # --- ladder-fixture queries ----------------------------------------
     legs = (
         "fuzzy_part_phonetic_pairs",
