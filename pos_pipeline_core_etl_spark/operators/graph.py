@@ -1,0 +1,151 @@
+"""Graph analytics over relational co-occurrence graphs (round 8;
+LLM-pipeline + ETL extension — no reference analog: the reference joins
+tables, it never derives a graph from them).
+
+Two classic operators a 100 TB pipeline reaches for once entities are
+resolved (connected components live in operators/dedup.py):
+
+- TRIANGLE COUNTING — the clustering-coefficient numerator; integer
+  output, so cross-engine determinism is free.
+- PAGERANK — influence scoring over the co-occurrence graph. Iterative
+  float PageRank is NOT oracle-checkable (per-engine summation order
+  drifts and the error compounds per iteration), so this is FIXED-POINT
+  PageRank: ranks are integer nano-units (scale 1e9), per-node
+  contributions are floor divisions, and sums are exact integer sums —
+  order-free, bit-exact in both engines, the kmeans integer-quantization
+  determinism contract (operators/similarity.py::_kmeans_assignments)
+  applied to graph iteration. The fixed-point values sit within
+  iters × (1/scale + degree rounding) of true float PageRank; what the
+  engine guarantees is that BOTH engines compute the SAME number.
+
+Scale shape: triangle counting is two self-joins on the (src < dst)
+edge list with map-side degree pruning available; PageRank is one keyed
+shuffle per iteration (contributions grouped by destination) over an
+edge list annotated with out-degrees once, lineage cut per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**9
+PAGERANK_DAMPING_PCT = 85  # d = 0.85 as an exact rational
+PAGERANK_ITERS = 10
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges (src < dst): two items
+    are connected iff they appear in the same order. One groupBy(order)
+    + in-row pair expansion (the capped-bucket machinery is not needed:
+    an order's line count is schema-bounded at 7 in TPC-H-shaped data,
+    so per-group pair counts are tiny) + one distinct."""
+    from pos_pipeline_core_etl_spark.operators.dedup import upper_triangle_pairs
+
+    grouped = (
+        lineitem.select(
+            F.col(order_col).alias("g"), F.col(item_col).alias("item")
+        )
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .where(F.size("items") > 1)
+    )
+    pairs = upper_triangle_pairs(
+        ids_col="items",
+        build=lambda x, y: F.struct(x.alias("src"), y.alias("dst")),
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles) for every node of the (src < dst) edge list
+    that participates in at least one triangle. Classic ordered
+    three-way self-join: (a<b) ⋈ (b<c) ⋈ (a<c) enumerates each triangle
+    exactly once; each triangle credits its three corners. Integer
+    output — the determinism-free-by-construction graph statistic."""
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """(node, rank_q): fixed-point PageRank after ``iters`` synchronous
+    iterations over the symmetrized (src < dst) edge list. rank_q is the
+    rank in integer ``1/scale`` units.
+
+    Update rule (all integer, both engines):
+        contrib(u)  = rank_q(u) DIV outdeg(u)
+        rank_q'(v)  = base_q + (damping_pct * Σ_{u→v} contrib(u)) DIV 100
+        base_q      = ((100 - damping_pct) * scale) DIV (100 * n)
+
+    Every node has outdeg >= 1 (the node set IS the edge endpoints of an
+    undirected graph), so there is no dangling mass to redistribute;
+    floor division leaks a deterministic dust of rank mass instead —
+    documented, identical cross-engine. The node count n is a bounded
+    scalar (one count over the node set — graph-dimension-sized, the
+    IVF_MAX_QUERIES class of collect).
+
+    Per iteration: one join of the degree-annotated edge list with the
+    current ranks + one keyed sum by destination; the edge list is
+    checkpointed once, ranks lineage-cut per round (the
+    connected_components loop discipline)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    annotated = sym.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    n = nodes.count()
+    base_q = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = annotated.join(
+            ranks, annotated.src == ranks.node
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_q DIV outdeg").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_q)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0)) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1076,3 +1076,131 @@ ORDER BY s.col
 
 
 QUERIES["profile_lineitem"] = (profile_lineitem, _profile_oracle())
+
+
+# ---------------------------------------------------------------------------
+# graph analytics over the co-purchase graph (round 8 — operators/graph.py)
+
+_GRAPH_PART_BOUND = 2000  # keeps both engines' triangle join dim-bounded
+
+_GRAPH_EDGES_SQL = f"""le AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+  FROM lineitem WHERE l_partkey < {_GRAPH_PART_BOUND}
+),
+edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM le a JOIN le b ON a.g = b.g AND a.item < b.item
+)"""
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") < _GRAPH_PART_BOUND
+    )
+    return graph.copurchase_edges(li)
+
+
+def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (two parts
+    are adjacent iff some order contains both; operators/graph.py).
+    The clustering-coefficient numerator — how clique-ish each item's
+    neighborhood is — via the classic ordered three-way self-join that
+    enumerates every triangle exactly once. Integer output, so the
+    cross-engine check is exact by construction. Bounded to
+    l_partkey < 2000 so the Σ deg² intermediate stays dim-sized in both
+    engines at every SF (the filter pushes to the parquet scan)."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_edges(spark, sf_dir)
+    return (
+        graph.triangle_counts(edges)
+        .select(F.col("node").cast("long").alias("node"), "n_triangles")
+        .orderBy("node")
+    )
+
+
+GRAPH_PART_TRIANGLES_SQL = f"""
+WITH {_GRAPH_EDGES_SQL},
+tris AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (SELECT unnest([a, b, c]) AS node FROM tris)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+QUERIES["graph_part_triangles"] = (graph_part_triangles, GRAPH_PART_TRIANGLES_SQL)
+
+
+def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the co-purchase graph
+    (operators/graph.py::pagerank_fixedpoint): item influence scores
+    after 10 synchronous iterations, ranks in integer nano-units.
+    Iterative float PageRank cannot be oracle-checked (summation-order
+    drift compounds per iteration); the fixed-point form makes every
+    iteration exact integer algebra — floor-division contributions,
+    order-free integer sums — so both engines compute bit-identical
+    ranks (the kmeans integer-quantization determinism contract applied
+    to graph iteration). The oracle unrolls the 10 iterations as a
+    plain CTE chain (recursive terms cannot aggregate in standard
+    SQL)."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_edges(spark, sf_dir)
+    ranks = graph.pagerank_fixedpoint(edges)
+    return ranks.select(
+        F.col("node").cast("long").alias("node"), "rank_q"
+    ).orderBy("node")
+
+
+def _graph_pagerank_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    d = PAGERANK_DAMPING_PCT
+    ctes = [
+        f"""sym AS (SELECT src, dst FROM edges
+       UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+basec AS (
+  SELECT (({100 - d}) * CAST({PAGERANK_SCALE} AS BIGINT)) // (100 * count(*))
+           AS b,
+         CAST({PAGERANK_SCALE} AS BIGINT) // count(*) AS r_init
+  FROM nodes
+),
+rk0 AS (SELECT node, r_init AS rank_q FROM nodes, basec)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(
+            f"""rk{i} AS (
+  SELECT n.node, bc.b + ({d} * COALESCE(s.s, 0)) // 100 AS rank_q
+  FROM nodes n CROSS JOIN basec bc
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // dg.outdeg) AS s
+    FROM sym e
+    JOIN rk{i - 1} r ON r.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {_GRAPH_EDGES_SQL},
+{chain}
+SELECT CAST(node AS BIGINT) AS node, CAST(rank_q AS BIGINT) AS rank_q
+FROM rk{PAGERANK_ITERS} ORDER BY node
+"""
+
+
+QUERIES["graph_part_pagerank"] = (graph_part_pagerank, _graph_pagerank_oracle())

@@ -18,13 +18,15 @@ from round-4 code or later.  Tier 0a = the NINE round-7 queries whose
 slots ran out last round (drift/PSI/leakage/weights/survivorship/
 packing/span-decon — the judge replica-verified all nine at both SFs;
 fresh driver rows here reach 196-of-196-era union driver coverage,
-VERDICT r7 #1).  Tier 0b = the NINE new round-8 queries
+VERDICT r7 #1).  Tier 0b = the ELEVEN new round-8 queries
 (cluster-scoped d2 + its entity-grain recall audit, the phonetic
 blocking family + its degenerate-mode overflow audit, the six-family
-measured recall comparison, the cheap-family blocking union, and the
-decontamination-composed build decisions + manifest).  No tier 1 this
+measured recall comparison, the cheap-family blocking union, the
+decontamination-composed build decisions + manifest, and the
+co-purchase graph analytics pair — exact triangle counts and
+fixed-point integer PageRank).  No tier 1 this
 round: no green query's VALUES changed (the prep/fuzzy/spans oracle
-refactors are pure — replica-verified).  Tier 2 = 32 of the 45
+refactors are pure — replica-verified).  Tier 2 = 30 of the 45
 r4-latest names (now the oldest rows), front-loading
 corpus_prep_decisions (its implementation was refactored for the
 corpus-partition parameterization this round) and the window family
@@ -67,7 +69,9 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_part_pairs_union",
     "corpus_decon_decisions",
     "corpus_build_manifest_decon",
-    # -- tier 2: 32 of the 45 r4-latest names (the oldest rows);
+    "graph_part_triangles",
+    "graph_part_pagerank",
+    # -- tier 2: 30 of the 45 r4-latest names (the oldest rows);
     #    corpus_prep_decisions first (refactored this round), then the
     #    bench-scrutinized window family ------------------------------
     "corpus_prep_decisions",
@@ -100,9 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_lsh_bucket_topk",
     "text_decontaminate_bloom",
-    "text_pack_sequences",
-    "text_train_split",
-    # The 13 deferred r4 names (docstring) lead tier 2 in round 9;
+    # The 15 deferred r4 names (docstring) lead tier 2 in round 9;
     # everything after this point has a round-4+ driver-green row on
     # unchanged code and a both-SF row in REPLICA_r8.json.
 )

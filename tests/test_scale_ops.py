@@ -3372,3 +3372,59 @@ class TestUnionBlocking:
         ):
             got = {(r.id_a, r.id_b) for r in leg.collect()}
             assert got <= union
+
+
+class TestGraphOps:
+    """Co-occurrence graph analytics (operators/graph.py r8)."""
+
+    def test_copurchase_edges_from_orders(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        li = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 40), (3, 40)],
+            "l_orderkey long, l_partkey long",
+        )
+        got = {(r.src, r.dst) for r in graph.copurchase_edges(li).collect()}
+        # order 1 yields the 10-20-30 triangle edges; order 2 repeats
+        # (10, 20) which must dedupe; order 3 has one distinct item ->
+        # no edge
+        assert got == {(10, 20), (10, 30), (20, 30)}
+
+    def test_triangle_counts_k4(self, spark):
+        from itertools import combinations
+
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            list(combinations([1, 2, 3, 4], 2)), "src long, dst long"
+        )
+        got = {r.node: r.n_triangles for r in
+               graph.triangle_counts(edges).collect()}
+        # K4 has C(3,2)=3 triangles through every node
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_pagerank_cycle_is_uniform(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        # undirected 4-cycle: symmetric structure -> equal ranks, and
+        # total mass stays within the documented floor-division dust
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+        )
+        got = {r.node: r.rank_q for r in
+               graph.pagerank_fixedpoint(edges).collect()}
+        assert len(set(got.values())) == 1
+        total = sum(got.values())
+        assert graph.PAGERANK_SCALE * 0.999 <= total <= graph.PAGERANK_SCALE
+
+    def test_pagerank_star_center_dominates(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 9)], "src long, dst long"
+        )
+        got = {r.node: r.rank_q for r in
+               graph.pagerank_fixedpoint(edges).collect()}
+        leaves = {v for k, v in got.items() if k != 0}
+        assert len(leaves) == 1  # symmetric leaves tie exactly
+        assert got[0] > 5 * leaves.pop()
