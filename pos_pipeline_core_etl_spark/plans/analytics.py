@@ -1204,3 +1204,127 @@ FROM rk{PAGERANK_ITERS} ORDER BY node
 
 
 QUERIES["graph_part_pagerank"] = (graph_part_pagerank, _graph_pagerank_oracle())
+
+
+def graph_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase
+    graph: triangles(v) / C(deg(v), 2) — how close each item's
+    neighborhood is to a clique, the standard local graph statistic
+    built from the two exact pieces this engine already ships (triangle
+    counts + symmetric degrees). Nodes with degree < 2 have no possible
+    wedge and are emitted with coefficient 0 by convention (documented;
+    both engines agree). hround(6) on the single final ratio — the
+    numerator and denominator are exact integers, so there is no
+    accumulated-float risk."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tris = graph.triangle_counts(edges).withColumnRenamed("node", "src")
+    wedges = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+    return (
+        deg.join(tris, "src", "left")
+        .select(
+            F.col("src").cast("long").alias("node"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            hround(
+                F.when(
+                    F.col("deg") >= 2,
+                    F.coalesce("n_triangles", F.lit(0)) / wedges,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy("node")
+    )
+
+
+def _graph_clustering_oracle() -> str:
+    ratio = hround_sql(
+        "CASE WHEN deg >= 2 THEN COALESCE(n_triangles, 0) "
+        "/ CAST(deg * (deg - 1) // 2 AS BIGINT) ELSE 0.0 END",
+        6,
+    )
+    return f"""
+WITH {_GRAPH_EDGES_SQL},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+tris AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tcounts AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM tris)
+  GROUP BY node
+)
+SELECT CAST(d.src AS BIGINT) AS node,
+       CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       {ratio} AS clustering
+FROM deg d LEFT JOIN tcounts t ON t.node = d.src
+ORDER BY node
+"""
+
+
+QUERIES["graph_part_clustering"] = (graph_part_clustering, _graph_clustering_oracle())
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    estimate): for every (from_type, to_type) pair, the count of
+    consecutive same-user transitions and its probability among the
+    from-type's outgoing transitions — the session-flow statistic
+    behind funnel design and next-action models. One lag window per
+    user (ts, event_id tiebreak — same ordering contract as
+    user_activity_gaps) + one keyed agg + one from-type window for the
+    denominator; probability rounds once at the end (counts are exact
+    integers)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.withColumn(
+        "next_type", F.lead("event_type", 1).over(w)
+    ).where(F.col("next_type").isNotNull())
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        hround(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+EVENTS_TRANSITION_MATRIX_SQL = f"""
+WITH steps AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       {hround_sql("n / SUM(n) OVER (PARTITION BY from_type)", 6)} AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+QUERIES["events_transition_matrix"] = (
+    events_transition_matrix,
+    EVENTS_TRANSITION_MATRIX_SQL,
+)

@@ -18,16 +18,17 @@ from round-4 code or later.  Tier 0a = the NINE round-7 queries whose
 slots ran out last round (drift/PSI/leakage/weights/survivorship/
 packing/span-decon — the judge replica-verified all nine at both SFs;
 fresh driver rows here reach 196-of-196-era union driver coverage,
-VERDICT r7 #1).  Tier 0b = the ELEVEN new round-8 queries
+VERDICT r7 #1).  Tier 0b = the THIRTEEN new round-8 queries
 (cluster-scoped d2 + its entity-grain recall audit, the phonetic
 blocking family + its degenerate-mode overflow audit, the six-family
 measured recall comparison, the cheap-family blocking union, the
 decontamination-composed build decisions + manifest, and the
-co-purchase graph analytics pair — exact triangle counts and
-fixed-point integer PageRank).  No tier 1 this
+co-purchase graph analytics — exact triangle counts, fixed-point
+integer PageRank, local clustering coefficients — and the per-user
+event-type transition matrix).  No tier 1 this
 round: no green query's VALUES changed (the prep/fuzzy/spans oracle
-refactors are pure — replica-verified).  Tier 2 = 30 of the 45
-r4-latest names (now the oldest rows), front-loading
+refactors are pure — replica-verified).  Tier 2 = 28 of the 45
+r4-latest names (exactly filling the 50 explicit slots) (now the oldest rows), front-loading
 corpus_prep_decisions (its implementation was refactored for the
 corpus-partition parameterization this round) and the window family
 (the entries the round-8 bench investigation scrutinized); the 13
@@ -71,7 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_build_manifest_decon",
     "graph_part_triangles",
     "graph_part_pagerank",
-    # -- tier 2: 30 of the 45 r4-latest names (the oldest rows);
+    "graph_part_clustering",
+    "events_transition_matrix",
+    # -- tier 2: 28 of the 45 r4-latest names (the oldest rows);
     #    corpus_prep_decisions first (refactored this round), then the
     #    bench-scrutinized window family ------------------------------
     "corpus_prep_decisions",
@@ -102,9 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_orders_snapshot",
     "sim_cosine_topk",
     "sim_ivf_topk",
-    "sim_lsh_bucket_topk",
-    "text_decontaminate_bloom",
-    # The 15 deferred r4 names (docstring) lead tier 2 in round 9;
+    # The 17 deferred r4 names (docstring) lead tier 2 in round 9;
     # everything after this point has a round-4+ driver-green row on
     # unchanged code and a both-SF row in REPLICA_r8.json.
 )

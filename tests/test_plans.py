@@ -376,3 +376,60 @@ class TestRound6PlanShapes:
         # join of the key table against itself without an equi key
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound8PlanShapes:
+    def _plan(self, df):
+        return _plan(df)
+
+    def test_graph_bound_pushes_to_scan(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            graph_part_triangles,
+        )
+
+        plan = self._plan(graph_part_triangles(spark, "/root/testdata/sf0.001"))
+        # the dim bound must reach the parquet scan, and the triangle
+        # join is equi-keyed — never a nested-loop over the edge list
+        assert "PushedFilters" in plan and "2000" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_phonetic_blocking_is_keyed(self, spark):
+        from pos_pipeline_core_etl_spark.operators import fuzzy
+
+        df = spark.createDataFrame(
+            [(i, f"name{i} bolt") for i in range(30)], "id long, k string"
+        )
+        plan = self._plan(fuzzy.phonetic_pairs(df, "id", "k"))
+        # one keyed groupBy on the phonetic code + in-bucket expansion;
+        # no self-join without an equi key, no explode of variants at all
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_decon_manifest_broadcasts_benchmark_sides(self, spark):
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            corpus_build_manifest_decon,
+        )
+
+        plan = self._plan(
+            corpus_build_manifest_decon(spark, "/root/testdata/sf0.001")
+        )
+        # the fuzzy leg probes BROADCAST benchmark band buckets and the
+        # span leg joins a BROADCAST window-id set: the corpus must
+        # never appear on the build side of a benchmark join, and no
+        # corpus x corpus leg exists
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_pagerank_iteration_is_checkpointed(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+        )
+        ranks = graph.pagerank_fixedpoint(edges, iters=10)
+        # per-iteration lineage cut: the final plan must NOT contain the
+        # full 10-iteration join tree (a plan that kept every round
+        # would blow past thousands of nodes at real iteration counts)
+        plan = self._plan(ranks)
+        assert plan.count("HashAggregate") <= 12

@@ -129,6 +129,8 @@ def main() -> None:
         "fuzzy_part_pairs_d2_scoped",
         "corpus_decon_decisions",
         "corpus_build_manifest_decon",
+        "graph_part_triangles",
+        "graph_part_pagerank",
     )
     for leg in legs:
         qs[leg](spark, "/root/testdata/sf0.001").count()  # warm
