@@ -142,6 +142,99 @@ def run_streaming_stateful_counters(
     )
 
 
+def run_streaming_transition_matrix(
+    spark: SparkSession,
+    stream_dir: str,
+    query_name: str = "events_transitions_out",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Stateful streaming twin of
+    plans/analytics.py::events_transition_matrix — and the leg that
+    actually NEEDS state: a user's consecutive events straddle
+    micro-batch boundaries, so the stateless union-of-batches trick the
+    other twins use would DROP every cross-batch transition. State per
+    user (via ``applyInPandasWithState``) = the last seen (ts, event_id,
+    event_type); each micro-batch sorts the user's new rows by the batch
+    ordering contract (ts, event_id), chains them onto the carried last
+    event, emits the new (from_type, to_type) transition rows, and
+    advances the state. The memory sink appends per-batch emissions;
+    the caller aggregates them into the (from_type, to_type, n, p)
+    matrix — proven ≡ the batch query, independent of how the input is
+    chunked (boundary-invariance is the test).
+
+    100 TB shape: state is one tiny row per user, partitioned by the
+    stream's user_id grouping; each batch shuffles only its own rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        types = rows["event_type"].tolist()
+        if state.exists:
+            _ts, _eid, last_type = state.get
+            chain = [last_type, *types]
+        else:
+            chain = types
+        last = rows.iloc[-1]
+        state.update(
+            (int(last["ts"]), int(last["event_id"]), str(last["event_type"]))
+        )
+        if len(chain) > 1:
+            yield pd.DataFrame(
+                {"from_type": chain[:-1], "to_type": chain[1:]}
+            )
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+    # state rows must round-trip through Arrow: carry ts as epoch micros
+    # (unix_micros, NOT a double cast — a seconds-truncating cast would
+    # break the (ts, event_id) tie-order contract vs the batch query)
+    stream = raw.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="from_type string, to_type string",
+        stateStructType="ts long, event_id long, event_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    counts = (
+        spark.sql(f"SELECT * FROM {query_name}")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        hround(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
 def write_batch_idempotent(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     """Idempotent micro-batch writer: the target directory is a pure
     function of ``batch_id``, and the write is ``overwrite``. foreachBatch

@@ -818,3 +818,71 @@ class TestStreamingDecontaminateSpans:
             spark, stream_dir, out, str(tmp_path / "ckpt2"), benchmark
         ).count()
         assert first == again
+
+
+class TestStreamingTransitionMatrix:
+    """Stateful transition counting ≡ the batch query — the leg where
+    state is LOAD-BEARING: a user's consecutive events straddle batch
+    boundaries, so dropping state drops cross-batch transitions."""
+
+    def _write_chunks(self, spark, tmp_path, n_chunks):
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        cuts = (
+            events.select(
+                F.percentile_approx(
+                    "ts", [i / n_chunks for i in range(1, n_chunks)], 10000
+                ).alias("c")
+            ).collect()[0]["c"]
+            if n_chunks > 1
+            else []
+        )
+        stream_dir = str(tmp_path / f"docs{n_chunks}")
+        bounds = [None, *cuts, None]
+        for i in range(n_chunks):
+            part = events
+            if bounds[i] is not None:
+                part = part.where(F.col("ts") > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.where(F.col("ts") <= bounds[i + 1])
+            part.coalesce(1).write.mode("append").parquet(stream_dir)
+            _t.sleep(1.1)  # distinct mtimes: the file source processes
+            # files oldest-first, so chunk order == event-time order
+        return stream_dir
+
+    def test_stream_equals_batch_across_boundaries(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            events_transition_matrix,
+        )
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_transition_matrix,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, 3)
+        got = run_streaming_transition_matrix(
+            spark, stream_dir, query_name="trans_eq"
+        )
+        want = events_transition_matrix(spark, "/root/testdata/sf0.001")
+        key = lambda r: (r["from_type"], r["to_type"], r["n"], r["p"])  # noqa: E731
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, want.collect())
+        )
+
+    def test_chunking_is_boundary_invariant(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_transition_matrix,
+        )
+
+        one = run_streaming_transition_matrix(
+            spark, self._write_chunks(spark, tmp_path, 1), query_name="trans_1"
+        )
+        four = run_streaming_transition_matrix(
+            spark, self._write_chunks(spark, tmp_path, 4), query_name="trans_4"
+        )
+        key = lambda r: (r["from_type"], r["to_type"], r["n"])  # noqa: E731
+        assert sorted(map(key, one.collect())) == sorted(
+            map(key, four.collect())
+        )
