@@ -123,6 +123,11 @@ def pagerank_fixedpoint(
     annotated = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # an empty edge list must yield an empty rank table, not a
+        # ZeroDivisionError in the base-term arithmetic (second-pass
+        # re-read, SELFREVIEW_r8)
+        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
     base_q = ((100 - damping_pct) * scale) // (100 * n)
     ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
     for _ in range(iters):

@@ -3428,3 +3428,9 @@ class TestGraphOps:
         leaves = {v for k, v in got.items() if k != 0}
         assert len(leaves) == 1  # symmetric leaves tie exactly
         assert got[0] > 5 * leaves.pop()
+
+    def test_pagerank_empty_edges(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert graph.pagerank_fixedpoint(empty).collect() == []
