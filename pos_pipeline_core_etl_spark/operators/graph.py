@@ -110,6 +110,21 @@ def pagerank_fixedpoint(
     connected_components loop discipline)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    annotated, nodes, n = _pagerank_setup(edges)
+    if n == 0:
+        # an empty edge list must yield an empty rank table, not a
+        # ZeroDivisionError in the base-term arithmetic (second-pass
+        # re-read, SELFREVIEW_r8)
+        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
+    ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        ranks = _pagerank_step(annotated, nodes, ranks, n, damping_pct, scale)
+    return ranks
+
+
+def _pagerank_setup(edges: DataFrame):
+    """Shared iteration setup: symmetrized + degree-annotated edge list
+    (checkpointed once), the node set, and its bounded count."""
     sym = (
         edges.select("src", "dst")
         .unionByName(
@@ -122,35 +137,76 @@ def pagerank_fixedpoint(
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     annotated = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
-    n = nodes.count()
-    if n == 0:
-        # an empty edge list must yield an empty rank table, not a
-        # ZeroDivisionError in the base-term arithmetic (second-pass
-        # re-read, SELFREVIEW_r8)
-        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
+    return annotated, nodes, nodes.count()
+
+
+def _pagerank_step(
+    annotated: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping_pct: int,
+    scale: int,
+) -> DataFrame:
+    """ONE synchronous fixed-point iteration (see update rule above)."""
     base_q = ((100 - damping_pct) * scale) // (100 * n)
-    ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
-    for _ in range(iters):
-        contrib = annotated.join(
-            ranks, annotated.src == ranks.node
-        ).select(
-            F.col("dst").alias("node"),
-            F.expr("rank_q DIV outdeg").alias("c"),
-        )
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_q)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, 0)) DIV 100"
-                    )
-                )
-                .cast("long")
-                .alias("rank_q"),
+    contrib = annotated.join(ranks, annotated.src == ranks.node).select(
+        F.col("dst").alias("node"),
+        F.expr("rank_q DIV outdeg").alias("c"),
+    )
+    sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+    return (
+        nodes.join(sums, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(base_q)
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
             )
-            .localCheckpoint(eager=False)
+            .cast("long")
+            .alias("rank_q"),
         )
-    return ranks
+        .localCheckpoint(eager=False)
+    )
+
+
+def pagerank_l1_trajectory(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """(iter, l1_delta_q): the L1 distance (in rank nano-units) between
+    successive fixed-point iterates — the standing CONVERGENCE AUDIT for
+    the PageRank loop. Fixed iteration counts without a convergence
+    check are an act of faith; this audit makes the trajectory a
+    first-class, exactly-checkable artifact (all quantities integers, so
+    the cross-engine comparison is exact). A healthy damped walk
+    contracts geometrically (factor ≈ damping); a regression in the
+    update rule — wrong degree join, dropped base term, oscillation —
+    shows up as a non-shrinking tail. Same per-iteration cost as the
+    rank loop plus one tiny join + agg per step."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    annotated, nodes, n = _pagerank_setup(edges)
+    if n == 0:
+        return nodes.sparkSession.createDataFrame(
+            [], "iter long, l1_delta_q long"
+        )
+    ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
+    out = None
+    for i in range(1, iters + 1):
+        nxt = _pagerank_step(annotated, nodes, ranks, n, damping_pct, scale)
+        delta = (
+            ranks.select("node", F.col("rank_q").alias("prev_q"))
+            .join(nxt, "node")
+            .agg(
+                F.lit(i).cast("long").alias("iter"),
+                F.sum(F.abs(F.col("rank_q") - F.col("prev_q")))
+                .cast("long")
+                .alias("l1_delta_q"),
+            )
+        )
+        out = delta if out is None else out.unionByName(delta)
+        ranks = nxt
+    return out

@@ -1328,3 +1328,45 @@ QUERIES["events_transition_matrix"] = (
     events_transition_matrix,
     EVENTS_TRANSITION_MATRIX_SQL,
 )
+
+
+def graph_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing convergence audit for the PageRank loop
+    (operators/graph.py::pagerank_l1_trajectory): per iteration, the L1
+    distance in rank nano-units between successive fixed-point
+    iterates. A fixed iteration count without a trajectory is an act of
+    faith; here a damped-walk regression (wrong degree join, dropped
+    base term, oscillation) shows up as a non-shrinking tail, and since
+    every quantity is an integer the oracle comparison is exact. NOTE:
+    registered this round but deliberately OUTSIDE the full round-8
+    driver window (slots exactly full); it leads tier 0 in round 9 —
+    the r7-spillover precedent — and carries REPLICA_r8.json rows at
+    both SFs meanwhile."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_edges(spark, sf_dir)
+    return graph.pagerank_l1_trajectory(edges).orderBy("iter")
+
+
+def _graph_convergence_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.graph import PAGERANK_ITERS
+
+    pr = _graph_pagerank_oracle()
+    # reuse the unrolled rk0..rkN chain from the pagerank oracle: strip
+    # its final SELECT and aggregate successive deltas instead
+    chain = pr[: pr.rindex("SELECT CAST(node AS BIGINT)")]
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({i} AS BIGINT) AS iter,
+       CAST(sum(abs(a.rank_q - b.rank_q)) AS BIGINT) AS l1_delta_q
+FROM rk{i} a JOIN rk{i - 1} b ON b.node = a.node"""
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    return f"""{chain}{legs}
+ORDER BY iter
+"""
+
+
+QUERIES["graph_pagerank_convergence"] = (
+    graph_pagerank_convergence,
+    _graph_convergence_oracle(),
+)

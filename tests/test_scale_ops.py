@@ -3434,3 +3434,34 @@ class TestGraphOps:
 
         empty = spark.createDataFrame([], "src long, dst long")
         assert graph.pagerank_fixedpoint(empty).collect() == []
+
+    def test_pagerank_trajectory_contracts(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        # two K4 components: damped walk from uniform init contracts
+        # geometrically toward the (symmetric) stationary point
+        from itertools import combinations
+
+        edges = spark.createDataFrame(
+            list(combinations([1, 2, 3, 4], 2))
+            + list(combinations([11, 12, 13, 14], 2)),
+            "src long, dst long",
+        )
+        traj = {r.iter: r.l1_delta_q for r in
+                graph.pagerank_l1_trajectory(edges, iters=5).collect()}
+        # symmetric graph from uniform init: ALREADY at the fixed point
+        # (up to integer dust) — every delta is at the quantization floor
+        assert all(v <= 8 * 100 for v in traj.values())
+        # a star is NOT uniform: mass sloshes center<->leaves with
+        # per-step contraction = damping (0.85), so the geometric
+        # shrink needs enough iterations to dominate the slosh
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 9)], "src long, dst long"
+        )
+        straj = [r.l1_delta_q for r in
+                 graph.pagerank_l1_trajectory(star, iters=24)
+                 .orderBy("iter").collect()]
+        assert straj[0] > 10 * max(straj[-1], 1)
+        # and the contraction is roughly geometric: every 8 steps the
+        # delta drops by clearly more than 0.85^8 would allow doubt of
+        assert straj[8] < straj[0] and straj[16] < straj[8]
