@@ -256,10 +256,25 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "reps": reps,
-        "rep_spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # The driver records only the LAST 2000 chars of stdout (BENCH_r07/
+    # r08 both came back "parsed": null because rep_spread pushed the
+    # JSON line past the window and the head was cut).  Keep the final
+    # stdout line bounded: spread goes to a side file, the compact
+    # medians line is printed LAST (VERDICT r8 #6).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"),
+        "w",
+    ) as f:
+        json.dump({**out, "rep_spread": spread}, f, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # never let the parseable line outgrow the window
+        slim = dict(out)
+        slim["queries"] = {k: v for k, v in sorted(timings.items())[:40]}
+        slim["queries_truncated"] = len(timings) - len(slim["queries"])
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

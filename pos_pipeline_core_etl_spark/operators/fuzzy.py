@@ -441,7 +441,7 @@ def cluster_scoped_pairs_d2(
     - A CROSS-cluster pair (x in A, y in B) with lev(x, y) <= 2 is found
       only if the REPRESENTATIVES are within distance 2; when the
       closest members are not the representatives, the link is lost.
-      ``fuzzy_customer_d2_scoped_recall`` MEASURES this loss against
+      ``fuzzy_part_d2_scoped_recall`` MEASURES this loss against
       brute-force entity-grain truth instead of asserting totality —
       the honest-recall discipline of the SN family.
     - A side effect in the other direction: rep pairs at distance <= 1

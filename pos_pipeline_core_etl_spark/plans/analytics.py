@@ -197,18 +197,26 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) %
 
 def branch_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive substring matching + exclusion set
-    (transfers/core.py:133-140, CEDIS exclusion analog)."""
+    (transfers/core.py:133-140, CEDIS exclusion analog). The original
+    pattern ('an', excluding JAPAN/JORDAN) assumed real TPC-H nation
+    names; the synthetic tables use NATION_<n>, so it matched nothing
+    at every SF — a standing 0-row green (VERDICT r8 #2). The pattern
+    now matches the data ('tion_1' → NATION_1, NATION_10..19) with a
+    two-name exclusion set, exercising the same contains + NOT IN
+    shape non-vacuously (9 rows at every SF — nation is always 25
+    rows)."""
     nation = load_table(spark, sf_dir, "nation")
     return nation.where(
-        F.lower(F.col("n_name")).contains("an")
-        & ~F.col("n_name").isin("JAPAN", "JORDAN")
+        F.lower(F.col("n_name")).contains("tion_1")
+        & ~F.col("n_name").isin("NATION_1", "NATION_12")
     ).select("n_nationkey", "n_name")
 
 
 BRANCH_SUBSTRING_FILTER_SQL = """
 SELECT n_nationkey, n_name
 FROM nation
-WHERE lower(n_name) LIKE '%an%' AND n_name NOT IN ('JAPAN', 'JORDAN')
+WHERE lower(n_name) LIKE '%tion\\_1%' ESCAPE '\\'
+  AND n_name NOT IN ('NATION_1', 'NATION_12')
 """
 
 

@@ -476,8 +476,16 @@ FROM fp GROUP BY fp
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard verify over a bounded doc subset.
+    max_doc_id=310 (was 100 through round 8): the synthetic corpus's
+    near-dup pairs all straddle the old boundary (highest-J pair below
+    100 scores 0.03), so the query was a standing 0-row green — oracle
+    agreement at zero rows proves both engines agree there is nothing
+    to find, not that they'd agree when there is (VERDICT r8 #2). At
+    310 the subset contains real ≥0.98-Jaccard pairs at both SFs and
+    the bound still caps the O(n²) leg for both engines."""
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_doc_id=100
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_doc_id=310
     )
 
 
@@ -485,7 +493,7 @@ def _ngram_jaccard_oracle() -> str:
     sh = dedup.shingles_sql("text")
     return f"""
 WITH sh AS (
-  SELECT doc_id, {sh} AS s FROM documents WHERE doc_id < 100
+  SELECT doc_id, {sh} AS s FROM documents WHERE doc_id < 310
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        {hround_sql(

@@ -194,11 +194,26 @@ def run_streaming_transition_matrix(
         .parquet(stream_dir)
     )
     # state rows must round-trip through Arrow: carry ts as epoch micros
-    # (unix_micros, NOT a double cast — a seconds-truncating cast would
-    # break the (ts, event_id) tie-order contract vs the batch query)
+    # derived ARITHMETICALLY from the ntz wall-clock fields (ADVICE r8):
+    # unix_micros(ts.cast('timestamp')) routes TIMESTAMP_NTZ through the
+    # session timezone, and during a DST spring-forward gap that cast is
+    # non-injective — two distinct ntz values can collapse to equal
+    # micros, diverging from the batch query's pure ntz ordering.  (The
+    # obvious to_utc_timestamp fix does NOT help: the analyzer inserts
+    # the same session-tz cast first.)  unix_date(date), hour, minute
+    # and date_part('SECOND', …) on an ntz column are wall-clock pure,
+    # so this maps ntz → micros-as-if-UTC, order-isomorphic to ntz.
+    # (Not a double cast either — seconds truncation would break the
+    # (ts, event_id) tie-order contract vs the batch query.)
+    ntz_micros = (
+        F.unix_date(F.col("ts").cast("date")) * F.lit(86_400_000_000)
+        + F.hour("ts").cast("long") * F.lit(3_600_000_000)
+        + F.minute("ts").cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), F.col("ts")) * F.lit(1_000_000)).cast("long")
+    )
     stream = raw.select(
         "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        ntz_micros.alias("ts"),
         "user_id",
         "event_type",
     )

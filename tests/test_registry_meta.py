@@ -238,7 +238,15 @@ def test_replica_artifact_covers_registry_and_is_green():
     import os
 
     root = os.path.dirname(os.path.dirname(__file__))
-    arts = sorted(glob.glob(os.path.join(root, "REPLICA_r*.json")))
+    # Sort numerically on the round suffix (ADVICE r8): lexicographic
+    # sort would put REPLICA_r10.json before REPLICA_r8.json and keep
+    # validating a stale artifact from round 10 onward.
+    import re
+
+    arts = sorted(
+        glob.glob(os.path.join(root, "REPLICA_r*.json")),
+        key=lambda p: int(re.search(r"REPLICA_r(\d+)", p).group(1)),
+    )
     if not arts:
         import pytest
 

@@ -3465,3 +3465,69 @@ class TestGraphOps:
         # and the contraction is roughly geometric: every 8 steps the
         # delta drops by clearly more than 0.85^8 would allow doubt of
         assert straj[8] < straj[0] and straj[16] < straj[8]
+
+
+class TestDeVacuizedGreens:
+    """Constructed non-empty fixtures for the three standing 0-row
+    greens (VERDICT r8 #2): oracle agreement at zero rows proves both
+    engines agree there is nothing to find, not that they would agree
+    when there is. Each test forces specific non-empty output through
+    the SAME code path the registry query runs (the model is
+    test_banded_overflow_report_catches_collapse above)."""
+
+    def test_check_duplicates_flags_duplicated_day(self, spark):
+        from pos_pipeline_core_etl_spark.operators.qa import check_duplicates
+
+        rows = [
+            ("A", dt.date(2024, 1, 1)),
+            ("A", dt.date(2024, 1, 1)),  # the injected duplicated day
+            ("A", dt.date(2024, 1, 2)),
+            ("B", dt.date(2024, 1, 1)),
+        ]
+        mart = spark.createDataFrame(rows, "sucursal string, fecha date")
+        got = check_duplicates(mart).collect()
+        assert len(got) == 1
+        assert (got[0]["sucursal"], got[0]["fecha"], got[0]["n"]) == (
+            "A",
+            dt.date(2024, 1, 1),
+            2,
+        )
+        # and a duplicate-free mart stays empty through the same path
+        clean = spark.createDataFrame(rows[1:], "sucursal string, fecha date")
+        assert check_duplicates(clean).count() == 0
+
+    def test_ngram_jaccard_pairs_emits_near_dup(self, spark):
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " today"),  # near-dup: one appended token
+                (3, "completely unrelated text about spark physical plans"),
+            ],
+            "doc_id long, text string",
+        )
+        got = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+        assert got[0]["jaccard"] >= 0.5
+        # the max_doc_id bound both caps the O(n^2) leg and excludes:
+        # bounding below the near-dup's id must empty the result
+        assert ngram_jaccard_pairs(docs, threshold=0.5, max_doc_id=2).count() == 0
+
+    def test_branch_substring_filter_non_vacuous_on_real_nation(self, spark):
+        """The registry query itself (not just the operator shape):
+        after the round-9 re-pattern it must match real rows at every
+        SF — nation is always the same 25 synthetic names."""
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            branch_substring_filter,
+        )
+
+        got = branch_substring_filter(spark, "/root/testdata/sf0.001")
+        names = sorted(r.n_name for r in got.collect())
+        assert names == [f"NATION_1{d}" for d in "01345678 9".replace(" ", "")]
+        # exclusion set is load-bearing: NATION_1 and NATION_12 match
+        # the substring but are filtered out
+        assert "NATION_1" not in names and "NATION_12" not in names
