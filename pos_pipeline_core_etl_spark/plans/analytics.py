@@ -1091,11 +1091,15 @@ QUERIES["profile_lineitem"] = (profile_lineitem, _profile_oracle())
 
 _GRAPH_PART_BOUND = 2000  # keeps both engines' triangle join dim-bounded
 
-_GRAPH_EDGES_SQL = f"""le AS (
+# MATERIALIZED: the unrolled pagerank oracles reference these CTEs
+# once per iteration level; without the hint DuckDB 1.0 re-inlines the
+# lineitem self-join at every reference and the 16-level tol oracle
+# goes super-linear (observed: minutes instead of seconds).
+_GRAPH_EDGES_SQL = f"""le AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS g, l_partkey AS item
   FROM lineitem WHERE l_partkey < {_GRAPH_PART_BOUND}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.item AS src, b.item AS dst
   FROM le a JOIN le b ON a.g = b.g AND a.item < b.item
 )"""
@@ -1114,16 +1118,21 @@ def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts over the co-purchase graph (two parts
     are adjacent iff some order contains both; operators/graph.py).
     The clustering-coefficient numerator — how clique-ish each item's
-    neighborhood is — via the classic ordered three-way self-join that
-    enumerates every triangle exactly once. Integer output, so the
-    cross-engine check is exact by construction. Bounded to
-    l_partkey < 2000 so the Σ deg² intermediate stays dim-sized in both
-    engines at every SF (the filter pushes to the parquet scan)."""
+    neighborhood is. Round 9 swapped the plan to the DEGREE-ORDERED
+    wedge join (operators/graph.py::triangle_counts_oriented, VERDICT
+    r8 #4): identical output by construction — the oracle is unchanged
+    and equality to the plain ordered join is test-pinned — but the
+    wedge intermediate is bounded at Σ C(outdeg⁺, 2) = O(m^1.5), which
+    survives the power-law hub case the plain a<b<c join degenerates
+    on. Integer output, so the cross-engine check is exact by
+    construction. Bounded to l_partkey < 2000 so the intermediate
+    stays dim-sized in both engines at every SF (the filter pushes to
+    the parquet scan)."""
     from pos_pipeline_core_etl_spark.operators import graph
 
     edges = _graph_edges(spark, sf_dir)
     return (
-        graph.triangle_counts(edges)
+        graph.triangle_counts_oriented(edges)
         .select(F.col("node").cast("long").alias("node"), "n_triangles")
         .orderBy("node")
     )
@@ -1176,21 +1185,21 @@ def _graph_pagerank_oracle() -> str:
 
     d = PAGERANK_DAMPING_PCT
     ctes = [
-        f"""sym AS (SELECT src, dst FROM edges
+        f"""sym AS MATERIALIZED (SELECT src, dst FROM edges
        UNION ALL SELECT dst, src FROM edges),
-deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
-nodes AS (SELECT src AS node FROM deg),
-basec AS (
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+basec AS MATERIALIZED (
   SELECT (({100 - d}) * CAST({PAGERANK_SCALE} AS BIGINT)) // (100 * count(*))
            AS b,
          CAST({PAGERANK_SCALE} AS BIGINT) // count(*) AS r_init
   FROM nodes
 ),
-rk0 AS (SELECT node, r_init AS rank_q FROM nodes, basec)"""
+rk0 AS MATERIALIZED (SELECT node, r_init AS rank_q FROM nodes, basec)"""
     ]
     for i in range(1, PAGERANK_ITERS + 1):
         ctes.append(
-            f"""rk{i} AS (
+            f"""rk{i} AS MATERIALIZED (
   SELECT n.node, bc.b + ({d} * COALESCE(s.s, 0)) // 100 AS rank_q
   FROM nodes n CROSS JOIN basec bc
   LEFT JOIN (
@@ -1214,6 +1223,101 @@ FROM rk{PAGERANK_ITERS} ORDER BY node
 QUERIES["graph_part_pagerank"] = (graph_part_pagerank, _graph_pagerank_oracle())
 
 
+def graph_part_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-driven PageRank (VERDICT r8 #3;
+    operators/graph.py::pagerank_converged): iterate until the L1
+    delta between successive integer iterates is <= PAGERANK_TOL_Q
+    rank nano-units (cap PAGERANK_MAX_ITERS) instead of trusting a
+    fixed count. Because the whole trajectory is exact integer
+    algebra, the stopping iteration is itself bit-exact cross-engine
+    and sits in the checked output (stop_iter): measured stops are
+    iter 4 at sf0.01 and iter 9 at sf0.1 — the rule adapts to the
+    graph. The oracle unrolls all capped iterations, derives the same
+    min-iteration-under-tolerance scalar, and selects that iterate's
+    ranks — so a Spark-side stopping-rule regression (off-by-one,
+    wrong delta metric) hash-fails rather than shifting results
+    silently."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_edges(spark, sf_dir)
+    return (
+        graph.pagerank_converged(edges)
+        .select(F.col("node").cast("long").alias("node"), "rank_q", "stop_iter")
+        .orderBy("node")
+    )
+
+
+def _graph_pagerank_tol_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT,
+        PAGERANK_MAX_ITERS,
+        PAGERANK_SCALE,
+        PAGERANK_TOL_Q,
+    )
+
+    d = PAGERANK_DAMPING_PCT
+    cap = PAGERANK_MAX_ITERS
+    ctes = [
+        f"""sym AS MATERIALIZED (SELECT src, dst FROM edges
+       UNION ALL SELECT dst, src FROM edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+basec AS MATERIALIZED (
+  SELECT (({100 - d}) * CAST({PAGERANK_SCALE} AS BIGINT)) // (100 * count(*))
+           AS b,
+         CAST({PAGERANK_SCALE} AS BIGINT) // count(*) AS r_init
+  FROM nodes
+),
+rk0 AS MATERIALIZED (SELECT node, r_init AS rank_q FROM nodes, basec)"""
+    ]
+    for i in range(1, cap + 1):
+        ctes.append(
+            f"""rk{i} AS MATERIALIZED (
+  SELECT n.node, bc.b + ({d} * COALESCE(s.s, 0)) // 100 AS rank_q
+  FROM nodes n CROSS JOIN basec bc
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // dg.outdeg) AS s
+    FROM sym e
+    JOIN rk{i - 1} r ON r.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    deltas = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS iter, SUM(ABS(a.rank_q - b.rank_q)) AS d
+FROM rk{i} a JOIN rk{i - 1} b ON b.node = a.node"""
+        for i in range(1, cap + 1)
+    )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT {i} AS it, node, rank_q FROM rk{i}" for i in range(1, cap + 1)
+    )
+    ctes.append(f"deltas AS MATERIALIZED (\n{deltas}\n)")
+    ctes.append(
+        f"""stopc AS (
+  SELECT COALESCE(MIN(iter), {cap}) AS si FROM deltas WHERE d <= {PAGERANK_TOL_Q}
+)"""
+    )
+    ctes.append(f"levels AS MATERIALIZED (\n{levels}\n)")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {_GRAPH_EDGES_SQL},
+{chain}
+SELECT CAST(l.node AS BIGINT) AS node,
+       CAST(l.rank_q AS BIGINT) AS rank_q,
+       CAST(st.si AS BIGINT) AS stop_iter
+FROM levels l CROSS JOIN stopc st
+WHERE l.it = st.si
+ORDER BY node
+"""
+
+
+QUERIES["graph_part_pagerank_tol"] = (
+    graph_part_pagerank_tol,
+    _graph_pagerank_tol_oracle(),
+)
+
+
 def graph_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient over the co-purchase
     graph: triangles(v) / C(deg(v), 2) — how close each item's
@@ -1231,7 +1335,7 @@ def graph_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    tris = graph.triangle_counts(edges).withColumnRenamed("node", "src")
+    tris = graph.triangle_counts_oriented(edges).withColumnRenamed("node", "src")
     wedges = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
     return (
         deg.join(tris, "src", "left")

@@ -3435,6 +3435,83 @@ class TestGraphOps:
         empty = spark.createDataFrame([], "src long, dst long")
         assert graph.pagerank_fixedpoint(empty).collect() == []
 
+    def test_oriented_triangles_equal_plain(self, spark):
+        """triangle_counts_oriented must be value-identical to the
+        plain ordered join — on a clique, on a hub graph whose center
+        sits MID-WAY in the id order (the shape where the plain a<b<c
+        join's intermediate goes quadratic), and on a deterministic
+        pseudo-random graph."""
+        from itertools import combinations
+
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        def both(edge_list):
+            edges = spark.createDataFrame(edge_list, "src long, dst long")
+            plain = {r.node: r.n_triangles for r in
+                     graph.triangle_counts(edges).collect()}
+            orient = {r.node: r.n_triangles for r in
+                      graph.triangle_counts_oriented(edges).collect()}
+            return plain, orient
+
+        plain, orient = both(list(combinations(range(1, 6), 2)))  # K5
+        assert plain == orient and plain[1] == 6  # C(4,2) per corner
+
+        # hub 50 with spokes below AND above its id, plus one triangle
+        hub = [(i, 50) for i in range(30)] + [(50, 100 + i) for i in range(30)]
+        hub += [(0, 100), (1, 2), (1, 3), (2, 3)]
+        plain, orient = both(hub)
+        assert plain == orient
+        # 0-50-100 closes through the hub, and each edge of the 1-2-3
+        # triangle pairs with the hub's spokes: {1,2,50} {1,3,50}
+        # {2,3,50}
+        assert orient.get(50) == 4
+
+        # deterministic scatter: arithmetic progression edges
+        scatter = sorted(
+            {(min(i, (i * 7 + 3) % 40), max(i, (i * 7 + 3) % 40))
+             for i in range(40)} - {(i, i) for i in range(40)}
+        )
+        scatter += [(i, i + 1) for i in range(0, 39, 3)]
+        plain, orient = both(sorted(set(scatter)))
+        assert plain == orient
+
+    def test_pagerank_converged_stops_before_cap(self, spark):
+        """The convergence-driven stop (VERDICT r8 #3): on the star
+        graph the damped walk contracts geometrically, so a tolerance
+        above the integer-dust floor stops strictly before the cap,
+        and the returned ranks are exactly pagerank_fixedpoint run for
+        that many iterations (the composition is pure)."""
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 9)], "src long, dst long"
+        )
+        got = graph.pagerank_converged(edges, tol_q=50_000_000, max_iters=30)
+        rows = got.collect()
+        stop = rows[0]["stop_iter"]
+        assert all(r["stop_iter"] == stop for r in rows)
+        assert 1 < stop < 30
+        fixed = {r.node: r.rank_q for r in
+                 graph.pagerank_fixedpoint(edges, iters=int(stop)).collect()}
+        assert {r.node: r.rank_q for r in rows} == fixed
+        # the stop obeys the trajectory: delta at stop <= tol < before
+        traj = {r.iter: r.l1_delta_q for r in
+                graph.pagerank_l1_trajectory(edges, iters=int(stop)).collect()}
+        assert traj[stop] <= 50_000_000
+        assert all(traj[i] > 50_000_000 for i in range(1, stop))
+
+    def test_pagerank_converged_cap_and_empty(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 9)], "src long, dst long"
+        )
+        # unreachable tolerance -> runs to the cap, stop_iter == cap
+        capped = graph.pagerank_converged(edges, tol_q=-1, max_iters=3)
+        assert capped.collect()[0]["stop_iter"] == 3
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert graph.pagerank_converged(empty).collect() == []
+
     def test_pagerank_trajectory_contracts(self, spark):
         from pos_pipeline_core_etl_spark.operators import graph
 
