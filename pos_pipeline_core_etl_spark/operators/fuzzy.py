@@ -519,6 +519,80 @@ def union_blocking_pairs(
     return d1.unionByName(ph).unionByName(sn).distinct()
 
 
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    word: str = "last",
+    window: int = SN_WINDOW,
+    union_bucket: int | None = FUZZY_MAX_BUCKET,
+    d2_bucket: int | None = FUZZY_D2_MAX_BUCKET,
+) -> DataFrame:
+    """The end-to-end entity-resolution composition the round-8 pieces
+    were built for (VERDICT r8 #5): (id, key, entity_id, final_entity)
+    for every input key.
+
+    Stages, each an already-shipped operator:
+
+    1. CHEAP blocking union (:func:`union_blocking_pairs` — d1 +
+       phonetic-of-the-word + two-pass sorted neighborhood, each leg
+       verified by exact levenshtein).
+    2. Connected components over those pairs → first-round entities
+       (``entity_id`` = min member id, the canonicalization contract
+       shared with the SQL oracles' MIN(lbl) reachability).
+    3. EXPENSIVE depth-2 pass over entity REPRESENTATIVES only
+       (:func:`cluster_scoped_pairs_d2`'s residual trick, inlined so
+       stage 2's components are computed once, not twice) → candidate
+       links between entities.
+    4. A second, entity-count-sized components pass over those links →
+       ``final_entity`` (again min id, which is the min ORIGINAL id of
+       the merged cluster because stage-2 labels are themselves min
+       member ids — so the final label is stable under composition).
+
+    100 TB shape: the blocking union is the linear-explode scale path
+    (no d2 over raw keys anywhere); both component loops are the
+    linear-per-round propagation; stage 3 runs over the entity
+    representative set, which SHRINKS with duplicate density — the
+    regime where full d2 explodes is exactly where this stays small."""
+    from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("k"))
+    pairs = union_blocking_pairs(
+        df,
+        id_col,
+        key_col,
+        word=word,
+        window=window,
+        max_bucket_size=union_bucket,
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    ents = keyed.join(
+        comps.select("id", "component_id"), "id", "left"
+    ).select(
+        "id", "k", F.coalesce("component_id", "id").alias("entity_id")
+    )
+    reps = ents.where(F.col("id") == F.col("entity_id")).select(
+        F.col("entity_id"), F.col("k")
+    )
+    links = fuzzy_key_pairs(
+        reps, "entity_id", "k", max_distance=2, max_bucket_size=d2_bucket
+    ).select("id_a", "id_b")
+    comps2 = connected_components(links, src="id_a", dst="id_b")
+    return ents.join(
+        comps2.select(
+            F.col("id").alias("entity_id"),
+            F.col("component_id").alias("merged_id"),
+        ),
+        "entity_id",
+        "left",
+    ).select(
+        "id",
+        "k",
+        "entity_id",
+        F.coalesce("merged_id", "entity_id").alias("final_entity"),
+    )
+
+
 def fuzzy_key_overflow(
     df: DataFrame,
     id_col: str,

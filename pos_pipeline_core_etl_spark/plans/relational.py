@@ -2158,7 +2158,12 @@ def fuzzy_part_pairs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pairs_union_oracle() -> str:
+def _union_pairs_ctes() -> str:
+    """CTE chain text for the cheap-family blocking union over the
+    part-name registry, ending in ``upairs`` (id_a, id_b, key_a,
+    key_b, dist) — shared by the union-pairs oracle AND the round-9
+    end-to-end entity-resolution oracles, so the family legs cannot
+    drift between them."""
     from pos_pipeline_core_etl_spark.operators.fuzzy import (
         FUZZY_MAX_BUCKET,
         SN_WINDOW,
@@ -2172,8 +2177,7 @@ def _pairs_union_oracle() -> str:
          CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
   FROM {{rel}} a JOIN {{rel}} b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SN_WINDOW}
   WHERE levenshtein(a.nm, b.nm) <= 2"""
-    return f"""
-WITH k AS ({_PART_NAME_REGISTRY_SQL}),
+    return f"""k AS ({_PART_NAME_REGISTRY_SQL}),
 v AS (
   SELECT id, nm, unnest(CASE WHEN length(nm) = 0 THEN [nm]
     ELSE list_distinct(list_prepend(nm,
@@ -2208,13 +2212,21 @@ snpk AS (
 rr AS (SELECT id, nm, row_number() OVER (ORDER BY reverse(nm), id) AS rnk FROM k),
 snrk AS (
   {sn_leg.format(rel="rr")}
-)
-SELECT DISTINCT id_a, id_b, key_a, key_b, dist FROM (
-  SELECT * FROM d1p
-  UNION ALL SELECT * FROM php
-  UNION ALL SELECT * FROM snpk
-  UNION ALL SELECT * FROM snrk
-)
+),
+upairs AS (
+  SELECT DISTINCT id_a, id_b, key_a, key_b, dist FROM (
+    SELECT * FROM d1p
+    UNION ALL SELECT * FROM php
+    UNION ALL SELECT * FROM snpk
+    UNION ALL SELECT * FROM snrk
+  )
+)"""
+
+
+def _pairs_union_oracle() -> str:
+    return f"""
+WITH {_union_pairs_ctes()}
+SELECT id_a, id_b, key_a, key_b, dist FROM upairs
 ORDER BY id_a, id_b
 """
 
@@ -2222,4 +2234,191 @@ ORDER BY id_a, id_b
 QUERIES["fuzzy_part_pairs_union"] = (
     fuzzy_part_pairs_union,
     _pairs_union_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end entity resolution (round 9 — VERDICT r8 #5)
+
+
+def _entity_final_ctes() -> str:
+    """CTE chain from the blocking union through the second components
+    pass to the final entity table ``fin`` (name_id, nm, entity_id,
+    final_entity) — shared by the entities-final and recall oracles.
+    Both recursive reachabilities live in ONE ``WITH RECURSIVE`` clause
+    (DuckDB allows several recursive CTEs per clause but only one
+    clause per statement)."""
+    from pos_pipeline_core_etl_spark.operators.fuzzy import FUZZY_D2_MAX_BUCKET
+
+    return f"""{_union_pairs_ctes()},
+sym1 AS (SELECT id_a AS a, id_b AS b FROM upairs
+         UNION SELECT id_b, id_a FROM upairs),
+reach1(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym1
+  UNION
+  SELECT s.b, reach1.lbl FROM reach1 JOIN sym1 s ON s.a = reach1.id
+),
+comp1 AS (SELECT id, MIN(lbl) AS component_id FROM reach1 GROUP BY id),
+ents AS (
+  SELECT k.id AS name_id, k.nm, COALESCE(c.component_id, k.id) AS entity_id
+  FROM k LEFT JOIN comp1 c ON c.id = k.id
+),
+reps AS (SELECT entity_id AS id, nm FROM ents WHERE name_id = entity_id),
+rv AS (
+  SELECT id, nm, unnest({_D2_VARIANT_LIST_SQL}) AS variant
+  FROM reps
+),
+rsz AS (SELECT variant, count(*) AS n FROM rv GROUP BY variant),
+links AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rv a JOIN rv b ON a.variant = b.variant AND a.id < b.id
+  JOIN rsz z ON z.variant = a.variant
+  WHERE z.n BETWEEN 2 AND {FUZZY_D2_MAX_BUCKET}
+    AND levenshtein(a.nm, b.nm) <= 2
+),
+sym2 AS (SELECT id_a AS a, id_b AS b FROM links
+         UNION SELECT id_b, id_a FROM links),
+reach2(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym2
+  UNION
+  SELECT s.b, reach2.lbl FROM reach2 JOIN sym2 s ON s.a = reach2.id
+),
+comp2 AS (SELECT id, MIN(lbl) AS merged_id FROM reach2 GROUP BY id),
+fin AS (
+  SELECT e.name_id, e.nm, e.entity_id,
+         COALESCE(c2.merged_id, e.entity_id) AS final_entity
+  FROM ents e LEFT JOIN comp2 c2 ON c2.id = e.entity_id
+)"""
+
+
+def fuzzy_part_entities_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part-name registry
+    (operators/fuzzy.py::resolve_entities, VERDICT r8 #5): cheap-family
+    blocking union → connected components → cluster-scoped depth-2
+    links over entity representatives → second components pass → final
+    entity table with golden-record survivorship. golden_name is the
+    min-member-id name — stable under composition because both
+    component passes label by min id, so final_entity IS the min
+    original id of the merged cluster. n_members / n_subentities make
+    the merge structure inspectable (a stage-3 regression that stops
+    merging shows up as n_subentities collapsing to 1 everywhere, not
+    just as silent value drift)."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    names = _part_name_registry(spark, sf_dir)
+    fin = fuzzy.resolve_entities(names, "name_id", "p_name")
+    stats = fin.groupBy("final_entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.count_distinct("entity_id").cast("long").alias("n_subentities"),
+    )
+    golden = names.select(
+        F.col("name_id").alias("final_entity"),
+        F.col("p_name").alias("golden_name"),
+    )
+    return (
+        fin.join(stats, "final_entity")
+        .join(golden, "final_entity")
+        .select(
+            F.col("id").cast("long").alias("name_id"),
+            F.col("k").alias("p_name"),
+            F.col("entity_id").cast("long").alias("entity_id"),
+            F.col("final_entity").cast("long").alias("final_entity"),
+            "golden_name",
+            "n_members",
+            "n_subentities",
+        )
+        .orderBy("name_id")
+    )
+
+
+def _entities_final_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{_entity_final_ctes()},
+stats AS (
+  SELECT final_entity, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT entity_id) AS BIGINT) AS n_subentities
+  FROM fin GROUP BY final_entity
+)
+SELECT CAST(f.name_id AS BIGINT) AS name_id,
+       f.nm AS p_name,
+       CAST(f.entity_id AS BIGINT) AS entity_id,
+       CAST(f.final_entity AS BIGINT) AS final_entity,
+       g.nm AS golden_name,
+       s.n_members, s.n_subentities
+FROM fin f
+JOIN k g ON g.id = f.final_entity
+JOIN stats s ON s.final_entity = f.final_entity
+ORDER BY name_id
+"""
+
+
+QUERIES["fuzzy_part_entities_final"] = (
+    fuzzy_part_entities_final,
+    _entities_final_oracle(),
+)
+
+
+def fuzzy_part_entities_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-grain recall of the end-to-end resolution against
+    ONE-SHOT FULL-d2 ground truth: brute-force every distance-≤2 name
+    pair, then count how many land in the SAME final entity, grouped
+    by distance. The honest-recall discipline of the blocking family
+    applied to the full composition: n_same < n_true quantifies what
+    the staged pipeline loses vs the quadratic pass it replaces
+    (representative loss + capped buckets), instead of asserting
+    totality. The oracle re-derives BOTH legs, so a composition
+    regression hash-fails rather than silently shifting the measured
+    recall."""
+    from pos_pipeline_core_etl_spark.operators import fuzzy
+
+    names = _part_name_registry(spark, sf_dir)
+    fin = fuzzy.resolve_entities(names, "name_id", "p_name").select(
+        F.col("id").alias("name_id"), "final_entity"
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    truth = (
+        a.join(b, F.col("a.name_id") < F.col("b.name_id"))
+        .where(F.levenshtein("a.p_name", "b.p_name") <= 2)
+        .select(
+            F.col("a.name_id").alias("ka"),
+            F.col("b.name_id").alias("kb"),
+            F.levenshtein("a.p_name", "b.p_name").cast("long").alias("dist"),
+        )
+    )
+    fa = fin.select(F.col("name_id").alias("ka"), F.col("final_entity").alias("ea"))
+    fb = fin.select(F.col("name_id").alias("kb"), F.col("final_entity").alias("eb"))
+    return (
+        truth.join(fa, "ka")
+        .join(fb, "kb")
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum((F.col("ea") == F.col("eb")).cast("long")).alias("n_same_entity"),
+        )
+        .orderBy("dist")
+    )
+
+
+def _entities_recall_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{_entity_final_ctes()}
+SELECT CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN fa.final_entity = fb.final_entity
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_same_entity
+FROM k a JOIN k b ON a.id < b.id
+JOIN fin fa ON fa.name_id = a.id
+JOIN fin fb ON fb.name_id = b.id
+WHERE levenshtein(a.nm, b.nm) <= 2
+GROUP BY 1
+ORDER BY dist
+"""
+
+
+QUERIES["fuzzy_part_entities_recall"] = (
+    fuzzy_part_entities_recall,
+    _entities_recall_oracle(),
 )
