@@ -79,6 +79,13 @@ HEADLINE = (
     # shingle-cosine (third instance of the exact-first staging law)
     "fuzzy_customer_pairs",
     "dedup_sparse_cosine_staged",
+    # round-9 additions: the convergence-stopped integer PageRank (the
+    # iterative-analytics representative — per-iteration keyed shuffle
+    # + bounded delta scalar) and the end-to-end entity-resolution
+    # composition (blocking union -> components -> rep-level d2 ->
+    # components -> survivorship)
+    "graph_part_pagerank_tol",
+    "fuzzy_part_entities_final",
 )
 
 

@@ -286,6 +286,124 @@ def pagerank_converged(
     return ranks.withColumn("stop_iter", F.lit(stop).cast("long"))
 
 
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 12
+
+
+def kcore_nodes(
+    edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
+) -> DataFrame:
+    """(node, core_deg, stop_round): the k-core of the undirected
+    (src < dst) edge list — the maximal subgraph where every node has
+    degree >= k — by iterative peeling: drop nodes of degree < k,
+    recompute degrees in the induced subgraph, repeat until stable.
+
+    Determinism contract: everything is integer set algebra, so both
+    engines walk the same peel sequence.  The live set shrinks
+    monotonically, so "stable" == "this round's survivor count equals
+    last round's" — ONE bounded scalar per round (the connected-
+    components loop discipline).  The cap makes the output exact-equal
+    to an oracle unrolled to the same cap REGARDLESS of where the
+    fixpoint lands: if peeling stabilizes at round s <= cap the later
+    unrolled rounds are no-ops; if it hasn't stabilized by the cap both
+    engines agree on the round-cap set (stop_round then reads cap).
+    core_deg is the node's degree within the final subgraph.
+
+    Scale shape: each round is the symmetric edge list semi-joined to
+    the live set on both endpoints + one keyed count — live shrinks
+    every round, and real peel depths are small (measured 2-4 on the
+    co-purchase graph); lineage cut per round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    live = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_prev = live.count()
+    stop = max_rounds
+    deg = None
+    for i in range(1, max_rounds + 1):
+        kept = (
+            sym.join(live.withColumnRenamed("node", "src"), "src")
+            .join(live.withColumnRenamed("node", "dst"), "dst")
+        )
+        deg = (
+            kept.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+            .where(F.col("core_deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+        n_now = deg.count()
+        live = deg.select(F.col("src").alias("node"))
+        if n_now == n_prev:
+            stop = i
+            break
+        n_prev = n_now
+    return deg.select(
+        F.col("src").alias("node"),
+        "core_deg",
+        F.lit(stop).cast("long").alias("stop_round"),
+    )
+
+
+def neighbor_jaccard_pairs(
+    edges: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """(node_a, node_b, n_shared, jaccard): node pairs whose NEIGHBOR
+    SETS overlap — structural near-duplicates in the graph (two items
+    bought alongside the same basket-mates are interchangeable even if
+    never co-purchased themselves; the graph-side analog of the
+    document near-dup families).
+
+    jaccard = |N(a) ∩ N(b)| / (deg(a) + deg(b) - |N(a) ∩ N(b)|),
+    candidates generated by the wedge join (pairs sharing >= 1
+    neighbor), so disjoint-neighborhood pairs are never materialized.
+    Exact on dim-bounded graphs; at 100 TB the wedge join through
+    power-law hubs needs the same stop-key discipline as every blocking
+    family here (cap wedge generation per shared neighbor + an overflow
+    audit) — this exact form is the verify stage of that composition.
+    hround(6) on the single final ratio (integer numerator and
+    denominator, no accumulated-float risk)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = sym.select(F.col("src").alias("n"), F.col("dst").alias("node_a"))
+    w2 = sym.select(F.col("src").alias("n"), F.col("dst").alias("node_b"))
+    shared = (
+        w1.join(w2, "n")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    da = deg.select(F.col("src").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("node_b"), F.col("deg").alias("deg_b"))
+    jac = F.col("n_shared") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
+    )
+    return (
+        shared.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_shared",
+            hround(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def pagerank_l1_trajectory(
     edges: DataFrame,
     iters: int = PAGERANK_ITERS,

@@ -1388,6 +1388,172 @@ ORDER BY node
 QUERIES["graph_part_clustering"] = (graph_part_clustering, _graph_clustering_oracle())
 
 
+# support-2 co-purchase edges, UNBOUNDED part set (round 9): pairs that
+# co-occur in >= 2 distinct orders. Unlike the < 2000-bounded support-1
+# graph, this one is naturally sparse and heterogeneous (a pair must
+# repeat to count), which is what makes iterative peeling non-trivial:
+# measured cascades are 4 rounds -> 1535 survivors at sf0.01 and a
+# 6-round peel down to a 3-node core at sf0.1.
+_GRAPH_S2_EDGES_SQL = """le AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+),
+s2edges AS MATERIALIZED (
+  SELECT a.item AS src, b.item AS dst
+  FROM le a JOIN le b ON a.g = b.g AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)"""
+
+
+def _graph_s2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pos_pipeline_core_etl_spark.operators.dedup import upper_triangle_pairs
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    grouped = (
+        li.groupBy("g")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .where(F.size("items") > 1)
+    )
+    pairs = upper_triangle_pairs(
+        ids_col="items",
+        build=lambda x, y: F.struct(x.alias("src"), y.alias("dst")),
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+
+
+def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the support-2 co-purchase graph
+    (operators/graph.py::kcore_nodes): the maximal subgraph where every
+    part has >= 2 repeat-co-purchase partners — the dense-substructure
+    extractor an ER/community pipeline runs after entity resolution.
+    Iterative peeling with one bounded survivor-count scalar per round;
+    everything integer, so the peel SEQUENCE is bit-exact cross-engine
+    and stop_round sits in the checked output. The oracle unrolls the
+    capped peel; cap-equality makes the unrolled form exact regardless
+    of where the fixpoint lands (post-stability rounds are no-ops).
+    Measured:
+    4 peel rounds / 1535 survivors at sf0.01, 6 rounds / 3 survivors at
+    sf0.1."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_s2_edges(spark, sf_dir)
+    return (
+        graph.kcore_nodes(edges, k=2)
+        .select(F.col("node").cast("long").alias("node"), "core_deg", "stop_round")
+        .orderBy("node")
+    )
+
+
+def _graph_kcore_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.graph import KCORE_MAX_ROUNDS
+
+    k = 2
+    cap = KCORE_MAX_ROUNDS
+    ctes = [
+        """sym AS MATERIALIZED (SELECT src, dst FROM s2edges
+       UNION ALL SELECT dst, src FROM s2edges)""",
+        "p0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+    ]
+    for i in range(1, cap + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+  FROM sym e
+  JOIN p{i - 1} a ON a.node = e.src
+  JOIN p{i - 1} b ON b.node = e.dst
+  GROUP BY e.src HAVING count(*) >= {k}
+)"""
+        )
+    counts = "\nUNION ALL\n".join(
+        f"SELECT {i} AS r, count(*) AS c FROM p{i}" for i in range(0, cap + 1)
+    )
+    ctes.append(f"counts AS MATERIALIZED (\n{counts}\n)")
+    ctes.append(
+        f"""stopc AS (
+  SELECT COALESCE(MIN(a.r), {cap}) AS sr
+  FROM counts a JOIN counts b ON b.r = a.r - 1 AND b.c = a.c
+  WHERE a.r >= 1
+)"""
+    )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {_GRAPH_S2_EDGES_SQL},
+{chain}
+SELECT CAST(p.node AS BIGINT) AS node, p.core_deg,
+       CAST(st.sr AS BIGINT) AS stop_round
+FROM p{cap} p CROSS JOIN stopc st
+ORDER BY node
+"""
+
+
+QUERIES["graph_part_kcore"] = (graph_part_kcore, _graph_kcore_oracle())
+
+
+def graph_part_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard near-duplicates over the co-purchase graph
+    (operators/graph.py::neighbor_jaccard_pairs, threshold 0.1):
+    structurally interchangeable parts — pairs whose neighbor sets
+    overlap even if never co-purchased themselves; the graph-side
+    analog of the document near-dup families, and the candidate
+    generator is the wedge join (disjoint-neighborhood pairs never
+    materialize). Non-vacuous at both driver SFs (88 rows at sf0.01,
+    1186 at sf0.1). Exact integer counts, hround(6) on the one final
+    ratio."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_edges(spark, sf_dir)
+    return (
+        graph.neighbor_jaccard_pairs(edges, threshold=0.1)
+        .select(
+            F.col("node_a").cast("long").alias("node_a"),
+            F.col("node_b").cast("long").alias("node_b"),
+            "n_shared",
+            "jaccard",
+        )
+        .orderBy("node_a", "node_b")
+    )
+
+
+def _graph_neighbor_jaccard_oracle() -> str:
+    ratio = hround_sql("ns / CAST(da.d + db.d - ns AS DOUBLE)", 6)
+    return f"""
+WITH {_GRAPH_EDGES_SQL},
+sym AS MATERIALIZED (SELECT src, dst FROM edges
+       UNION ALL SELECT dst, src FROM edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM sym GROUP BY src),
+sh AS (
+  SELECT a.dst AS node_a, b.dst AS node_b, CAST(count(*) AS BIGINT) AS ns
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT CAST(sh.node_a AS BIGINT) AS node_a,
+       CAST(sh.node_b AS BIGINT) AS node_b,
+       sh.ns AS n_shared,
+       {ratio} AS jaccard
+FROM sh
+JOIN deg da ON da.src = sh.node_a
+JOIN deg db ON db.src = sh.node_b
+WHERE {ratio} >= 0.1
+ORDER BY node_a, node_b
+"""
+
+
+QUERIES["graph_part_neighbor_jaccard"] = (
+    graph_part_neighbor_jaccard,
+    _graph_neighbor_jaccard_oracle(),
+)
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix (first-order Markov
     estimate): for every (from_type, to_type) pair, the count of

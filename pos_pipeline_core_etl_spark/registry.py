@@ -9,35 +9,35 @@ per round: front-load (a) queries never driver-checked, then (b) queries
 whose VALUES changed since their last driver-green row, then (c) the
 oldest driver rows.  History: r1 covered the first 50 of 82; r2 the other
 40 + 10 flagships; r3 rotated back to the r1-only names + the 10 new
-round-3 queries; r4 front-loaded the 24 never-checked round-4 names and
-the value-affecting r4 fixes.
+round-3 queries; r4 front-loaded the 24 never-checked round-4 names; r7
+retired the r3 backlog; r8 went 50/50 green over the r7 spillovers + the
+13 new r8 queries + 28 of the 45 r4-latest names.
 
-Round-8 window (this file): r7 went 50/50 green and retired the r3
-backlog entirely — across r1∪…∪r7 every name's latest driver row is
-from round-4 code or later.  Tier 0a = the NINE round-7 queries whose
-slots ran out last round (drift/PSI/leakage/weights/survivorship/
-packing/span-decon — the judge replica-verified all nine at both SFs;
-fresh driver rows here reach 196-of-196-era union driver coverage,
-VERDICT r7 #1).  Tier 0b = the THIRTEEN new round-8 queries
-(cluster-scoped d2 + its entity-grain recall audit, the phonetic
-blocking family + its degenerate-mode overflow audit, the six-family
-measured recall comparison, the cheap-family blocking union, the
-decontamination-composed build decisions + manifest, and the
-co-purchase graph analytics — exact triangle counts, fixed-point
-integer PageRank, local clustering coefficients — and the per-user
-event-type transition matrix).  No tier 1 this
-round: no green query's VALUES changed (the prep/fuzzy/spans oracle
-refactors are pure — replica-verified).  Tier 2 = 28 of the 45
-r4-latest names (exactly filling the 50 explicit slots) (now the oldest rows), front-loading
-corpus_prep_decisions (its implementation was refactored for the
-corpus-partition parameterization this round) and the window family
-(the entries the round-8 bench investigation scrutinized); the 13
-deferred r4 names (mixture_sample, embedding_components,
-quantize_int8, random_projection, funnel, windowed_topk,
-lsh_buckets_histogram, bigram_logprob, bpe_pairs, shuffle_shards,
-repetition, activity_gaps, naive_lastweek) spill to round 9 — each
-still has a committed inspectable row at BOTH SFs in REPLICA_r8.json,
-the new per-round artifact.  50 explicit slots exactly.
+Round-9 window (this file).  Tier 0a = ``graph_pagerank_convergence``,
+the single name never driver-checked (registered after the r8 window
+froze; replica-green both SFs).  Tier 0b = the SEVENTEEN deferred
+r4-latest names — note: seventeen, not the thirteen the round-8
+docstring listed; the r8 list dropped four names
+(``sim_lsh_bucket_topk``, ``text_decontaminate_bloom``,
+``text_pack_sequences``, ``text_train_split``) that ADVICE r8 caught by
+reconciling the 45−28 arithmetic — recomputed this round directly from
+the CORRECTNESS_r01..r08 artifacts.  Tier 0c = the FIVE new round-9
+queries (convergence-stopped PageRank; the end-to-end
+entity-resolution composition + its entity-grain recall audit; the
+k-core peel over the support-2 co-purchase graph; neighborhood-Jaccard
+graph near-duplicates).
+Tier 1a = the two de-vacuized queries whose VALUES changed
+(``dedup_ngram_jaccard`` max_doc_id 100→310; ``branch_substring_filter``
+re-patterned to the synthetic nation names — both were standing 0-row
+greens, VERDICT r8 #2).  Tier 1b = the two graph queries whose PLAN
+changed to the degree-ordered triangle join (values identical by
+construction and test-pinned, but a fresh driver row beats an argument).
+``fuzzy_part_pairs_union``'s oracle was refactored to share its CTE
+chain with the new ER oracles — pure (replica-verified, same rows/hash),
+so it keeps its D8 row and takes no slot.  Tier 2 = the 23
+alphabetically-first of the 43 remaining r5-latest names (the oldest
+driver rows); the other 20 r5-latest names spill to round 10, each with
+a committed both-SF row in REPLICA_r9.json.  50 explicit slots exactly.
 """
 
 from __future__ import annotations
@@ -48,66 +48,67 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-7 window: see module docstring for the tier rationale.
+# Round-9 window: see module docstring for the tier rationale.
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0a: the nine round-7 spillovers (VERDICT r7 #1) ------------
-    "corpus_drift_report",
-    "corpus_psi_drift",
-    "split_leakage_report",
-    "split_leakage_repair",
-    "docs_cluster_weights",
-    "dedup_quality_survivors",
-    "text_pack_efficiency",
-    "emb_drift_psi",
-    "text_decontaminate_spans",
-    # -- tier 0b: new round-8 queries (never driver-checked) -------------
-    "fuzzy_part_pairs_d2_scoped",
-    "fuzzy_part_d2_scoped_recall",
-    "fuzzy_part_phonetic_pairs",
-    "fuzzy_part_phonetic_recall",
-    "fuzzy_phonetic_overflow",
-    "fuzzy_family_recall_compare",
-    "fuzzy_part_pairs_union",
-    "corpus_decon_decisions",
-    "corpus_build_manifest_decon",
+    # -- tier 0a: the one never-driver-checked name ---------------------
+    "graph_pagerank_convergence",
+    # -- tier 0b: the 17 deferred r4-latest names (ADVICE r8: 17, not
+    #    the 13 the r8 docstring listed) ---------------------------------
+    "corpus_mixture_sample",
+    "dedup_embedding_components",
+    "emb_quantize_int8",
+    "emb_random_projection",
+    "events_funnel",
+    "events_windowed_topk",
+    "forecast_naive_lastweek",
+    "sim_lsh_bucket_topk",
+    "sim_lsh_buckets_histogram",
+    "text_bigram_logprob",
+    "text_bpe_pairs",
+    "text_decontaminate_bloom",
+    "text_pack_sequences",
+    "text_repetition",
+    "text_shuffle_shards",
+    "text_train_split",
+    "user_activity_gaps",
+    # -- tier 0c: new round-9 queries (never driver-checked) ------------
+    "graph_part_pagerank_tol",
+    "fuzzy_part_entities_final",
+    "fuzzy_part_entities_recall",
+    "graph_part_kcore",
+    "graph_part_neighbor_jaccard",
+    # -- tier 1a: values changed (de-vacuized 0-row greens, VERDICT r8 #2)
+    "dedup_ngram_jaccard",
+    "branch_substring_filter",
+    # -- tier 1b: plan swapped to the degree-ordered triangle join
+    #    (values identical, re-certify anyway) ---------------------------
     "graph_part_triangles",
-    "graph_part_pagerank",
     "graph_part_clustering",
-    "events_transition_matrix",
-    # -- tier 2: 28 of the 45 r4-latest names (the oldest rows);
-    #    corpus_prep_decisions first (refactored this round), then the
-    #    bench-scrutinized window family ------------------------------
-    "corpus_prep_decisions",
-    "window_rolling_mean",
-    "window_lag_delta",
-    "calendar_zero_fill",
-    "corpus_mixture_plan",
-    "corpus_shard_checksums",
-    "corpus_stats",
-    "dedup_cluster_sizes",
-    "dedup_decisions",
-    "dedup_embedding_cosine",
-    "dedup_incremental_batch",
-    "dedup_minhash_components",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "docs_domain_quota",
-    "docs_quality_pct_rank",
-    "emb_dedup_decisions",
-    "events_mad_anomalies",
-    "events_retention",
-    "events_user_features",
-    "forecast_deposit_schedule",
-    "join_asof_next_purchase",
-    "join_asof_purchase_view",
-    "payments_daily_mart",
-    "sales_by_ticket_mart",
-    "scd2_orders_snapshot",
-    "sim_cosine_topk",
-    "sim_ivf_topk",
-    # The 17 deferred r4 names (docstring) lead tier 2 in round 9;
-    # everything after this point has a round-4+ driver-green row on
-    # unchanged code and a both-SF row in REPLICA_r8.json.
+    # -- tier 2: the 25 alphabetically-first of the 43 remaining
+    #    r5-latest names (oldest driver rows); the other 18 spill to r10 --
+    "agg_pricing_summary",
+    "bounded_sample",
+    "corpus_dedup_report",
+    "corpus_length_histogram",
+    "corpus_snapshot_diff",
+    "dedup_exact_docs",
+    "dedup_winnow_pairs",
+    "docs_quality_pct_approx",
+    "docs_weighted_sample",
+    "drop_null_rows",
+    "emb_kmeans_lloyd",
+    "emb_kmeans_sse",
+    "emb_pq_codes",
+    "emb_pq_sse",
+    "events_cardinality_sketch",
+    "events_dedup",
+    "events_sessionization",
+    "events_tumbling_counts",
+    "fact_payments_ticket",
+    "fact_sales_item_line",
+    "fact_transfers_line",
+    "multimodal_dhash",
+    "multimodal_dhash_pairs",
 )
 
 

@@ -3671,3 +3671,70 @@ class TestResolveEntities:
         assert fin[2]["entity_id"] == fin[3]["entity_id"] == 2
         assert fin[5]["final_entity"] == fin[2]["final_entity"] == 2
         assert fin[3]["final_entity"] == 2
+
+
+class TestKcoreAndNeighborJaccard:
+    """Round-9 graph extensions (operators/graph.py)."""
+
+    def test_kcore_peels_pendant_chain(self, spark):
+        """K4 with a pendant path hanging off one corner: the chain
+        peels one node per round (degree-1 tail cascades inward), so
+        the peel loop is multi-round and load-bearing; the clique
+        survives as the 2-core with intact degrees."""
+        from itertools import combinations
+
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = list(combinations([1, 2, 3, 4], 2))  # K4
+        edges += [(4, 5), (5, 6), (6, 7)]  # pendant chain
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = graph.kcore_nodes(df, k=2).collect()
+        got = {r.node: r.core_deg for r in rows}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+        # chain peels outward-in: 7 then 6 then 5, +1 stability round
+        assert all(r.stop_round == 4 for r in rows)
+
+    def test_kcore_k_above_degeneracy_empties(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )  # triangle: 2-core = itself, 3-core = empty
+        assert {r.node for r in graph.kcore_nodes(df, k=2).collect()} == {1, 2, 3}
+        assert graph.kcore_nodes(df, k=3).collect() == []
+
+    def test_kcore_cap_equality_contract(self, spark):
+        """A chain longer than the cap: both the capped loop and an
+        unrolled-to-cap oracle would return the round-cap set, with
+        stop_round == cap (the cap-equality argument in the
+        docstring)."""
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        chain = [(i, i + 1) for i in range(1, 9)]
+        df = spark.createDataFrame(chain, "src long, dst long")
+        rows = graph.kcore_nodes(df, k=2, max_rounds=2).collect()
+        assert rows and all(r.stop_round == 2 for r in rows)
+        # a chain has no 2-core: the full peel (cap high enough) is empty
+        assert graph.kcore_nodes(df, k=2, max_rounds=12).collect() == []
+
+    def test_neighbor_jaccard_values(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        # nodes 1 and 2 share neighbors {3, 4}; 1 also has 5, so
+        # J(1,2) = 2 / (3 + 2 - 2) = 2/3; J(3,4) = 2/(2+2-2) = 1.0
+        edges = [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r.node_a, r.node_b): (r.n_shared, r.jaccard)
+            for r in graph.neighbor_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        assert got[(1, 2)] == (2, round(2 / 3, 6))
+        assert got[(3, 4)] == (2, 1.0)
+        # threshold excludes: J(4,5)=J(3,5)=1/(2+1-1)=0.5 included at
+        # 0.5 but dropped at 0.7
+        assert (3, 5) in got and (4, 5) in got
+        high = {
+            (r.node_a, r.node_b)
+            for r in graph.neighbor_jaccard_pairs(df, threshold=0.7).collect()
+        }
+        assert high == {(3, 4)}  # J(1,2)=2/3 < 0.7 drops out too
