@@ -838,9 +838,17 @@ def connected_components(
     was never a candidate pair.
 
     Scale shape: each iteration is one hash-shuffle join on the edge key
-    plus a min-agg — no driver materialization; convergence needs
-    O(graph diameter) rounds (near-dup clusters are shallow; ``max_iters``
-    bounds pathology). The symmetrized edge list is checkpointed ONCE so
+    plus a min-agg, followed by a POINTER-HALVING shortcut — label(v) ←
+    label(label(v)), one node-sized self-join — so convergence needs
+    O(log diameter) rounds, not O(diameter).  The shortcut is the round-9
+    fix for a failure the ladder surfaced, not a hypothetical: sorted-
+    neighborhood blocking over 1.5M clustered keys produces LEGITIMATE
+    lev-≤2 chains whose components have diameter > 20, and the one-hop
+    form hit its round cap and raised (LADDER_r9, SELFREVIEW_r9 #9).
+    The shortcut preserves the fixpoint exactly — labels are min-monotone
+    with label(u) <= u, so label(label(v)) <= label(v) and the limit is
+    still the component min — which keeps every downstream oracle
+    byte-identical.  The symmetrized edge list is checkpointed ONCE so
     the (possibly expensive) upstream pair computation never re-runs
     inside the loop; per-round ``localCheckpoint`` keeps the label plan
     O(1). Convergence probe: min-propagation is monotone decreasing, so
@@ -870,6 +878,18 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
+        )
+        # pointer-halving shortcut: every component_id IS a node id
+        # (initialized from ids, min-agg only picks ids), so its own
+        # label exists and is <= it — jump straight to it. This is the
+        # log-diameter leg; the edge join above is the correctness leg.
+        parents = labels.select(
+            F.col("id").alias("component_id"),
+            F.col("component_id").alias("parent_label"),
+        )
+        labels = (
+            labels.join(parents, "component_id")
+            .select("id", F.col("parent_label").alias("component_id"))
             .localCheckpoint(eager=False)
         )
         label_sum = labels.agg(F.sum("component_id")).collect()[0][0]

@@ -454,6 +454,21 @@ class TestConnectedComponents:
         got = {r["id"]: r["component_id"] for r in connected_components(edges).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """Pointer-halving regression (round 9): sorted-neighborhood
+        blocking over clustered keys produces LEGITIMATE lev-2 chains
+        whose component diameter exceeded the 20-round cap of the old
+        one-hop propagation (the 1.5M-key ladder leg raised). A
+        400-node path must now converge well inside the cap — one-hop
+        would need 400 rounds."""
+        from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+        chain = [(i, i + 1) for i in range(1, 401)]
+        edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+        got = {r["id"]: r["component_id"]
+               for r in connected_components(edges, max_iters=12).collect()}
+        assert set(got.values()) == {1} and len(got) == 401
+
     def test_fixed_point_stability(self, spark):
         """Re-running CC on its own output labels is a no-op (labels are
         already the component minima)."""

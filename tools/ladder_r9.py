@@ -163,6 +163,8 @@ def main() -> None:
         "graph_part_pagerank",
         "graph_part_pagerank_tol",
         "graph_part_triangles",
+        "graph_part_kcore",
+        "graph_part_neighbor_jaccard",
         "fuzzy_part_entities_final",
         "fuzzy_part_entities_recall",
     )

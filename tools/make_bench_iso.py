@@ -78,6 +78,14 @@ BATCHES = {
         "salted_agg_lineitem",
         "bucketed_join_lineitem",
     ],
+    # round-9 additions: the iterative-graph and ER-composition
+    # representatives (mid-weight; multi-job per action, so they get
+    # their own JVM away from both the sub-second entries and the
+    # heavy dedup flagships)
+    "graph_er": [
+        "graph_part_pagerank_tol",
+        "fuzzy_part_entities_final",
+    ],
 }
 
 
@@ -104,7 +112,11 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         parsed = json.loads(line)
         queries.update(parsed["queries"])
-        spread.update(parsed["rep_spread"])
+        # bench.py keeps its stdout line bounded for the driver's
+        # 2000-char tail (round 9); the per-rep spread now lands in a
+        # side file next to bench.py
+        with open(os.path.join(REPO, "BENCH_SPREAD.json")) as f:
+            spread.update(json.load(f)["rep_spread"])
         print(f"  {batch}: {parsed['value']}s over {len(names)} entries")
     doc = {
         "metric": "isolated_entry_medians_sec",
