@@ -261,3 +261,65 @@ def test_replica_artifact_covers_registry_and_is_green():
         assert not missing, f"{arts[-1]}[{sf_key}] missing {sorted(missing)[:5]}"
         bad = {n: r for n, r in recorded.items() if r["status"] == "fail"}
         assert not bad, f"{arts[-1]}[{sf_key}] has failures: {list(bad)[:5]}"
+
+
+def test_zero_row_greens_have_constructed_fixture_twins():
+    """Institutionalizes the round-8/9 vacuous-green discipline
+    (VERDICT r8 #8): oracle agreement at zero rows proves both engines
+    agree there is nothing to find, not that they'd agree when there
+    is. Any registry query whose newest replica rows are 0 at BOTH SFs
+    must appear below, mapped to the pytest test that forces non-empty
+    output through the same code path — so a new silently-vacuous
+    query fails THIS test until it gets a constructed fixture."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    arts = sorted(
+        glob.glob(os.path.join(root, "REPLICA_r*.json")),
+        key=lambda p: int(re.search(r"REPLICA_r(\d+)", p).group(1)),
+    )
+    if not arts:
+        import pytest
+
+        pytest.skip("no replica artifact committed yet")
+    with open(arts[-1]) as f:
+        doc = json.load(f)
+    zero_both = {
+        n
+        for n, rec in doc.get("sf0.01", {}).items()
+        if rec.get("rows") == 0
+        and doc.get("sf0.1", {}).get(n, {}).get("rows") == 0
+    }
+    # query -> the constructed-fixture test proving the non-empty path
+    ALLOWLIST = {
+        # healthy-corpus overflow audits are CORRECTLY empty; the
+        # degenerate-corpus fixtures force rows through the same code
+        "dedup_containment_overflow": (
+            "test_scale_ops.py::TestBucketSizeGuards (containment_overflow"
+            " non-empty on the 12-clone corpus)"
+        ),
+        "fuzzy_customer_overflow": (
+            "test_scale_ops.py::TestBucketSizeGuards (fuzzy_key_overflow"
+            " non-empty at cap 2)"
+        ),
+        # a duplicate-free mart is the healthy state; the injected
+        # duplicated (sucursal, fecha) day forces the non-empty path
+        "qa_duplicates": (
+            "test_scale_ops.py::TestDeVacuizedGreens::"
+            "test_check_duplicates_flags_duplicated_day"
+        ),
+    }
+    unexplained = zero_both - set(ALLOWLIST)
+    assert not unexplained, (
+        f"zero rows at BOTH SFs with no constructed-fixture allowlist "
+        f"entry: {sorted(unexplained)} — add a pytest fixture that "
+        f"forces non-empty output through the same code path, then "
+        f"list it here"
+    )
+    # and the allowlist must not rot: entries must still be zero-row
+    # (a query that grew real rows no longer needs the exemption)
+    stale = set(ALLOWLIST) - zero_both
+    assert not stale, f"allowlist entries no longer zero-row: {sorted(stale)}"
