@@ -433,3 +433,52 @@ class TestRound8PlanShapes:
         # would blow past thousands of nodes at real iteration counts)
         plan = self._plan(ranks)
         assert plan.count("HashAggregate") <= 12
+
+
+class TestRound9GraphPlans:
+    """Plan hygiene for the round-9 graph/ER queries: no cartesian or
+    nested-loop joins anywhere in the flagship plans — every join is
+    keyed (the wedge joins, the degree annotates, the component
+    propagation) or broadcast."""
+
+    def test_oriented_triangles_no_cartesian(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            graph_part_triangles,
+        )
+
+        plan = _plan(graph_part_triangles(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_neighbor_jaccard_no_cartesian(self, spark):
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            graph_part_neighbor_jaccard,
+        )
+
+        plan = _plan(graph_part_neighbor_jaccard(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_kcore_scan_prunes_columns(self, spark):
+        """The support-2 edge build must read only (l_orderkey,
+        l_partkey) from lineitem — a scan that drags the wide money
+        columns through the peel loop is wrong at any scale."""
+        from pos_pipeline_core_etl_spark.plans.analytics import _graph_s2_edges
+
+        plan = _formatted(_graph_s2_edges(spark, SF_DIR))
+        read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+        assert "l_orderkey" in read_schema and "l_partkey" in read_schema
+        assert "l_extendedprice" not in read_schema
+        assert "l_comment" not in read_schema
+
+    def test_resolve_entities_wedgeless(self, spark):
+        """The ER composition's joins are all keyed: blocking unions,
+        variant-bucket joins, component propagation, rep-level d2 —
+        never a cross product (the quadratic legs live ONLY in recall
+        AUDITS, by design)."""
+        from pos_pipeline_core_etl_spark.plans.relational import (
+            fuzzy_part_entities_final,
+        )
+
+        plan = _plan(fuzzy_part_entities_final(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
