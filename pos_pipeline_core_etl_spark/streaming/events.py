@@ -1093,3 +1093,142 @@ def run_streaming_lr_scores(
     )
     q.awaitTermination()
     return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+
+
+def er_link_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    links_dir: str,
+    key_index_dir: str,
+    max_bucket_size: int = 50,
+) -> None:
+    """foreachBatch body for STREAMING INCREMENTAL ENTITY RESOLUTION
+    (round 9): the maintainer of the link graph ``resolve_entities``'
+    first stage derives in batch. Each micro-batch of (id, key) rows is
+    blocked against the accumulated key index with depth-1 deletion
+    variants, verified with exact levenshtein, and the resulting links
+    appended — so the entity graph grows per arrival without ever
+    re-blocking the corpus (never corpus × corpus; the one-sided join
+    discipline of :func:`dedup_index_batch`).
+
+    Two append-only parquet tables, partitioned by contributing batch:
+    - ``key_index_dir``: (id, key, variant) — the exploded variant
+      index new batches probe
+    - ``links_dir``: (id_a, id_b) with id_a < id_b — batch↔prior and
+      batch-internal verified links
+
+    Cap semantics (documented divergence from the batch operator): the
+    bucket cap is evaluated against the index state AT ARRIVAL TIME —
+    prior-variant buckets already over ``max_bucket_size`` are skipped,
+    like the batch cap, but links emitted BEFORE a bucket crossed the
+    cap are append-only and keep their effect, where a batch-global cap
+    would retroactively drop the whole bucket. Below the cap the two
+    are exactly equivalent (test-pinned stream ≡ batch and 1-chunk ≡
+    4-chunk on an under-cap fixture)."""
+    from pos_pipeline_core_etl_spark.operators.fuzzy import deletion_variants_col
+
+    spark = batch_df.sparkSession
+    kv = batch_df.select(
+        "id",
+        "key",
+        F.explode(deletion_variants_col("key", depth=1)).alias("variant"),
+    ).localCheckpoint(eager=False)
+
+    prior = _prior_partitions(key_index_dir, batch_id)
+    legs = []
+    if prior:
+        pv = (
+            spark.read.option("basePath", key_index_dir)
+            .parquet(*prior)
+            .select(
+                F.col("id").alias("pid"),
+                F.col("key").alias("pkey"),
+                "variant",
+            )
+        )
+        ok = (
+            pv.groupBy("variant")
+            .agg(F.count_distinct("pid").alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("variant")
+        )
+        cross = (
+            kv.join(pv.join(ok, "variant"), "variant")
+            .where(F.col("id") != F.col("pid"))
+            .where(F.levenshtein("key", "pkey") <= 1)
+            .select(
+                F.least("id", "pid").alias("id_a"),
+                F.greatest("id", "pid").alias("id_b"),
+            )
+        )
+        legs.append(cross)
+    a = kv.select(F.col("id").alias("ia"), F.col("key").alias("ka"), "variant")
+    b = kv.select(F.col("id").alias("ib"), F.col("key").alias("kb"), "variant")
+    bsz = (
+        kv.groupBy("variant")
+        .agg(F.count_distinct("id").alias("n"))
+        .where(F.col("n") <= max_bucket_size)
+        .select("variant")
+    )
+    inbatch = (
+        a.join(b, "variant")
+        .join(bsz, "variant", "left_semi")
+        .where(F.col("ia") < F.col("ib"))
+        .where(F.levenshtein("ka", "kb") <= 1)
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    legs.append(inbatch)
+    links = legs[0]
+    for leg in legs[1:]:
+        links = links.unionByName(leg)
+    write_batch_idempotent(links.distinct(), batch_id, links_dir)
+    write_batch_idempotent(kv.select("id", "key", "variant"), batch_id, key_index_dir)
+
+
+def run_streaming_entity_resolution(
+    spark: SparkSession,
+    stream_dir: str,
+    links_dir: str,
+    key_index_dir: str,
+    checkpoint_dir: str,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Streaming twin of the ER composition's blocking+components
+    stages: drain a (id, key) stream through :func:`er_link_batch` with
+    availableNow, then resolve the ACCUMULATED link graph with the
+    batch-grade pointer-halved components and return (id, key,
+    entity_id) — entity_id the min id of each connected cluster,
+    exactly the stage-2 contract of
+    operators/fuzzy.py::resolve_entities. Arrival order does not
+    matter for the FINAL table (links are symmetric facts; components
+    are order-free), which is what makes the chunking-invariance test
+    meaningful rather than incidental."""
+    from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+    raw = spark.readStream.schema("id long, key string").parquet(stream_dir)
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: er_link_batch(
+                df, bid, links_dir, key_index_dir, max_bucket_size=max_bucket_size
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    keys = (
+        spark.read.option("basePath", key_index_dir)
+        .parquet(key_index_dir + "/batch_id=*")
+        .select("id", "key")
+        .distinct()
+    )
+    links = spark.read.option("basePath", links_dir).parquet(
+        links_dir + "/batch_id=*"
+    )
+    comps = connected_components(links.distinct(), src="id_a", dst="id_b")
+    return keys.join(
+        comps.select("id", "component_id"), "id", "left"
+    ).select(
+        "id", "key", F.coalesce("component_id", "id").alias("entity_id")
+    )

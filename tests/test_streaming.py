@@ -886,3 +886,93 @@ class TestStreamingTransitionMatrix:
         assert sorted(map(key, one.collect())) == sorted(
             map(key, four.collect())
         )
+
+
+class TestStreamingEntityResolution:
+    """Streaming incremental ER (round 9): the foreachBatch maintainer
+    of the entity link graph ≡ one-shot batch blocking + components on
+    the full key set, and invariant to how arrivals are chunked.
+    The fixture keeps every variant bucket under the cap so the
+    documented at-arrival-time cap divergence cannot bite — below the
+    cap the two forms are exactly equivalent."""
+
+    def _keys(self, spark):
+        # 8 clusters x 3 one-edit variants of well-separated bases,
+        # plus 6 singletons — all variant buckets far below cap 50
+        from pyspark.sql import functions as F
+
+        base = (F.floor(F.col("id") / 3) * 104729) % 10_000_000
+        clustered = spark.range(24).select(
+            F.col("id").cast("long").alias("id"),
+            F.format_string("Entity#%08d", base * 10 + F.col("id") % 3).alias("key"),
+        )
+        # genuinely isolated keys: pairwise levenshtein far above 1
+        # (repeated distinct letters — "Lonely<i>" style keys are a
+        # trap: consecutive numbers are one edit apart and merge)
+        singles = spark.createDataFrame(
+            [(100 + i, chr(65 + i) * 6 + str(i) * 3) for i in range(6)],
+            "id long, key string",
+        )
+        return clustered.unionByName(singles)
+
+    def _write_chunks(self, spark, tmp_path, n_chunks, tag):
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        keys = self._keys(spark)
+        stream_dir = str(tmp_path / f"er_{tag}_{n_chunks}")
+        for i in range(n_chunks):
+            part = keys.where(F.col("id") % n_chunks == i)
+            part.coalesce(1).write.mode("append").parquet(stream_dir)
+            _t.sleep(1.1)  # distinct mtimes -> deterministic batch order
+        return stream_dir
+
+    def _run(self, spark, tmp_path, n_chunks, tag):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_entity_resolution,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, n_chunks, tag)
+        got = run_streaming_entity_resolution(
+            spark,
+            stream_dir,
+            links_dir=str(tmp_path / f"links_{tag}_{n_chunks}"),
+            key_index_dir=str(tmp_path / f"kidx_{tag}_{n_chunks}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}_{n_chunks}"),
+        )
+        return {r["id"]: (r["key"], r["entity_id"]) for r in got.collect()}
+
+    def test_stream_equals_batch_entity_table(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators.dedup import (
+            connected_components,
+        )
+        from pos_pipeline_core_etl_spark.operators.fuzzy import fuzzy_key_pairs
+
+        got = self._run(spark, tmp_path, 3, "eq")
+        keys = self._keys(spark)
+        pairs = fuzzy_key_pairs(keys, "id", "key", max_distance=1).select(
+            "id_a", "id_b"
+        )
+        comps = connected_components(pairs, src="id_a", dst="id_b")
+        from pyspark.sql import functions as F
+
+        want_df = keys.join(
+            comps.select("id", "component_id"), "id", "left"
+        ).select("id", "key", F.coalesce("component_id", "id").alias("entity_id"))
+        want = {r["id"]: (r["key"], r["entity_id"]) for r in want_df.collect()}
+        assert got == want
+        # sanity: the fixture actually exercises both merged clusters
+        # (entity spans ids that arrived in DIFFERENT chunks under
+        # id%3 chunking: cluster members 0,1,2 split across all three)
+        # and untouched singletons
+        ents = {}
+        for i, (_k, e) in got.items():
+            ents.setdefault(e, []).append(i)
+        sizes = sorted(len(v) for v in ents.values())
+        assert sizes[:6] == [1] * 6 and sizes[-1] == 3
+
+    def test_chunking_is_arrival_invariant(self, spark, tmp_path):
+        one = self._run(spark, tmp_path, 1, "inv")
+        four = self._run(spark, tmp_path, 4, "inv")
+        assert one == four
