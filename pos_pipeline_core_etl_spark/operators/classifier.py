@@ -146,6 +146,27 @@ def lr_scores(feats: DataFrame, weights: DataFrame) -> DataFrame:
     )
 
 
+def calibration_bins(scores: DataFrame) -> DataFrame:
+    """(bin, n, mean_p, obs_rate) reliability deciles over a scored
+    frame — bin = least(floor(p*10), 9) so p = 1.0 lands in the top
+    bin. Shared by the registered query and the constructed-fixture
+    test (on the synthetic corpus the trained model collapses to one
+    bin — labels carry no signal — so the multi-bin leg is proven on a
+    constructed spread of scores instead)."""
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    bin_ = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long")
+    return (
+        scores.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            hround(F.avg("p"), 6).alias("mean_p"),
+            hround(F.avg("y"), 6).alias("obs_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
 def lr_eval(scores: DataFrame) -> DataFrame:
     """One-row confusion matrix + accuracy over scored docs."""
     is_ = lambda y, pred: F.sum(  # noqa: E731

@@ -134,6 +134,69 @@ def corpus_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+DSIR_TARGET_MAX_ID = 50
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    target_max_id: int = DSIR_TARGET_MAX_ID,
+) -> DataFrame:
+    """Importance-resampling weights for data selection (the DSIR
+    recipe, public: Xie et al. 2023 — hashed/unigram importance
+    weights): score every RAW-pool document by the mean log-ratio of
+    its tokens' probabilities under a TARGET distribution vs the raw
+    distribution, log w(x) = mean_tok ln(p_target(tok) / p_raw(tok)),
+    both unigram models add-one smoothed over the SHARED vocabulary.
+    Positive = looks like the target; sampling ∝ exp(w) tilts the
+    training mixture toward the target domain. The target here is the
+    benchmark-like partition (doc_id < target_max_id — the same split
+    convention as the decontamination family), the raw pool everything
+    else.
+
+    Determinism: the same F.log/avg/hround(6) contract as
+    :func:`unigram_logprob` (per-token doubles, one rounded mean).
+    Scale shape: two token-key aggregations + one token-key join from
+    the raw pool into the (vocab-sized) model table + one doc-key agg;
+    totals ride along via a broadcast cross join — no driver math, no
+    corpus × corpus."""
+    toks = corpus_tokens(docs, text_col)
+    tgt = toks.where(F.col("doc_id") < target_max_id)
+    raw = toks.where(F.col("doc_id") >= target_max_id)
+    ct = tgt.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    cr = raw.groupBy("token").agg(F.count(F.lit(1)).alias("c_r"))
+    vocab = (
+        ct.join(cr, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = (
+        raw.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                ((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("v")))
+                / ((F.col("c_r") + 1.0) / (F.col("n_r") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    from pos_pipeline_core_etl_spark.functions.rounding import hround
+
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        hround(F.avg("lr"), 6).alias("log_weight"),
+    )
+
+
 def vocabulary(docs: DataFrame, text_col: str = "text", min_count: int = 2) -> DataFrame:
     """Corpus vocabulary: per token, total occurrences + document
     frequency, min-count filtered. One shuffle on the token key (the

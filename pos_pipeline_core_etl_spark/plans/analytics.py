@@ -1499,6 +1499,42 @@ ORDER BY node
 QUERIES["graph_part_kcore"] = (graph_part_kcore, _graph_kcore_oracle())
 
 
+def graph_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-2 co-purchase graph
+    (operators/dedup.py::connected_components — the pointer-halved
+    log-diameter loop): which parts form repeat-co-purchase communities
+    at all. Completes the graph family's components member with the
+    same recursive-reachability oracle the dedup components use;
+    component_id = min member id (the shared canonicalization
+    contract)."""
+    from pos_pipeline_core_etl_spark.operators.dedup import connected_components
+
+    edges = _graph_s2_edges(spark, sf_dir)
+    comps = connected_components(edges, src="src", dst="dst")
+    return comps.select(
+        F.col("id").cast("long").alias("node"),
+        F.col("component_id").cast("long").alias("component_id"),
+    ).orderBy("node")
+
+
+def _graph_components_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_GRAPH_S2_EDGES_SQL},
+sym AS (SELECT src AS a, dst AS b FROM s2edges
+        UNION SELECT dst, src FROM s2edges),
+reach(id, lbl) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.lbl FROM reach JOIN sym s ON s.a = reach.id
+)
+SELECT CAST(id AS BIGINT) AS node, CAST(MIN(lbl) AS BIGINT) AS component_id
+FROM reach GROUP BY id ORDER BY node
+"""
+
+
+QUERIES["graph_part_components"] = (graph_part_components, _graph_components_oracle())
+
+
 def graph_part_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-Jaccard near-duplicates over the co-purchase graph
     (operators/graph.py::neighbor_jaccard_pairs, threshold 0.1):

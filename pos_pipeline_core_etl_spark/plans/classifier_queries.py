@@ -270,3 +270,33 @@ ORDER BY d.source
 
 
 QUERIES["corpus_lr_gate"] = (corpus_lr_gate, _gate_oracle())
+
+
+def docs_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table of the trained model: predicted
+    probabilities in decile bins vs the observed positive rate per bin
+    — the standard check BEFORE using a quality classifier's scores as
+    sampling weights or gate thresholds (an accurate-but-miscalibrated
+    model mis-sizes every downstream quota). bin = least(floor(p·10),9)
+    so p = 1.0 lands in the top bin; means are single hround(6)
+    roundings over ≤corpus-sized bins (the same avg contract as
+    docs_lr_eval's accuracy)."""
+    feats = _checkpointed_feats(spark, sf_dir)
+    w = classifier.logistic_gd(feats)
+    return classifier.calibration_bins(classifier.lr_scores(feats, w))
+
+
+def _calibration_oracle() -> str:
+    return f"""{_lr_chain_sql()},
+scores AS ({_SCORES_BODY})
+SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       {hround_sql("AVG(p)", 6)} AS mean_p,
+       {hround_sql("AVG(y)", 6)} AS obs_rate
+FROM scores
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+QUERIES["docs_lr_calibration"] = (docs_lr_calibration, _calibration_oracle())

@@ -6543,3 +6543,53 @@ QUERIES["corpus_build_manifest_decon"] = (
     corpus_build_manifest_decon,
     _build_manifest_decon_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (round 9)
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling weights
+    (operators/text.py::dsir_logratio_weights): every raw-pool document
+    scored by the mean token log-ratio between the benchmark-like
+    TARGET unigram model (doc_id < 50, the decontamination family's
+    split convention) and the raw-pool model, add-one smoothed over the
+    shared vocabulary. The data-mixture counterpart to the quality LR:
+    instead of "is this document good", "does this document look like
+    the distribution I want more of" — sampling ∝ exp(log_weight)
+    implements the tilt. Same log/avg/hround(6) determinism contract as
+    text_unigram_logprob."""
+    return text.dsir_logratio_weights(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def _dsir_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.text import DSIR_TARGET_MAX_ID
+
+    m = DSIR_TARGET_MAX_ID
+    lr = (
+        "ln(((v.c_t + 1.0) / (t.n_t + t.v)) / ((v.c_r + 1.0) / (t.n_r + t.v)))"
+    )
+    return f"""
+WITH {_TOKS_CTE},
+ct AS (SELECT token, count(*) AS c_t FROM toks WHERE doc_id < {m} GROUP BY token),
+cr AS (SELECT token, count(*) AS c_r FROM toks WHERE doc_id >= {m} GROUP BY token),
+vocab AS (
+  SELECT COALESCE(ct.token, cr.token) AS token,
+         COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+  FROM ct FULL OUTER JOIN cr ON cr.token = ct.token
+),
+t AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r, count(*) AS v FROM vocab)
+SELECT r.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {hround_sql(f"AVG({lr})", 6)} AS log_weight
+FROM toks r JOIN vocab v ON v.token = r.token CROSS JOIN t
+WHERE r.doc_id >= {m}
+GROUP BY r.doc_id
+ORDER BY r.doc_id
+"""
+
+
+QUERIES["docs_dsir_weights"] = (docs_dsir_weights, _dsir_oracle())

@@ -21,11 +21,12 @@ docstring listed; the r8 list dropped four names
 (``sim_lsh_bucket_topk``, ``text_decontaminate_bloom``,
 ``text_pack_sequences``, ``text_train_split``) that ADVICE r8 caught by
 reconciling the 45−28 arithmetic — recomputed this round directly from
-the CORRECTNESS_r01..r08 artifacts.  Tier 0c = the FIVE new round-9
+the CORRECTNESS_r01..r08 artifacts.  Tier 0c = the EIGHT new round-9
 queries (convergence-stopped PageRank; the end-to-end
 entity-resolution composition + its entity-grain recall audit; the
 k-core peel over the support-2 co-purchase graph; neighborhood-Jaccard
-graph near-duplicates).
+graph near-duplicates; support-2 co-purchase components; DSIR-style
+importance-resampling weights; the LR reliability/calibration table).
 Tier 1a = the two de-vacuized queries whose VALUES changed
 (``dedup_ngram_jaccard`` max_doc_id 100→310; ``branch_substring_filter``
 re-patterned to the synthetic nation names — both were standing 0-row
@@ -34,9 +35,9 @@ changed to the degree-ordered triangle join (values identical by
 construction and test-pinned, but a fresh driver row beats an argument).
 ``fuzzy_part_pairs_union``'s oracle was refactored to share its CTE
 chain with the new ER oracles — pure (replica-verified, same rows/hash),
-so it keeps its D8 row and takes no slot.  Tier 2 = the 23
+so it keeps its D8 row and takes no slot.  Tier 2 = the 20
 alphabetically-first of the 43 remaining r5-latest names (the oldest
-driver rows); the other 20 r5-latest names spill to round 10, each with
+driver rows); the other 23 r5-latest names spill to round 10, each with
 a committed both-SF row in REPLICA_r9.json.  50 explicit slots exactly.
 """
 
@@ -77,6 +78,9 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_part_entities_recall",
     "graph_part_kcore",
     "graph_part_neighbor_jaccard",
+    "graph_part_components",
+    "docs_dsir_weights",
+    "docs_lr_calibration",
     # -- tier 1a: values changed (de-vacuized 0-row greens, VERDICT r8 #2)
     "dedup_ngram_jaccard",
     "branch_substring_filter",
@@ -106,9 +110,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_tumbling_counts",
     "fact_payments_ticket",
     "fact_sales_item_line",
-    "fact_transfers_line",
-    "multimodal_dhash",
-    "multimodal_dhash_pairs",
 )
 
 

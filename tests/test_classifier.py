@@ -106,3 +106,35 @@ def test_train_plan_shape(spark):
 
     with pytest.raises(ValueError):
         classifier.logistic_gd(feats, iters=0)
+
+
+class TestCalibrationBins:
+    """Multi-bin reliability leg, proven on a constructed score spread
+    (the registered query's synthetic corpus collapses to one bin —
+    the trained model has no signal — so oracle agreement there never
+    exercises the binning): a perfectly calibrated spread must land
+    each score in its decile with obs_rate == mean_p's bin, and p=1.0
+    must fold into bin 9, not a phantom bin 10."""
+
+    def test_bins_and_top_edge(self, spark):
+        from pos_pipeline_core_etl_spark.operators.classifier import (
+            calibration_bins,
+        )
+
+        rows = []
+        did = 0
+        for b in range(10):
+            p = b / 10 + 0.05  # mid-decile
+            for i in range(10):
+                rows.append((did, 1 if i < b else 0, p, 0))  # b positives
+                did += 1
+        rows.append((did, 1, 1.0, 1))  # exact top edge
+        df = spark.createDataFrame(rows, "doc_id long, y long, p double, pred long")
+        got = {r.bin: r for r in calibration_bins(df).collect()}
+        assert sorted(got) == list(range(10))  # ten bins, no bin 10
+        assert got[9]["n"] == 11  # p=1.0 folded into the top decile
+        for b in range(9):
+            assert got[b]["n"] == 10
+            assert abs(got[b]["mean_p"] - (b / 10 + 0.05)) < 1e-9
+            # exactly b positives out of 10 in bin b
+            assert abs(got[b]["obs_rate"] - b / 10) < 1e-9
