@@ -286,6 +286,70 @@ def pagerank_converged(
     return ranks.withColumn("stop_iter", F.lit(stop).cast("long"))
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping_pct: int = PAGERANK_DAMPING_PCT,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """(node, rank_q): personalized (seeded) fixed-point PageRank —
+    the random walk restarts only at ``seeds`` (one column ``node``),
+    so ranks measure proximity TO THE SEED SET rather than global
+    influence: "parts co-purchased near THESE parts", the
+    recommendation / expansion primitive. Same integer contract as
+    :func:`pagerank_fixedpoint` (nano-unit ranks, floor-division
+    contributions, order-free integer sums — bit-exact cross-engine);
+    the only change is the restart term: base_q(v) =
+    ((100-d)·scale) DIV (100·n_seeds) for seed nodes, 0 elsewhere,
+    and the walk starts from the seed distribution (scale DIV n_seeds
+    on seeds, 0 elsewhere). Seeds outside the node set are ignored
+    (their mass never enters). Per-iteration cost identical to the
+    global loop."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    annotated, nodes, n = _pagerank_setup(edges)
+    seed_nodes = nodes.join(
+        seeds.select(F.col("node")).distinct(), "node", "left_semi"
+    ).localCheckpoint(eager=True)
+    n_seeds = seed_nodes.count()
+    if n == 0 or n_seeds == 0:
+        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
+    base_q = ((100 - damping_pct) * scale) // (100 * n_seeds)
+    init_q = scale // n_seeds
+    seeded = seed_nodes.withColumn("is_seed", F.lit(True))
+    annot_nodes = nodes.join(seeded, "node", "left").select(
+        "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    ).localCheckpoint(eager=True)
+    ranks = annot_nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(init_q))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_q"),
+    )
+    for _ in range(iters):
+        contrib = annotated.join(ranks, annotated.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_q DIV outdeg").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            annot_nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base_q)).otherwise(F.lit(0))
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+                )
+                .cast("long")
+                .alias("rank_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 KCORE_K = 3
 KCORE_MAX_ROUNDS = 12
 

@@ -1499,6 +1499,90 @@ ORDER BY node
 QUERIES["graph_part_kcore"] = (graph_part_kcore, _graph_kcore_oracle())
 
 
+_PPR_SEED_BOUND = 100  # seed set: parts with partkey < 100 in the graph
+
+
+def graph_part_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the co-purchase graph
+    (operators/graph.py::pagerank_personalized): the walk restarts only
+    at parts with partkey < 100, so ranks measure proximity to that
+    seed basket — "what gets co-purchased NEAR these parts", the
+    recommendation/expansion primitive. Same integer nano-unit contract
+    as the global loop (bit-exact cross-engine); the oracle unrolls the
+    iterations with the seed-gated restart term. NOTE: registered after
+    the round-9 window filled (the graph_pagerank_convergence
+    precedent from round 8) — leads tier 0 in round 10; replica rows
+    at both SFs committed meanwhile."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_edges(spark, sf_dir)
+    seeds = edges.sparkSession.range(_PPR_SEED_BOUND).select(
+        F.col("id").alias("node")
+    )
+    return (
+        graph.pagerank_personalized(edges, seeds)
+        .select(F.col("node").cast("long").alias("node"), "rank_q")
+        .orderBy("node")
+    )
+
+
+def _graph_ppr_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.graph import (
+        PAGERANK_DAMPING_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    d = PAGERANK_DAMPING_PCT
+    sb = _PPR_SEED_BOUND
+    ctes = [
+        f"""sym AS MATERIALIZED (SELECT src, dst FROM edges
+       UNION ALL SELECT dst, src FROM edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node, src < {sb} AS is_seed FROM deg),
+basec AS MATERIALIZED (
+  SELECT (({100 - d}) * CAST({PAGERANK_SCALE} AS BIGINT))
+           // (100 * count(*) FILTER (is_seed)) AS b,
+         CAST({PAGERANK_SCALE} AS BIGINT) // count(*) FILTER (is_seed)
+           AS r_init
+  FROM nodes
+),
+rk0 AS MATERIALIZED (
+  SELECT node, CASE WHEN is_seed THEN r_init ELSE 0 END AS rank_q
+  FROM nodes, basec
+)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(
+            f"""rk{i} AS MATERIALIZED (
+  SELECT n.node,
+         (CASE WHEN n.is_seed THEN bc.b ELSE 0 END)
+           + ({d} * COALESCE(s.s, 0)) // 100 AS rank_q
+  FROM nodes n CROSS JOIN basec bc
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // dg.outdeg) AS s
+    FROM sym e
+    JOIN rk{i - 1} r ON r.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {_GRAPH_EDGES_SQL},
+{chain}
+SELECT CAST(node AS BIGINT) AS node, CAST(rank_q AS BIGINT) AS rank_q
+FROM rk{PAGERANK_ITERS} ORDER BY node
+"""
+
+
+QUERIES["graph_part_pagerank_seeded"] = (
+    graph_part_pagerank_seeded,
+    _graph_ppr_oracle(),
+)
+
+
 def graph_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the support-2 co-purchase graph
     (operators/dedup.py::connected_components — the pointer-halved

@@ -39,6 +39,10 @@ so it keeps its D8 row and takes no slot.  Tier 2 = the 20
 alphabetically-first of the 43 remaining r5-latest names (the oldest
 driver rows); the other 23 r5-latest names spill to round 10, each with
 a committed both-SF row in REPLICA_r9.json.  50 explicit slots exactly.
+``graph_part_pagerank_seeded`` (personalized PageRank) was registered
+AFTER the round-9 window filled — the graph_pagerank_convergence
+precedent from round 8: it leads tier 0 in round 10 and carries
+committed REPLICA_r9.json rows at both SFs meanwhile.
 """
 
 from __future__ import annotations

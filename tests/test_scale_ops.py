@@ -3753,3 +3753,52 @@ class TestKcoreAndNeighborJaccard:
             for r in graph.neighbor_jaccard_pairs(df, threshold=0.7).collect()
         }
         assert high == {(3, 4)}  # J(1,2)=2/3 < 0.7 drops out too
+
+
+class TestPersonalizedPagerank:
+    def test_seed_proximity_and_zero_off_component(self, spark):
+        """Two disjoint triangles, seeds only in the first: all rank
+        mass stays in the seeded component (the other component gets
+        exact zeros — no teleport there, integer arithmetic, no dust),
+        and within the seeded triangle the seed outranks non-seeds."""
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+            "src long, dst long",
+        )
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.rank_q for r in
+               graph.pagerank_personalized(edges, seeds).collect()}
+        assert got[10] == got[11] == got[12] == 0
+        assert got[1] > got[2] == got[3] > 0
+        # total mass conserved up to floor-division dust
+        assert sum(got.values()) <= graph.PAGERANK_SCALE
+
+    def test_uniform_seed_set_recovers_global_shape(self, spark):
+        """Seeding EVERY node makes the restart term uniform — the
+        personalized loop must then agree exactly with the global
+        fixed-point loop (same integer update rule, same init)."""
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(i,) for i in range(6)], "node long")
+        personalized = {r.node: r.rank_q for r in
+                        graph.pagerank_personalized(edges, seeds).collect()}
+        fixed = {r.node: r.rank_q for r in
+                 graph.pagerank_fixedpoint(edges).collect()}
+        assert personalized == fixed
+
+    def test_empty_or_foreign_seeds(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        none = spark.createDataFrame([], "node long")
+        assert {r.rank_q for r in
+                graph.pagerank_personalized(edges, none).collect()} == {0}
+        # seeds disjoint from the node set are ignored entirely
+        foreign = spark.createDataFrame([(99,)], "node long")
+        assert {r.rank_q for r in
+                graph.pagerank_personalized(edges, foreign).collect()} == {0}
