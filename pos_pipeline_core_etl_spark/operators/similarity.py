@@ -748,6 +748,85 @@ def kmeans_lloyd(
     return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters bound the pairwise leg, then
+    exact cosine WITHIN each cluster marks semantic near-duplicates;
+    survivorship is keep-min-id (the repo-wide canonicalization
+    contract).  Output at the duplicate grain, mirroring
+    :func:`embedding_neardup`: (dup_id, cluster, keep_id, best_sim,
+    n_matches) — one row per vector that has a more-canonical semantic
+    twin in its cluster.
+
+    Where :func:`embedding_neardup` blocks by hyperplane-LSH bucket
+    (cheap, recall limited by bucket splits), this blocks by LEARNED
+    clusters — the published recipe for pruning web-scale training
+    corpora, and the natural consumer of the :func:`kmeans_lloyd`
+    machinery already in the repo (same integer-quantized assignments,
+    so cluster membership is bit-exact cross-engine; cosines compare
+    after hround(6)).
+
+    Scale shape: one kmeans (map-side assign + keyed agg per iter), one
+    self-join keyed by cluster.  At 100 TB you raise k so clusters stay
+    join-cell-sized (the paper uses k ~ sqrt(n)); a skewed cluster is
+    the same failure mode as an LSH bucket overflow and takes the same
+    cap-and-audit treatment — the threshold here is measured against
+    the synthetic near-orthogonal corpus (within-cluster p99.9 cosine
+    ~0.41 at both SFs; 0.3 keeps real non-vacuous output) the way
+    embedding_neardup's 0.2 is."""
+    assigned = kmeans_lloyd(embeddings, k, iters, id_col, vec_col)
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .join(assigned, "vec_id")
+        .withColumn("norm", l2norm(F.col("vec")))
+    )
+    left = base.select(
+        F.col("vec_id").alias("keep_cand"),
+        F.col("cluster"),
+        F.col("vec").alias("lvec"),
+        F.col("norm").alias("lnorm"),
+    )
+    right = base.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("cluster"),
+        F.col("vec").alias("rvec"),
+        F.col("norm").alias("rnorm"),
+    )
+    pairs = (
+        left.join(right, ["cluster"])
+        .where(F.col("keep_cand") < F.col("dup_id"))
+        .select(
+            "dup_id",
+            "cluster",
+            "keep_cand",
+            hround(
+                cosine_prenormed(
+                    F.col("lvec"), F.col("rvec"), F.col("lnorm"), F.col("rnorm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+    return pairs.groupBy("dup_id", "cluster").agg(
+        F.min("keep_cand").alias("keep_id"),
+        F.max("cos_sim").alias("best_sim"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+
+
 def _kmeans_assignments(
     embeddings: DataFrame,
     k: int = KMEANS_K,

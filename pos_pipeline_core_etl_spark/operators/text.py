@@ -717,6 +717,42 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PPL_BUCKETS = 3
+PPL_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def perplexity_buckets(
+    docs: DataFrame, text_col: str = "text", n_buckets: int = PPL_BUCKETS
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the corpus bigram LM
+    (:func:`bigram_logprob`) and split the corpus into equal-count
+    head / middle / tail tertiles of LM surprise — the standard cheap
+    quality stratification a training-data pipeline runs before
+    sampling (head = lowest surprise = most fluent under the corpus
+    model).  Output: (doc_id, mean_neg_logprob, ppl_bucket).
+
+    Determinism contract: the score is hround(6)-ed FIRST, then ntile
+    orders by (score, doc_id) — a total order on exact-equal values in
+    both engines, so bucket boundaries cannot drift on float ties.
+    The ntile window is unpartitioned, which is fine at the
+    doc-manifest grain (same contract as docs_quality_pct_rank); at
+    100 TB you'd swap it for approx quantile cuts computed in one agg
+    and assign buckets by range join — the bucket SEMANTICS stay the
+    ones checked here."""
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(docs, text_col)
+    w = Window.orderBy("mean_neg_logprob", "doc_id")
+    tile = F.ntile(n_buckets).over(w)
+    names = F.array(*[F.lit(n) for n in PPL_BUCKET_NAMES[:n_buckets]])
+    return scored.select(
+        "doc_id",
+        "mean_neg_logprob",
+        F.element_at(names, tile).alias("ppl_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer TRAINING (Sennrich, Haddow & Birch, "Neural Machine
 # Translation of Rare Words with Subword Units", ACL 2016) — the merge

@@ -1105,13 +1105,48 @@ edges AS MATERIALIZED (
 )"""
 
 
-def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Session-scoped materialize-once edge cache (round 10, VERDICT r9 #5):
+# every graph query family member used to rebuild its edge list from
+# lineitem, and the support-2 build DOMINATED the consumers at 100×
+# (25.99 s kcore / 27.8 s components in LADDER_r9 — the peel/label loops
+# themselves are live-set-sized).  At 100 TB you materialize the graph
+# once and consume it many times (the z-order/compaction family's
+# pattern); within one engine session the equivalent is build-once via
+# an eager localCheckpoint keyed by (application, sf_dir, graph kind).
+# Values are unchanged — the cache holds exactly what the pure builders
+# (_graph_edges_build / _graph_s2_edges_build, which the plan-hygiene
+# tests assert against) produce.
+_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared_edges(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    df = _EDGE_CACHE.get(key)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _EDGE_CACHE[key] = df
+    return df
+
+
+def _graph_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure (un-cached) support-1 edge build — the plan the first
+    consumer pays; plan-hygiene assertions target this form."""
     from pos_pipeline_core_etl_spark.operators import graph
 
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_partkey") < _GRAPH_PART_BOUND
     )
     return graph.copurchase_edges(li)
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_edges(
+        spark, sf_dir, "s1", lambda: _graph_edges_build(spark, sf_dir)
+    )
 
 
 def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,13 +1433,15 @@ _GRAPH_S2_EDGES_SQL = """le AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
 ),
 s2edges AS MATERIALIZED (
-  SELECT a.item AS src, b.item AS dst
+  SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS n_orders
   FROM le a JOIN le b ON a.g = b.g AND a.item < b.item
   GROUP BY 1, 2 HAVING count(*) >= 2
 )"""
 
 
-def _graph_s2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _graph_s2_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure (un-cached) support-2 edge build, n_orders kept — the plan
+    the first consumer pays; plan-hygiene assertions target this form."""
     from pos_pipeline_core_etl_spark.operators.dedup import upper_triangle_pairs
 
     li = (
@@ -1425,10 +1462,20 @@ def _graph_s2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.select(F.explode(pairs).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
-        .select("src", "dst")
     )
+
+
+def _graph_s2_edges_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, n_orders) — the shared materialized support-2 graph."""
+    return _shared_edges(
+        spark, sf_dir, "s2", lambda: _graph_s2_edges_build(spark, sf_dir)
+    )
+
+
+def _graph_s2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph_s2_edges_full(spark, sf_dir).select("src", "dst")
 
 
 def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,6 +1718,149 @@ ORDER BY node_a, node_b
 QUERIES["graph_part_neighbor_jaccard"] = (
     graph_part_neighbor_jaccard,
     _graph_neighbor_jaccard_oracle(),
+)
+
+
+def graph_part_s2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-2 co-purchase edge list ITSELF as a checked artifact
+    (round 10, VERDICT r9 #5): (src, dst, n_orders) for every part pair
+    co-occurring in >= 2 distinct orders. This is the shared
+    materialization every support-2 consumer (kcore, components, the
+    capped jaccard family) now reads instead of rebuilding — the
+    materialize-then-consume pattern (operators/layout.py family) at
+    the query-plan level, and putting the build's VALUES under the
+    driver oracle means a cache bug cannot hide behind its consumers."""
+    return (
+        _graph_s2_edges_full(spark, sf_dir)
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            "n_orders",
+        )
+        .orderBy("src", "dst")
+    )
+
+
+GRAPH_PART_S2_EDGES_SQL = f"""
+WITH {_GRAPH_S2_EDGES_SQL}
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, n_orders
+FROM s2edges ORDER BY src, dst
+"""
+
+QUERIES["graph_part_s2_edges"] = (graph_part_s2_edges, GRAPH_PART_S2_EDGES_SQL)
+
+
+# Threshold for the capped-jaccard family on the support-2 graph,
+# measured against BOTH SFs before registering (the SELFREVIEW r9 #8
+# discipline): uncapped 144 / capped 30 rows at sf0.01, 1132 / 1122 at
+# sf0.1 — non-vacuous at both SFs AND the cap BINDS at both (the capped
+# query is not a silent twin of the exact one).
+_S2_JACCARD_THRESHOLD = 0.5
+
+
+def graph_part_neighbor_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-capped neighborhood-Jaccard over the support-2 co-purchase
+    graph (operators/graph.py::neighbor_jaccard_pairs with
+    wedge_cap=WEDGE_CAP) — the round-10 close of the one
+    stated-but-unbuilt scale leg VERDICT r9 named: shared neighbors of
+    degree > 4 are excluded from wedge GENERATION (one power-law hub
+    otherwise contributes C(deg, 2) wedges and degenerates the join),
+    so the wedge intermediate is bounded at cap² per generator.
+    Denominators keep TRUE degrees, so every emitted jaccard is a LOWER
+    BOUND of the exact value — precision preserved, recall capped, and
+    graph_part_wedge_overflow is the standing audit of exactly what
+    the cap skipped.  Capped ≡ exact whenever the cap clears the max
+    degree (test-pinned); on this graph the cap binds at both SFs by
+    construction (see _S2_JACCARD_THRESHOLD note)."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_s2_edges(spark, sf_dir)
+    return (
+        graph.neighbor_jaccard_pairs(
+            edges, threshold=_S2_JACCARD_THRESHOLD, wedge_cap=graph.WEDGE_CAP
+        )
+        .select(
+            F.col("node_a").cast("long").alias("node_a"),
+            F.col("node_b").cast("long").alias("node_b"),
+            "n_shared",
+            "jaccard",
+        )
+        .orderBy("node_a", "node_b")
+    )
+
+
+def _graph_neighbor_jaccard_capped_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.graph import WEDGE_CAP
+
+    ratio = hround_sql("ns / CAST(da.d + db.d - ns AS DOUBLE)", 6)
+    return f"""
+WITH {_GRAPH_S2_EDGES_SQL},
+sym AS MATERIALIZED (SELECT src, dst FROM s2edges
+       UNION ALL SELECT dst, src FROM s2edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM sym GROUP BY src),
+wsrc AS (
+  SELECT s.src, s.dst FROM sym s JOIN deg g ON g.src = s.src
+  WHERE g.d <= {WEDGE_CAP}
+),
+sh AS (
+  SELECT a.dst AS node_a, b.dst AS node_b, CAST(count(*) AS BIGINT) AS ns
+  FROM wsrc a JOIN wsrc b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT CAST(sh.node_a AS BIGINT) AS node_a,
+       CAST(sh.node_b AS BIGINT) AS node_b,
+       sh.ns AS n_shared,
+       {ratio} AS jaccard
+FROM sh
+JOIN deg da ON da.src = sh.node_a
+JOIN deg db ON db.src = sh.node_b
+WHERE {ratio} >= {_S2_JACCARD_THRESHOLD}
+ORDER BY node_a, node_b
+"""
+
+
+QUERIES["graph_part_neighbor_jaccard_capped"] = (
+    graph_part_neighbor_jaccard_capped,
+    _graph_neighbor_jaccard_capped_oracle(),
+)
+
+
+def graph_part_wedge_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wedge-cap audit (operators/graph.py::wedge_overflow): every
+    support-2 node whose degree exceeds WEDGE_CAP — i.e. every hub the
+    capped jaccard excluded from wedge generation — with the C(deg, 2)
+    wedge count the cap saved.  The observability half of the cap
+    contract (fuzzy_phonetic_overflow / dedup_containment_overflow
+    template): non-empty at both SFs on this graph (601 hubs at sf0.01,
+    1 at sf0.1 — measured before registering), so the audit path is
+    exercised by real data, not only by the constructed fixture."""
+    from pos_pipeline_core_etl_spark.operators import graph
+
+    edges = _graph_s2_edges(spark, sf_dir)
+    return (
+        graph.wedge_overflow(edges, wedge_cap=graph.WEDGE_CAP)
+        .select(F.col("node").cast("long").alias("node"), "deg", "wedges_skipped")
+        .orderBy("node")
+    )
+
+
+def _graph_wedge_overflow_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.graph import WEDGE_CAP
+
+    return f"""
+WITH {_GRAPH_S2_EDGES_SQL},
+sym AS (SELECT src, dst FROM s2edges
+        UNION ALL SELECT dst, src FROM s2edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src)
+SELECT CAST(src AS BIGINT) AS node, deg,
+       CAST(deg * (deg - 1) / 2 AS BIGINT) AS wedges_skipped
+FROM deg WHERE deg > {WEDGE_CAP} ORDER BY node
+"""
+
+
+QUERIES["graph_part_wedge_overflow"] = (
+    graph_part_wedge_overflow,
+    _graph_wedge_overflow_oracle(),
 )
 
 

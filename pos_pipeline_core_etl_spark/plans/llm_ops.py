@@ -475,17 +475,27 @@ FROM fp GROUP BY fp
 """
 
 
+# One constant feeds BOTH the Spark query and the SQL oracle so the
+# bound cannot silently desync between engines (the KMEANS_ITERS rule).
+_NGRAM_JACCARD_MAX_DOC_ID = 800
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise n-gram Jaccard verify over a bounded doc subset.
-    max_doc_id=310 (was 100 through round 8): the synthetic corpus's
-    near-dup pairs all straddle the old boundary (highest-J pair below
-    100 scores 0.03), so the query was a standing 0-row green — oracle
-    agreement at zero rows proves both engines agree there is nothing
-    to find, not that they'd agree when there is (VERDICT r8 #2). At
-    310 the subset contains real ≥0.98-Jaccard pairs at both SFs and
-    the bound still caps the O(n²) leg for both engines."""
+    max_doc_id=800 (100 through round 8, 310 through round 9): the r8
+    de-vacuization picked 310 by inspecting sf0.01 only, where it yields
+    8 pairs — at sf0.1 the lowest-id near-dup pair is (246, 491) with
+    nothing else under 310, so the sf0.1 replica row stayed a vacuous
+    0-row green and the old docstring's "both SFs" claim was false
+    (VERDICT r9 / ADVICE r9 #1). 800 was chosen by enumerating every
+    ≥0.5-Jaccard pair at BOTH SFs ordered by max(doc_a, doc_b): it
+    captures 25 pairs at sf0.01 and 4 at sf0.1 ((246,491), (540,630),
+    (379,771), (755,787)) while the O(n²) leg stays bounded at
+    800²/2 = 320k candidate pairs for both engines."""
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_doc_id=310
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_doc_id=_NGRAM_JACCARD_MAX_DOC_ID,
     )
 
 
@@ -493,7 +503,8 @@ def _ngram_jaccard_oracle() -> str:
     sh = dedup.shingles_sql("text")
     return f"""
 WITH sh AS (
-  SELECT doc_id, {sh} AS s FROM documents WHERE doc_id < 310
+  SELECT doc_id, {sh} AS s FROM documents
+  WHERE doc_id < {_NGRAM_JACCARD_MAX_DOC_ID}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        {hround_sql(
@@ -4019,6 +4030,49 @@ EMB_KMEANS_LLOYD_SQL = _kmeans_oracle()
 QUERIES["emb_kmeans_lloyd"] = (emb_kmeans_lloyd, EMB_KMEANS_LLOYD_SQL)
 
 
+def docs_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pruning (Abbas et al. 2023,
+    arXiv:2303.09540 — see operators/similarity.py::semdedup): k-means
+    clusters bound the pairwise leg, exact cosine within each cluster
+    marks semantic twins, keep-min-id survivorship.  The LEARNED-
+    blocking counterpart of dedup_embedding_cosine's hyperplane-LSH
+    blocking, and the published recipe for pruning web-scale training
+    corpora.  Threshold 0.3 measured against BOTH SFs before
+    registering (312 within-cluster pairs >= 0.3 at sf0.01, 3836 at
+    sf0.1 — within-cluster p99.9 cosine ~0.41 on the near-orthogonal
+    synthetic corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb).orderBy("dup_id")
+
+
+def _semdedup_oracle() -> str:
+    thr = similarity.SEMDEDUP_THRESHOLD
+    cos = hround_sql(_cos_sql("l.v", "r.v"), 6)
+    return f"""
+WITH assign AS MATERIALIZED ({EMB_KMEANS_LLOYD_SQL}),
+m AS MATERIALIZED (
+  SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM assign a JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT r.vec_id AS dup_id, r.cluster AS cluster, l.vec_id AS keep_cand,
+         {cos} AS cos_sim
+  FROM m l JOIN m r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+)
+SELECT dup_id, CAST(cluster AS BIGINT) AS cluster,
+       MIN(keep_cand) AS keep_id, MAX(cos_sim) AS best_sim,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM pairs WHERE cos_sim >= {thr}
+GROUP BY dup_id, cluster
+ORDER BY dup_id
+"""
+
+
+DOCS_SEMDEDUP_SQL = _semdedup_oracle()
+
+QUERIES["docs_semdedup"] = (docs_semdedup, DOCS_SEMDEDUP_SQL)
+
+
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011): per-subspace
     k-means codebooks trained on the full corpus in parallel, every
@@ -5178,6 +5232,36 @@ GROUP BY p.doc_id
 """
 
 QUERIES["text_bigram_logprob"] = (text_bigram_logprob, TEXT_BIGRAM_LOGPROB_SQL)
+
+
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tertiles (Wenzek et al. 2020 — see
+    operators/text.py::perplexity_buckets): every document scored by
+    the corpus bigram LM and split into equal-count head / middle /
+    tail buckets of LM surprise, the standard cheap quality
+    stratification before corpus sampling.  Deterministic because the
+    score is hround(6)-ed BEFORE the (score, doc_id)-ordered ntile —
+    bucket boundaries cannot drift on float ties cross-engine."""
+    return text.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+DOCS_PERPLEXITY_BUCKETS_SQL = f"""
+WITH scored AS MATERIALIZED ({TEXT_BIGRAM_LOGPROB_SQL}),
+tiled AS (
+  SELECT doc_id, mean_neg_logprob,
+         ntile(3) OVER (ORDER BY mean_neg_logprob, doc_id) AS t
+  FROM scored
+)
+SELECT doc_id, mean_neg_logprob,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM tiled
+"""
+
+QUERIES["docs_perplexity_buckets"] = (
+    docs_perplexity_buckets,
+    DOCS_PERPLEXITY_BUCKETS_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -13,37 +13,28 @@ round-3 queries; r4 front-loaded the 24 never-checked round-4 names; r7
 retired the r3 backlog; r8 went 50/50 green over the r7 spillovers + the
 13 new r8 queries + 28 of the 45 r4-latest names.
 
-Round-9 window (this file).  Tier 0a = ``graph_pagerank_convergence``,
-the single name never driver-checked (registered after the r8 window
-froze; replica-green both SFs).  Tier 0b = the SEVENTEEN deferred
-r4-latest names — note: seventeen, not the thirteen the round-8
-docstring listed; the r8 list dropped four names
-(``sim_lsh_bucket_topk``, ``text_decontaminate_bloom``,
-``text_pack_sequences``, ``text_train_split``) that ADVICE r8 caught by
-reconciling the 45−28 arithmetic — recomputed this round directly from
-the CORRECTNESS_r01..r08 artifacts.  Tier 0c = the EIGHT new round-9
-queries (convergence-stopped PageRank; the end-to-end
-entity-resolution composition + its entity-grain recall audit; the
-k-core peel over the support-2 co-purchase graph; neighborhood-Jaccard
-graph near-duplicates; support-2 co-purchase components; DSIR-style
-importance-resampling weights; the LR reliability/calibration table).
-Tier 1a = the two de-vacuized queries whose VALUES changed
-(``dedup_ngram_jaccard`` max_doc_id 100→310; ``branch_substring_filter``
-re-patterned to the synthetic nation names — both were standing 0-row
-greens, VERDICT r8 #2).  Tier 1b = the two graph queries whose PLAN
-changed to the degree-ordered triangle join (values identical by
-construction and test-pinned, but a fresh driver row beats an argument).
-``fuzzy_part_pairs_union``'s oracle was refactored to share its CTE
-chain with the new ER oracles — pure (replica-verified, same rows/hash),
-so it keeps its D8 row and takes no slot.  Tier 2 = the 20
-alphabetically-first of the 43 remaining r5-latest names (the oldest
-driver rows); the other 23 r5-latest names spill to round 10, each with
-a committed both-SF row in REPLICA_r9.json.  50 explicit slots exactly.
-``graph_part_pagerank_seeded`` (personalized PageRank) was registered
-AFTER the round-9 window filled — the graph_pagerank_convergence
-precedent from round 8: it leads tier 0 in round 10 and carries
-committed REPLICA_r9.json rows at both SFs meanwhile.
-"""
+Round-10 window (this file).  Counts are NO LONGER hand-written in
+prose — three rounds in a row a count drifted from the list (r8's
+13-vs-17, r9's tier-2 comment, SELFREVIEW_r9's stale arithmetic), and
+window composition is exactly where a silent arithmetic slip costs a
+round of driver coverage (VERDICT r9 #2).  The window is now BUILT from
+named tier tuples, and ``tests/test_registry_meta.py::
+test_window_tiers_derive_from_artifacts`` re-derives every tier from
+the committed CORRECTNESS_r01..r09 artifacts: the never-checked tier
+must equal the set of registry names absent from all pre-r10 artifacts,
+the rotation tier must equal ALL names whose latest driver row is round
+5, and the re-cert tier must be the alphabetically-first names whose
+latest row is round 6 (the remaining r6 names spill to round 11, each
+with committed both-SF rows in REPLICA_r10.json).
+
+Tier rationale: never-checked = ``graph_part_pagerank_seeded``
+(registered after the r9 window froze — the standing precedent) plus
+the new round-10 queries (the shared support-2 edge materialization,
+the wedge-capped jaccard + its overflow audit closing VERDICT r9 #4,
+SemDeDup, CCNet perplexity buckets).  Values-changed =
+``dedup_ngram_jaccard`` (max_doc_id 310→800: the r9 bound was vacuous
+at sf0.1 — ADVICE r9 #1).  Then the r5-latest rotation and the oldest
+r6 re-certs."""
 
 from __future__ import annotations
 
@@ -53,67 +44,81 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Round-9 window: see module docstring for the tier rationale.
+# Names never driver-checked as of the r10 window: the post-r9-window
+# registration + every query new in round 10.
+_TIER_NEVER_CHECKED: tuple[str, ...] = (
+    "graph_part_pagerank_seeded",
+    "graph_part_s2_edges",
+    "graph_part_neighbor_jaccard_capped",
+    "graph_part_wedge_overflow",
+    "docs_semdedup",
+    "docs_perplexity_buckets",
+)
+
+# Queries whose VALUES changed since their last green driver row.
+_TIER_VALUES_CHANGED: tuple[str, ...] = (
+    "dedup_ngram_jaccard",  # max_doc_id 310 -> 800 (ADVICE r9 #1)
+)
+
+# Every name whose latest driver row is round 5 (recomputed from the
+# artifacts by the meta test — this tuple must stay EQUAL to that set).
+_TIER_ROTATE_R5: tuple[str, ...] = (
+    "fact_transfers_line",
+    "multimodal_dhash",
+    "multimodal_dhash_pairs",
+    "order_times_approx",
+    "order_times_summary",
+    "sales_by_group_mart",
+    "silver_clean_payments",
+    "sim_ivfpq_topk",
+    "sim_pq_adc_topk",
+    "sorted_distinct_dates",
+    "sql_interface_revenue",
+    "text_decontaminate",
+    "text_dedup_spans",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scan",
+    "text_quality",
+    "text_substring_dedup",
+    "text_tfidf_topk",
+    "text_token_counts",
+    "text_vocabulary",
+    "text_winnow_fingerprints",
+    "transfers_cube_mart",
+)
+
+# The alphabetically-first of the names whose latest driver row is
+# round 6 (the oldest remaining rows), filling the window to exactly
+# 50; the rest of the r6 names spill to round 11.
+_TIER_RECERT_R6: tuple[str, ...] = (
+    "corpus_build_manifest",
+    "corpus_lr_gate",
+    "dedup_contained_docs",
+    "dedup_containment",
+    "dedup_containment_overflow",
+    "dedup_containment_recall",
+    "dedup_containment_staged",
+    "dedup_incremental_diff",
+    "dedup_simhash_overflow",
+    "dedup_simhash_staged",
+    "dedup_sparse_cosine",
+    "dedup_sparse_cosine_staged",
+    "deposit_cash_flow",
+    "docs_lr_auc",
+    "docs_lr_eval",
+    "docs_lr_scores",
+    "docs_lr_train",
+    "events_layout_skipping",
+    "fn_accent_bucket",
+    "fn_clean_strings",
+)
+
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 0a: the one never-driver-checked name ---------------------
-    "graph_pagerank_convergence",
-    # -- tier 0b: the 17 deferred r4-latest names (ADVICE r8: 17, not
-    #    the 13 the r8 docstring listed) ---------------------------------
-    "corpus_mixture_sample",
-    "dedup_embedding_components",
-    "emb_quantize_int8",
-    "emb_random_projection",
-    "events_funnel",
-    "events_windowed_topk",
-    "forecast_naive_lastweek",
-    "sim_lsh_bucket_topk",
-    "sim_lsh_buckets_histogram",
-    "text_bigram_logprob",
-    "text_bpe_pairs",
-    "text_decontaminate_bloom",
-    "text_pack_sequences",
-    "text_repetition",
-    "text_shuffle_shards",
-    "text_train_split",
-    "user_activity_gaps",
-    # -- tier 0c: new round-9 queries (never driver-checked) ------------
-    "graph_part_pagerank_tol",
-    "fuzzy_part_entities_final",
-    "fuzzy_part_entities_recall",
-    "graph_part_kcore",
-    "graph_part_neighbor_jaccard",
-    "graph_part_components",
-    "docs_dsir_weights",
-    "docs_lr_calibration",
-    # -- tier 1a: values changed (de-vacuized 0-row greens, VERDICT r8 #2)
-    "dedup_ngram_jaccard",
-    "branch_substring_filter",
-    # -- tier 1b: plan swapped to the degree-ordered triangle join
-    #    (values identical, re-certify anyway) ---------------------------
-    "graph_part_triangles",
-    "graph_part_clustering",
-    # -- tier 2: the 25 alphabetically-first of the 43 remaining
-    #    r5-latest names (oldest driver rows); the other 18 spill to r10 --
-    "agg_pricing_summary",
-    "bounded_sample",
-    "corpus_dedup_report",
-    "corpus_length_histogram",
-    "corpus_snapshot_diff",
-    "dedup_exact_docs",
-    "dedup_winnow_pairs",
-    "docs_quality_pct_approx",
-    "docs_weighted_sample",
-    "drop_null_rows",
-    "emb_kmeans_lloyd",
-    "emb_kmeans_sse",
-    "emb_pq_codes",
-    "emb_pq_sse",
-    "events_cardinality_sketch",
-    "events_dedup",
-    "events_sessionization",
-    "events_tumbling_counts",
-    "fact_payments_ticket",
-    "fact_sales_item_line",
+    _TIER_NEVER_CHECKED
+    + _TIER_VALUES_CHANGED
+    + _TIER_ROTATE_R5
+    + _TIER_RECERT_R6
 )
 
 

@@ -323,3 +323,106 @@ def test_zero_row_greens_have_constructed_fixture_twins():
     # (a query that grew real rows no longer needs the exemption)
     stale = set(ALLOWLIST) - zero_both
     assert not stale, f"allowlist entries no longer zero-row: {sorted(stale)}"
+
+
+def test_zero_row_greens_at_single_sf_are_explained():
+    """Per-SF extension of the zero-row discipline (ADVICE r9 #1 /
+    VERDICT r9 #3): dedup_ngram_jaccard hid for a round by being
+    non-empty at sf0.01 (where the driver looks) and empty at sf0.1 —
+    the zero-at-BOTH meta test above cannot see that shape. A query
+    empty at exactly one SF is either a parameter-choice bug or a
+    documented scale asymmetry; both require an explicit entry here."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    arts = sorted(
+        glob.glob(os.path.join(root, "REPLICA_r*.json")),
+        key=lambda p: int(re.search(r"REPLICA_r(\d+)", p).group(1)),
+    )
+    if not arts:
+        import pytest
+
+        pytest.skip("no replica artifact committed yet")
+    with open(arts[-1]) as f:
+        doc = json.load(f)
+    a, b = doc.get("sf0.01", {}), doc.get("sf0.1", {})
+    zero_single = {
+        n
+        for n in set(a) | set(b)
+        if (a.get(n, {}).get("rows") == 0) != (b.get(n, {}).get("rows") == 0)
+    }
+    # query -> why one SF is legitimately empty (none expected today:
+    # every round-10 parameter was measured non-empty at BOTH SFs
+    # before registering)
+    SINGLE_SF_ALLOWLIST: dict[str, str] = {}
+    unexplained = zero_single - set(SINGLE_SF_ALLOWLIST)
+    assert not unexplained, (
+        f"zero rows at exactly one SF with no explanation: "
+        f"{sorted(unexplained)} — pick parameters that are non-empty at "
+        f"both SFs (measure first!) or document the asymmetry here"
+    )
+    stale = set(SINGLE_SF_ALLOWLIST) - zero_single
+    assert not stale, f"single-SF allowlist entries no longer apply: {sorted(stale)}"
+
+
+def test_window_tiers_derive_from_artifacts():
+    """The round-10 answer to three consecutive counts-in-prose drifts
+    (VERDICT r9 #2): the driver window is BUILT from named tier tuples,
+    and this test re-derives every tier from the committed
+    CORRECTNESS_r*.json artifacts — no hand-written count can go stale
+    without failing here.
+
+    WINDOW_ROUND pins the artifact horizon: the r10 window was composed
+    from rounds 1..9, so artifacts from round 10 onward (committed by
+    the driver AFTER this window ran) must not flip the derivation."""
+    import glob
+    import json
+    import os
+    import re
+
+    WINDOW_ROUND = 10
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)", path).group(1))
+        if rnd >= WINDOW_ROUND:
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+
+    names = set(registry.all_queries())
+    never_checked = names - set(latest)
+    assert set(registry._TIER_NEVER_CHECKED) == never_checked, (
+        "never-checked tier out of sync with artifacts: "
+        f"tier-only={sorted(set(registry._TIER_NEVER_CHECKED) - never_checked)}, "
+        f"artifact-only={sorted(never_checked - set(registry._TIER_NEVER_CHECKED))}"
+    )
+
+    r5 = {n for n, r in latest.items() if r == 5}
+    assert set(registry._TIER_ROTATE_R5) == r5, (
+        f"r5 rotation tier out of sync: tier-only="
+        f"{sorted(set(registry._TIER_ROTATE_R5) - r5)}, artifact-only="
+        f"{sorted(r5 - set(registry._TIER_ROTATE_R5))}"
+    )
+
+    r6 = sorted(n for n, r in latest.items() if r == 6)
+    want = tuple(r6[: len(registry._TIER_RECERT_R6)])
+    assert registry._TIER_RECERT_R6 == want, (
+        "r6 re-cert tier must be the alphabetically-first r6-latest "
+        f"names; expected {want[:5]}..., got {registry._TIER_RECERT_R6[:5]}..."
+    )
+
+    # values-changed names must already have a driver row (else they
+    # belong in the never-checked tier)
+    assert all(n in latest for n in registry._TIER_VALUES_CHANGED)
+
+    # window shape: exactly 50 slots, no duplicates, all registered
+    assert len(registry._PRIORITY) == 50
+    assert len(set(registry._PRIORITY)) == 50
+    assert set(registry._PRIORITY) <= names

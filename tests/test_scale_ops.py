@@ -3802,3 +3802,155 @@ class TestPersonalizedPagerank:
         foreign = spark.createDataFrame([(99,)], "node long")
         assert {r.rank_q for r in
                 graph.pagerank_personalized(edges, foreign).collect()} == {0}
+
+
+class TestWedgeCap:
+    """Round-10 wedge-generation cap (VERDICT r9 #4): the stop-key
+    discipline for the neighbor-jaccard wedge join — hubs over the cap
+    are excluded from wedge GENERATION and the overflow audit reports
+    exactly what was skipped."""
+
+    def test_capped_equals_exact_when_cap_clears_max_degree(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4)], "src long, dst long"
+        )
+        # max degree is 3 (node 1) -> cap 3 must be a no-op
+        exact = sorted(
+            map(tuple, graph.neighbor_jaccard_pairs(edges, threshold=0.5).collect())
+        )
+        capped = sorted(
+            map(
+                tuple,
+                graph.neighbor_jaccard_pairs(
+                    edges, threshold=0.5, wedge_cap=3
+                ).collect(),
+            )
+        )
+        assert exact == capped and len(exact) > 0
+        assert graph.wedge_overflow(edges, wedge_cap=3).collect() == []
+
+    def test_cap_binds_on_hub_and_overflow_reports_it(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        # hub 0 touches 1..8 (deg 8); low-degree neighbor 9 also links
+        # 1 and 2. Cap 4 excludes the hub from wedge generation:
+        # - uncapped: every pair in 1..8 shares hub 0 -> 28 candidates
+        # - capped: only (1, 2) survives, via node 9
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 9)] + [(9, 1), (9, 2)],
+            "src long, dst long",
+        )
+        exact = {
+            (r.node_a, r.node_b): r.n_shared
+            for r in graph.neighbor_jaccard_pairs(edges, threshold=0.0).collect()
+        }
+        capped = {
+            (r.node_a, r.node_b): r.n_shared
+            for r in graph.neighbor_jaccard_pairs(
+                edges, threshold=0.0, wedge_cap=4
+            ).collect()
+        }
+        # survivors: (1,2) via low-degree node 9, and (0,9) whose
+        # shared neighbors {1, 2} are themselves below the cap — every
+        # hub-mediated pair among 3..8 is gone
+        assert len(exact) >= 28 and set(capped) == {(1, 2), (0, 9)}
+        # capped n_shared is a LOWER BOUND: (1,2) share {0, 9} exactly,
+        # but only the wedge through 9 is generated under the cap
+        assert exact[(1, 2)] == 2 and capped[(1, 2)] == 1
+        assert exact[(0, 9)] == 2 and capped[(0, 9)] == 2
+        over = {r.node: (r.deg, r.wedges_skipped)
+                for r in graph.wedge_overflow(edges, wedge_cap=4).collect()}
+        assert over == {0: (8, 28)}
+
+    def test_wedge_cap_rejects_nonpositive(self, spark):
+        from pos_pipeline_core_etl_spark.operators import graph
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            graph.neighbor_jaccard_pairs(edges, wedge_cap=0)
+        with pytest.raises(ValueError):
+            graph.wedge_overflow(edges, wedge_cap=0)
+
+
+class TestSemDedup:
+    def test_identical_vector_dropped_keep_min_id(self, spark):
+        from pos_pipeline_core_etl_spark.operators import similarity
+
+        # k=2, seeds = vecs 0 and 1 (orthogonal); vec 2 is a byte-exact
+        # twin of vec 0 and vec 3 a twin of vec 1 -> each lands in its
+        # seed's cluster and is marked dup of the lower id. vec 4 is
+        # near-orthogonal noise in cluster 0's halfspace, below 0.3.
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.5, 0.0, 0.86, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r.dup_id: (r.keep_id, r.best_sim, r.n_matches)
+            for r in similarity.semdedup(emb, threshold=0.9, k=2, iters=2).collect()
+        }
+        assert got == {2: (0, 1.0, 1), 3: (1, 1.0, 1)}
+
+    def test_clusters_bound_the_pairwise_leg(self, spark):
+        from pos_pipeline_core_etl_spark.operators import similarity
+
+        # vecs 0/2 would match vecs 1/3 at threshold 0.0 (cosine 0 >=
+        # 0), but they sit in different clusters, so NO cross-cluster
+        # pair may appear — the blocking is the cluster, by design.
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.1]),
+            (3, [0.1, 1.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = similarity.semdedup(emb, threshold=0.0, k=2, iters=2).collect()
+        assert {(r.keep_id, r.dup_id) for r in pairs} == {(0, 2), (1, 3)}
+
+
+class TestPerplexityBuckets:
+    def test_equal_tertiles_ordered_by_surprise(self, spark):
+        from pos_pipeline_core_etl_spark.operators import text
+
+        # six docs, two per eventual bucket; repeated corpus bigrams
+        # score LOW surprise, unique word salad HIGH
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat"),
+                (1, "the cat sat on the mat"),
+                (2, "the dog sat on a log today"),
+                (3, "a dog ran past the log today"),
+                (4, "quantum flux harmonics destabilize chromatic resonance"),
+                (5, "violet asteroids serenade unduly pragmatic walruses"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = text.perplexity_buckets(docs).collect()
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r.ppl_bucket, []).append(r.mean_neg_logprob)
+        assert {b: len(v) for b, v in by_bucket.items()} == {
+            "head": 2, "middle": 2, "tail": 2,
+        }
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+        # the exact-duplicate fluent docs are the head
+        head_ids = {r.doc_id for r in rows if r.ppl_bucket == "head"}
+        assert head_ids == {0, 1}
+
+
+class TestSharedEdgeCache:
+    def test_same_session_returns_same_materialized_frame(self, spark):
+        from pos_pipeline_core_etl_spark.plans import analytics
+
+        a = analytics._graph_s2_edges_full(spark, "/root/testdata/sf0.001")
+        b = analytics._graph_s2_edges_full(spark, "/root/testdata/sf0.001")
+        assert a is b  # one build per (session, sf_dir, kind)
+        # and the cache serves exactly what the pure builder computes
+        pure = analytics._graph_s2_edges_build(spark, "/root/testdata/sf0.001")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, pure.collect()))
