@@ -93,6 +93,9 @@ HEADLINE = (
     # build with kcore/components)
     "docs_semdedup",
     "graph_part_neighbor_jaccard_capped",
+    # the sharded-merge KMV sketch: the partial-aggregate cardinality
+    # path that replaces the global count-distinct shuffle at 100 TB
+    "sketch_kmv_merge",
 )
 
 

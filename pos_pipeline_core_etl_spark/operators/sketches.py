@@ -1,0 +1,296 @@
+"""Mergeable cardinality / frequency sketches (KMV, Count-Min).
+
+The repo already demonstrates the tolerance-checked sketch path
+(``plans/analytics.py::events_cardinality_sketch`` — HLL++ via
+``approx_count_distinct``, oracle asserts a 2% envelope).  This module
+adds the *deterministic* sketch family: K-Minimum-Values distinct
+sketches and Count-Min frequency sketches built on the same
+md5-hex-prefix hashing every dedup operator here uses, so the DuckDB
+oracle reproduces the sketch BIT-EXACTLY — including the property that
+actually matters at 100 TB, **mergeability**: a sketch built
+shard-by-shard and merged equals the single-pass sketch, value for
+value.  (``plans/sketch_queries.py::sketch_kmv_merge`` runs the Spark
+side sharded and the oracle single-pass; the driver's hash match IS the
+merge proof, cross-engine.)
+
+Why this matters at scale: exact per-group ``COUNT(DISTINCT key)`` over
+100 TB shuffles every distinct key to its group's reducer.  A KMV
+sketch caps the per-(group, shard) state at k 64-bit values; shards
+combine by re-taking the k smallest of the union — associative,
+commutative, constant-size, i.e. a partial-aggregate-friendly shape
+(union of shard top-ks always contains the global top-k, because each
+of the k globally-smallest hashes is among the k smallest of its own
+shard).  Count-Min is the frequency analog: depth×width integer
+counters that add across shards; estimates only ever over-count.
+
+Estimator references (public): Bar-Yossef et al. 2002 (KMV /
+"distinct values in a stream"), Beyer et al. 2007 (the unbiased
+(k-1)/h_k form used here), Cormode & Muthukrishnan 2005 (Count-Min).
+
+The reference repo has no sketch surface (its aggregations are exact
+pandas group-bys, e.g. etl/payments.py's sum/max pivots); this module
+is part of the driver-mandated scale extension, same family as the
+HLL++ query above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
+
+# 60-bit hash: first 15 hex chars of md5 — the widest prefix that fits a
+# signed 64-bit integer in both engines (16 chars could overflow the
+# BIGINT cast on a leading f).  Hash space M = 16^15 = 2^60.
+M60 = float(2**60)
+
+
+def h60(col: Column) -> Column:
+    """Stable 60-bit integer hash (same construction as
+    ``dedup.shingle_id`` / the winnowing window id, widened to 15 hex
+    chars)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+H60_SQL = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def kmv_estimate_col(n_vals: Column, h_k: Column, k: int) -> Column:
+    """The Beyer et al. unbiased estimator (k-1) * M / h_(k), falling
+    back to the exact sketch size when the domain never filled the
+    sketch.  Pure double arithmetic, identical IEEE ops in DuckDB."""
+    est = F.lit(float(k - 1)) * F.lit(M60) / F.greatest(h_k, F.lit(1)).cast("double")
+    return F.when(n_vals < k, n_vals.cast("double")).otherwise(hround(est, 4))
+
+
+def kmv_estimate_sql(n_vals: str, h_k: str, k: int) -> str:
+    est = f"({float(k - 1)} * {M60}) / CAST(GREATEST({h_k}, 1) AS DOUBLE)"
+    return (
+        f"CASE WHEN {n_vals} < {k} THEN CAST({n_vals} AS DOUBLE) "
+        f"ELSE {hround_sql(est, 4)} END"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch rows: the k smallest distinct 60-bit hashes
+    of ``key_col`` → ``(group_col, h, rn)``.
+
+    Physical shape: the DISTINCT collapses (group, hash) pairs with
+    map-side partial aggregation first, so the row_number sort ranks
+    the *cardinality*-sized set, never the raw row count.  At cluster
+    scale the sharded form (:func:`kmv_merge_sketch`) is the intended
+    path — per-shard sketches bound the sort input at shards × k.
+    """
+    hashed = (
+        df.select(group_col, h60(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def kmv_group_estimates(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group exact distinct count + KMV estimate + relative error.
+
+    Deterministic: the oracle recomputes the identical estimate, so the
+    driver hash-checks the sketch VALUES, not a tolerance envelope.
+    """
+    sk = kmv_sketch(df, group_col, key_col, k)
+    agg = sk.groupBy(group_col).agg(
+        F.count("h").alias("n_vals"), F.max("h").alias("h_k")
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    est = kmv_estimate_col(F.col("n_vals"), F.col("h_k"), k)
+    return (
+        exact.join(agg, group_col)
+        .select(
+            group_col,
+            "n_exact",
+            F.lit(k).alias("kmv_k"),
+            est.alias("kmv_estimate"),
+            hround(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+def kmv_merge_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    shard_col: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Shard-then-merge KMV: per-(group, shard) k-smallest sketches,
+    merged by re-taking the k smallest of the union — the partial-
+    aggregate shape a 1000-executor run would use.  Returns the same
+    ``(group, h, rn)`` rows as :func:`kmv_sketch`; equality is proven
+    (a) in tests by direct comparison and (b) cross-engine by
+    ``sketch_kmv_merge``'s single-pass oracle."""
+    hashed = (
+        df.select(
+            group_col,
+            shard_col.alias("shard"),
+            h60(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    per_shard = (
+        hashed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(group_col, "shard").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn", "shard")
+        .distinct()  # same hash may survive in several shards
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return per_shard.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def kmv_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One-row frame: exact vs KMV-estimated Jaccard of two key sets.
+
+    The estimator is the classic KMV set-operation rule: build the
+    union sketch (k smallest of hash(A) ∪ hash(B)) and count how many
+    of its members belong to both sets — |sketch ∩ A ∩ B| / |sketch|.
+    Both engines rank the same hashes, so the estimate is
+    deterministic."""
+    a = left.select(h60(F.col(key_col).cast("string")).alias("h")).distinct()
+    b = right.select(h60(F.col(key_col).cast("string")).alias("h")).distinct()
+    tagged = (
+        a.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+        .unionByName(
+            b.withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1))
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    sk = (
+        tagged.withColumn(
+            "rn", F.row_number().over(Window.orderBy("h"))
+        ).filter(F.col("rn") <= k)
+    )
+    est = sk.agg(
+        F.count("h").alias("sk_size"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("sk_both"),
+    )
+    exact = tagged.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.count("h").alias("n_union"),
+    )
+    return exact.crossJoin(est).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        hround(F.col("n_both") / F.col("n_union"), 6).alias("jaccard_exact"),
+        F.lit(k).alias("kmv_k"),
+        hround(F.col("sk_both") / F.col("sk_size"), 6).alias("jaccard_kmv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+
+
+def cms_bucket(key: Column, depth_idx: int, width: int) -> Column:
+    """Row `depth_idx`'s bucket for a key: salted 60-bit hash mod width.
+    ``pmod`` so Spark matches DuckDB's non-negative ``%`` on positives."""
+    return F.pmod(h60(F.concat(F.lit(f"{depth_idx}:"), key)), F.lit(width))
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The depth×width counter table: ``(d, b, cnt)``.  One narrow
+    shuffle of depth copies of the keyed counts; the result is at most
+    depth·width rows regardless of input size — the broadcastable side
+    of every estimate join."""
+    key = F.col(key_col).cast("string")
+    tall = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(key, d, width).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("x")
+    ).select("x.d", "x.b")
+    return tall.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """CMS point estimates for the ``top`` most frequent keys (exact
+    count desc, key asc — a total order, so the cut is deterministic).
+
+    Output: key, exact count, CMS estimate (min over depth rows of the
+    key's counter), and the overshoot (always ≥ 0 — CMS never
+    under-counts; a test pins the invariant).  The counter table is
+    broadcast into the estimate join."""
+    key = F.col(key_col).cast("string")
+    counters = cms_counters(df, key_col, depth, width)
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    heads = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("exact_cnt"), F.col(key_col))
+            ),
+        )
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+    )
+    probes = heads.select(
+        key_col,
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(key, d, width).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select(key_col, "exact_cnt", "x.d", "x.b")
+    est = (
+        probes.join(F.broadcast(counters), ["d", "b"])
+        .groupBy(key_col, "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        key_col,
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overshoot"),
+    )

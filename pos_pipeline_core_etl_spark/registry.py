@@ -31,7 +31,9 @@ Tier rationale: never-checked = ``graph_part_pagerank_seeded``
 (registered after the r9 window froze — the standing precedent) plus
 the new round-10 queries (the shared support-2 edge materialization,
 the wedge-capped jaccard + its overflow audit closing VERDICT r9 #4,
-SemDeDup, CCNet perplexity buckets).  Values-changed =
+SemDeDup, CCNet perplexity buckets, and the deterministic mergeable-
+sketch family: KMV distinct / sharded-merge / Jaccard + Count-Min
+top-k, ``plans/sketch_queries.py``).  Values-changed =
 ``dedup_ngram_jaccard`` (max_doc_id 310→800: the r9 bound was vacuous
 at sf0.1 — ADVICE r9 #1).  Then the r5-latest rotation and the oldest
 r6 re-certs."""
@@ -45,7 +47,10 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Names never driver-checked as of the r10 window: the post-r9-window
-# registration + every query new in round 10.
+# registration + every query new in round 10 (including the mergeable-
+# sketch family added mid-round — the window is recomposed before the
+# driver runs, so new queries take slots from the r6 re-cert tail
+# rather than waiting a round).
 _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "graph_part_pagerank_seeded",
     "graph_part_s2_edges",
@@ -53,6 +58,10 @@ _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "graph_part_wedge_overflow",
     "docs_semdedup",
     "docs_perplexity_buckets",
+    "sketch_kmv_distinct",
+    "sketch_kmv_merge",
+    "sketch_kmv_jaccard",
+    "sketch_cms_topk",
 )
 
 # Queries whose VALUES changed since their last green driver row.
@@ -108,10 +117,6 @@ _TIER_RECERT_R6: tuple[str, ...] = (
     "docs_lr_auc",
     "docs_lr_eval",
     "docs_lr_scores",
-    "docs_lr_train",
-    "events_layout_skipping",
-    "fn_accent_bucket",
-    "fn_clean_strings",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -135,6 +140,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
         marts,
         qa_queries,
         relational,
+        sketch_queries,
         streaming_queries,
         windows,
     )
@@ -150,6 +156,7 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
         forecast_queries,
         streaming_queries,
         analytics,
+        sketch_queries,
     ]
 
     registry: dict[str, tuple[QueryFn, str | None]] = {}

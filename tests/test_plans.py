@@ -490,3 +490,54 @@ class TestRound9GraphPlans:
 
         plan = _plan(fuzzy_part_entities_final(spark, SF_DIR))
         assert "CartesianProduct" not in plan
+
+
+class TestSketchPlans:
+    """Plan hygiene for the round-10 sketch queries: the scans must
+    prune to the two columns the sketch reads, and the CMS estimate
+    join must broadcast the (≤ depth×width row) counter table — the
+    whole point of the sketch is that the big side never shuffles for
+    the probe."""
+
+    def test_kmv_scan_prunes_columns(self, spark):
+        from pos_pipeline_core_etl_spark.plans.sketch_queries import (
+            sketch_kmv_distinct,
+        )
+
+        plan = _formatted(sketch_kmv_distinct(spark, SF_DIR))
+        read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+        assert "l_orderkey" in read_schema and "l_returnflag" in read_schema
+        assert "l_extendedprice" not in read_schema
+        assert "l_partkey" not in read_schema
+
+    def test_cms_counters_broadcast(self, spark):
+        from pos_pipeline_core_etl_spark.plans.sketch_queries import (
+            sketch_cms_topk,
+        )
+
+        plan = _plan(sketch_cms_topk(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_merge_no_cartesian(self, spark):
+        from pos_pipeline_core_etl_spark.plans.sketch_queries import (
+            sketch_kmv_merge,
+        )
+
+        plan = _plan(sketch_kmv_merge(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_jaccard_only_scalar_combine_is_unkeyed(self, spark):
+        """kmv_jaccard ends in a deliberate 1-row × 1-row crossJoin
+        combining the exact and sketch scalar aggregates (bounded by
+        contract — both inputs are global aggs).  That single BNLJ is
+        allowed; anything keyed must still hash-join."""
+        from pos_pipeline_core_etl_spark.plans.sketch_queries import (
+            sketch_kmv_jaccard,
+        )
+
+        plan = _plan(sketch_kmv_jaccard(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -1,0 +1,137 @@
+"""Unit tests for the deterministic mergeable-sketch operators
+(operators/sketches.py).
+
+The driver-level cross-engine checks live in plans/sketch_queries.py;
+here we pin the sketch-theoretic invariants that the oracle equality
+alone would not distinguish from luck:
+
+- KMV merge ≡ single-pass on the SAME engine, for several shard counts
+  (the associativity that makes the sketch a partial aggregate);
+- KMV estimates actually estimate (bounded relative error at k = 64 on
+  a known-cardinality domain, and exact below the sketch size);
+- CMS never under-counts, and collisions genuinely occur at the
+  registered width (otherwise the overshoot column is vacuously 0);
+- the Jaccard estimator is exact when the union fits in the sketch and
+  within the KMV error envelope when it does not.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_pipeline_core_etl_spark.operators import sketches
+
+
+def _keys(spark, n, group="g"):
+    return spark.range(n).select(
+        F.lit(group).alias("grp"), F.col("id").alias("key")
+    )
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark):
+        """Domains smaller than k are reported exactly (the estimator's
+        n_vals < k branch)."""
+        df = _keys(spark, 40)
+        out = sketches.kmv_group_estimates(df, "grp", "key", k=64).collect()[0]
+        assert out["n_exact"] == 40
+        assert out["kmv_estimate"] == 40.0
+        assert out["rel_err"] == 0.0
+
+    def test_relative_error_bounded(self, spark):
+        """At k = 64 the standard error is ~1/sqrt(k-2) ≈ 12.7%; 50%
+        is a generous 4-sigma bound — a hashing or ranking bug lands
+        orders of magnitude off, not within it."""
+        df = _keys(spark, 10_000)
+        out = sketches.kmv_group_estimates(df, "grp", "key", k=64).collect()[0]
+        assert out["n_exact"] == 10_000
+        assert abs(out["kmv_estimate"] - 10_000) / 10_000 < 0.5
+
+    def test_duplicates_do_not_inflate(self, spark):
+        """KMV sketches the DISTINCT key set: replicating every key 7x
+        must not move the estimate at all."""
+        df = _keys(spark, 5_000)
+        dup = df.crossJoin(spark.range(7).select(F.lit(1).alias("x"))).drop("x")
+        a = sketches.kmv_group_estimates(df, "grp", "key", k=64).collect()[0]
+        b = sketches.kmv_group_estimates(dup, "grp", "key", k=64).collect()[0]
+        assert a["kmv_estimate"] == b["kmv_estimate"]
+        assert a["n_exact"] == b["n_exact"]
+
+    @pytest.mark.parametrize("n_shards", [2, 4, 7])
+    def test_merge_equals_single_pass(self, spark, n_shards):
+        """The mergeability proof on one engine, shard-count invariant:
+        union-of-shard-top-ks re-topped == single-pass top-k, value for
+        value (not just the estimate)."""
+        df = _keys(spark, 3_000)
+        single = sketches.kmv_sketch(df, "grp", "key", k=64)
+        merged = sketches.kmv_merge_sketch(
+            df, "grp", "key", shard_col=F.pmod(F.col("key"), F.lit(n_shards)), k=64
+        )
+        a = sorted(r["h"] for r in single.collect())
+        b = sorted(r["h"] for r in merged.collect())
+        assert a == b
+
+    def test_merge_below_k_is_exact_union(self, spark):
+        """When the global domain never fills the sketch, the merged
+        union must carry ALL hashes (estimate falls back to exact)."""
+        df = _keys(spark, 50)
+        merged = sketches.kmv_merge_sketch(
+            df, "grp", "key", shard_col=F.pmod(F.col("key"), F.lit(4)), k=64
+        )
+        assert merged.count() == 50
+
+
+class TestKMVJaccard:
+    def test_exact_when_union_fits(self, spark):
+        """Union of 30 keys < k = 64: the sketch IS the union, so the
+        estimate equals the exact Jaccard."""
+        left = spark.range(0, 20).select(F.col("id").alias("key"))
+        right = spark.range(10, 30).select(F.col("id").alias("key"))
+        out = sketches.kmv_jaccard(left, right, "key", k=64).collect()[0]
+        assert out["jaccard_exact"] == out["jaccard_kmv"]
+        assert out["n_a"] == 20 and out["n_b"] == 20
+        assert out["jaccard_exact"] == round(10 / 30, 6)
+
+    def test_estimate_within_envelope(self, spark):
+        """2000 ∪ 2000 with 1000 shared (J = 1/3): the k = 64 estimate
+        is binomial with sd ≈ sqrt(J(1-J)/k) ≈ 0.059 — assert a 4-sigma
+        envelope."""
+        left = spark.range(0, 2_000).select(F.col("id").alias("key"))
+        right = spark.range(1_000, 3_000).select(F.col("id").alias("key"))
+        out = sketches.kmv_jaccard(left, right, "key", k=64).collect()[0]
+        assert out["jaccard_exact"] == round(1_000 / 3_000, 6)
+        assert abs(out["jaccard_kmv"] - 1 / 3) < 0.25
+
+
+class TestCMS:
+    def test_never_undercounts(self, spark):
+        """The CMS invariant: estimate ≥ exact for every probed key."""
+        df = spark.range(20_000).select((F.col("id") % 500).alias("key"))
+        out = sketches.cms_estimates(df, "key", top=50, depth=4, width=64)
+        rows = out.collect()
+        assert len(rows) == 50
+        assert all(r["overshoot"] >= 0 for r in rows)
+
+    def test_collisions_bind_at_registered_width(self, spark):
+        """At width 64 with 500 keys every counter row holds ~8 keys, so
+        at least one probed key must collide (overshoot > 0) — guards
+        the registered query against a vacuously-exact configuration."""
+        df = spark.range(20_000).select((F.col("id") % 500).alias("key"))
+        rows = sketches.cms_estimates(df, "key", top=50, depth=4, width=64).collect()
+        assert any(r["overshoot"] > 0 for r in rows)
+
+    def test_exact_when_wide(self, spark):
+        """Width far above the key count ⇒ no collisions ⇒ estimates
+        exactly equal the counts (the degenerate-correct corner)."""
+        df = spark.range(1_000).select((F.col("id") % 10).alias("key"))
+        rows = sketches.cms_estimates(df, "key", top=10, depth=4, width=4096).collect()
+        assert all(r["overshoot"] == 0 for r in rows)
+        assert all(r["exact_cnt"] == 100 for r in rows)
+
+    def test_counter_table_is_bounded(self, spark):
+        """The counter side of the estimate join is at most depth×width
+        rows no matter the input size — the broadcastability contract."""
+        df = spark.range(50_000).select((F.col("id") % 3_000).alias("key"))
+        n = sketches.cms_counters(df, "key", depth=4, width=64).count()
+        assert n <= 4 * 64
