@@ -827,7 +827,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iters: int = 20,
+    max_iters: int = 48,
 ) -> DataFrame:
     """Connected components of an undirected candidate-pair edge list by
     iterative min-label propagation → (id, component_id).
@@ -848,7 +848,17 @@ def connected_components(
     The shortcut preserves the fixpoint exactly — labels are min-monotone
     with label(u) <= u, so label(label(v)) <= label(v) and the limit is
     still the component min — which keeps every downstream oracle
-    byte-identical.  The symmetrized edge list is checkpointed ONCE so
+    byte-identical.
+
+    ``max_iters`` is a FAILURE BACKSTOP, not a tuning knob: the loop
+    exits on the convergence probe, so rounds past the fixpoint never
+    run and a generous cap costs nothing.  It was 20 through round 9;
+    the round-10 ladder raised the cap-binding failure one notch up
+    (4.5M sorted-neighborhood-chained keys: halving needs ~log2(
+    diameter) ≈ 22+ rounds there, and 20 raised the loud error below —
+    LADDER_r10, the r9 story repeating one decade later).  48 covers
+    any diameter below 2^48, i.e. any graph that can physically exist
+    in storage.  The symmetrized edge list is checkpointed ONCE so
     the (possibly expensive) upstream pair computation never re-runs
     inside the loop; per-round ``localCheckpoint`` keeps the label plan
     O(1). Convergence probe: min-propagation is monotone decreasing, so

@@ -1232,3 +1232,129 @@ def run_streaming_entity_resolution(
     ).select(
         "id", "key", F.coalesce("component_id", "id").alias("entity_id")
     )
+
+
+def kmv_sketch_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    sketch_dir: str,
+    group_col: str = "grp",
+    key_col: str = "key",
+    k: int = 64,
+) -> None:
+    """foreachBatch maintainer of a per-group KMV distinct-cardinality
+    sketch: the associative merge of ``operators/sketches.py::
+    kmv_merge_sketch`` played out over TIME instead of over shards.
+
+    State is the LATEST sketch partition only — at most groups × k
+    rows regardless of how much of the stream has been drained (the
+    constant-size property that makes a cardinality sketch streamable
+    at all).  Each batch:
+
+    1. hashes its own DISTINCT (group, key) pairs (batch-sized work);
+    2. unions them with the prior sketch and re-takes the k smallest
+       per group (the KMV merge — union of top-ks contains the true
+       top-k, so intermediate arrival order is irrelevant);
+    3. writes the full new sketch per-batch-id idempotently (replayed
+       batches read only partitions with SMALLER ids, so at-least-once
+       delivery converges — :func:`write_batch_idempotent` contract);
+    4. snapshots the current per-group estimates to ``out_dir``.
+
+    Stream ≡ batch and chunking invariance are pinned in
+    tests/test_streaming.py::TestStreamingKMVSketch; the cross-engine
+    value proof for the merge rule itself is the driver-checked
+    ``sketch_kmv_merge`` oracle.
+    """
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        h60,
+        kmv_estimate_col,
+    )
+
+    spark = batch_df.sparkSession
+    batch_hashes = (
+        batch_df.select(
+            F.col(group_col).alias("grp"),
+            h60(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    prior = [
+        p
+        for p in _prior_partitions(sketch_dir, batch_id)
+        if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+    ]
+    if prior:
+        latest = max(prior, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+        merged = (
+            spark.read.parquet(latest)
+            .select("grp", "h")
+            .unionByName(batch_hashes)
+            .distinct()
+        )
+    else:
+        merged = batch_hashes
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+        .localCheckpoint(eager=True)
+    )
+    est = sk.groupBy("grp").agg(
+        F.count("h").alias("n_vals"), F.max("h").alias("h_k")
+    ).select(
+        "grp",
+        kmv_estimate_col(F.col("n_vals"), F.col("h_k"), k).alias("kmv_estimate"),
+    )
+    write_batch_idempotent(sk, batch_id, sketch_dir)
+    write_batch_idempotent(est, batch_id, out_dir)
+
+
+def run_streaming_kmv_sketch(
+    spark: SparkSession,
+    stream_dir: str,
+    out_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "grp",
+    key_col: str = "key",
+    k: int = 64,
+    schema: str = "grp string, key long",
+) -> DataFrame:
+    """Drain a (group, key) parquet stream through
+    :func:`kmv_sketch_batch` with availableNow, then return the FINAL
+    per-group estimate snapshot (the highest batch_id partition — the
+    state after the whole stream, which the tests assert equals the
+    one-shot batch estimate on the same rows)."""
+    import os
+
+    # one file per micro-batch (availableNow honors the cap and splits
+    # the backlog) so the maintainer demonstrably runs INCREMENTALLY —
+    # without it the whole backlog collapses into a single batch and
+    # the merge leg never executes
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: kmv_sketch_batch(
+                df, bid, out_dir, sketch_dir, group_col, key_col, k
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = [
+        d
+        for d in os.listdir(out_dir)
+        if d.startswith("batch_id=")
+    ]
+    final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
+    return spark.read.parquet(os.path.join(out_dir, final))

@@ -976,3 +976,97 @@ class TestStreamingEntityResolution:
         one = self._run(spark, tmp_path, 1, "inv")
         four = self._run(spark, tmp_path, 4, "inv")
         assert one == four
+
+
+class TestStreamingKMVSketch:
+    """Streaming KMV maintainer (round 10): merging each micro-batch's
+    hashes into the accumulated k-smallest state must land on exactly
+    the one-shot batch sketch (KMV mergeability over time), invariant
+    to arrival chunking, with state bounded at groups × k rows."""
+
+    K = 32
+
+    def _rows(self, spark):
+        from pyspark.sql import functions as F
+
+        # two groups, ~300 distinct keys each (k = 32 binds), plus
+        # cross-chunk repeats so the distinct-merge leg does real work
+        base = spark.range(600).select(
+            F.when(F.col("id") % 2 == 0, "alpha").otherwise("beta").alias("grp"),
+            (F.col("id") / 2).cast("long").alias("key"),
+        )
+        repeats = spark.range(100).select(
+            F.lit("alpha").alias("grp"), F.col("id").alias("key")
+        )
+        return base.unionByName(repeats)
+
+    def _write_chunks(self, spark, tmp_path, n_chunks, tag):
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        rows = self._rows(spark)
+        stream_dir = str(tmp_path / f"kmv_{tag}_{n_chunks}")
+        for i in range(n_chunks):
+            part = rows.where(F.col("key") % n_chunks == i)
+            part.coalesce(1).write.mode("append").parquet(stream_dir)
+            _t.sleep(1.1)
+        return stream_dir
+
+    def _run(self, spark, tmp_path, n_chunks, tag):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_kmv_sketch,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, n_chunks, tag)
+        got = run_streaming_kmv_sketch(
+            spark,
+            stream_dir,
+            out_dir=str(tmp_path / f"est_{tag}_{n_chunks}"),
+            sketch_dir=str(tmp_path / f"sk_{tag}_{n_chunks}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}_{n_chunks}"),
+            k=self.K,
+        )
+        return {r["grp"]: r["kmv_estimate"] for r in got.collect()}
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators.sketches import (
+            kmv_group_estimates,
+        )
+
+        got = self._run(spark, tmp_path, 4, "eq")
+        want_df = kmv_group_estimates(self._rows(spark), "grp", "key", k=self.K)
+        want = {r["grp"]: r["kmv_estimate"] for r in want_df.collect()}
+        assert got == want
+        assert set(got) == {"alpha", "beta"}
+        # k = 32 binds: the estimates are genuine estimates, not the
+        # exact-below-k fallback
+        assert all(v != int(v) or v > 250 for v in got.values())
+
+    def test_chunking_invariance(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, 1, "inv") == self._run(
+            spark, tmp_path, 4, "inv"
+        )
+
+    def test_state_bounded_per_batch(self, spark, tmp_path):
+        import os
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_kmv_sketch,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, 4, "bound")
+        sketch_dir = str(tmp_path / "sk_bound_4")
+        run_streaming_kmv_sketch(
+            spark,
+            stream_dir,
+            out_dir=str(tmp_path / "est_bound_4"),
+            sketch_dir=sketch_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_bound_4"),
+            k=self.K,
+        )
+        parts = [d for d in os.listdir(sketch_dir) if d.startswith("batch_id=")]
+        assert len(parts) >= 2  # the drain really was incremental
+        for d in parts:
+            n = spark.read.parquet(os.path.join(sketch_dir, d)).count()
+            assert n <= 2 * self.K  # groups x k, never the raw key count

@@ -86,6 +86,16 @@ BATCHES = {
         "graph_part_pagerank_tol",
         "fuzzy_part_entities_final",
     ],
+    # round-10 additions: SemDeDup is kmeans-bound (mid-heavy, own
+    # batch pairing with the two light round-10 entries would skew
+    # them); the capped jaccard and the KMV merge are sub-second
+    "round10_semdedup": [
+        "docs_semdedup",
+    ],
+    "round10_light": [
+        "graph_part_neighbor_jaccard_capped",
+        "sketch_kmv_merge",
+    ],
 }
 
 
