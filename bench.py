@@ -96,6 +96,10 @@ HEADLINE = (
     # the sharded-merge KMV sketch: the partial-aggregate cardinality
     # path that replaces the global count-distinct shuffle at 100 TB
     "sketch_kmv_merge",
+    # round-11 addition: the percentile-sketch perplexity bucketing
+    # (approx tertile cuts in one agg + broadcast bucket assign — the
+    # scale twin of the corpus-wide ntile sort)
+    "docs_perplexity_buckets_approx",
 )
 
 

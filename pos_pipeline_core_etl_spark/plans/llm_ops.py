@@ -5264,6 +5264,91 @@ QUERIES["docs_perplexity_buckets"] = (
 )
 
 
+# approx twin of docs_perplexity_buckets (round 11, VERDICT r10 #5):
+# the scale path perplexity_buckets' docstring promises — approx
+# quantile cuts learned in ONE mergeable-sketch agg, buckets assigned
+# by a broadcast range test — exercised for real under the same
+# tolerance-contract pattern as docs_quality_pct_approx.
+
+PPL_APPROX_ACC = 10000
+
+
+def perplexity_buckets_approx_frame(
+    spark: SparkSession, sf_dir: str, contract: bool = True
+) -> DataFrame:
+    """CCNet perplexity bucketing WITHOUT the corpus-wide ntile sort:
+    ``percentile_approx`` learns the tertile cut points in one hash-agg
+    (a mergeable sketch — no global sort, bounded memory at any corpus
+    size), then each doc picks its bucket by counting broadcast cuts
+    strictly below its score — map-side, shuffle-free past the score
+    agg.  The 100 TB shape for the stratification
+    ``docs_perplexity_buckets`` checks exactly.
+
+    ``contract=True`` also computes the exact ntile bucket and emits it
+    with a boolean asserting the approx bucket landed within ONE tile
+    of it (cut-boundary tie quantization is the only legitimate
+    divergence; a sketch regression flips the flag and fails the
+    driver hash).  ``contract=False`` is the pure production shape —
+    plan-tested to contain no Window and no Sort."""
+    from pyspark.sql import Window
+
+    scored = text.bigram_logprob(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "mean_neg_logprob"
+    )
+    probs = [i / text.PPL_BUCKETS for i in range(1, text.PPL_BUCKETS)]
+    cuts = scored.agg(
+        F.percentile_approx("mean_neg_logprob", probs, PPL_APPROX_ACC).alias(
+            "cuts"
+        )
+    )
+    tile_approx = (
+        F.size(F.filter(F.col("cuts"), lambda c: c < F.col("mean_neg_logprob")))
+        + 1
+    )
+    names = F.array(*[F.lit(n) for n in text.PPL_BUCKET_NAMES])
+    base = scored.crossJoin(F.broadcast(cuts))
+    if not contract:
+        return base.select(
+            "doc_id",
+            "mean_neg_logprob",
+            F.element_at(names, tile_approx).alias("ppl_bucket_approx"),
+        )
+    w = Window.orderBy("mean_neg_logprob", "doc_id")
+    tile_exact = F.ntile(text.PPL_BUCKETS).over(w)
+    return base.select(
+        "doc_id",
+        "mean_neg_logprob",
+        F.element_at(names, tile_exact).alias("ppl_bucket"),
+        (F.abs(tile_approx - tile_exact) <= 1).alias("bucket_within_tol"),
+    )
+
+
+def docs_perplexity_buckets_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return perplexity_buckets_approx_frame(spark, sf_dir, contract=True)
+
+
+DOCS_PERPLEXITY_BUCKETS_APPROX_SQL = f"""
+WITH scored AS MATERIALIZED ({TEXT_BIGRAM_LOGPROB_SQL}),
+tiled AS (
+  SELECT doc_id, mean_neg_logprob,
+         ntile(3) OVER (ORDER BY mean_neg_logprob, doc_id) AS t
+  FROM scored
+)
+SELECT doc_id, mean_neg_logprob,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket,
+       TRUE AS bucket_within_tol
+FROM tiled
+"""
+
+QUERIES["docs_perplexity_buckets_approx"] = (
+    docs_perplexity_buckets_approx,
+    DOCS_PERPLEXITY_BUCKETS_APPROX_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # per-source quality quantile normalization — round 4 second pass
 

@@ -74,6 +74,7 @@ hashed AS MATERIALIZED (
   SELECT DISTINCT l_returnflag,
          {_h60_sql("CAST(l_orderkey AS VARCHAR)")} AS h
   FROM lineitem
+  WHERE l_orderkey IS NOT NULL
 ),
 ranked AS (
   SELECT l_returnflag, h,
@@ -147,11 +148,11 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKETCH_KMV_JACCARD_SQL = f"""
 WITH a AS MATERIALIZED (
   SELECT DISTINCT {_h60_sql("CAST(l_orderkey AS VARCHAR)")} AS h
-  FROM lineitem WHERE l_returnflag = 'A'
+  FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey IS NOT NULL
 ),
 b AS MATERIALIZED (
   SELECT DISTINCT {_h60_sql("CAST(l_orderkey AS VARCHAR)")} AS h
-  FROM lineitem WHERE l_returnflag = 'R'
+  FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey IS NOT NULL
 ),
 tagged AS MATERIALIZED (
   SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
@@ -205,7 +206,8 @@ def _cms_bucket_sql(key_expr: str, depth_expr: str) -> str:
 
 SKETCH_CMS_TOPK_SQL = f"""
 WITH counts AS MATERIALIZED (
-  SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1
+  SELECT l_partkey, count(*) AS exact_cnt FROM lineitem
+  WHERE l_partkey IS NOT NULL GROUP BY 1
 ),
 counters AS MATERIALIZED (
   SELECT g.d AS d,

@@ -13,30 +13,28 @@ round-3 queries; r4 front-loaded the 24 never-checked round-4 names; r7
 retired the r3 backlog; r8 went 50/50 green over the r7 spillovers + the
 13 new r8 queries + 28 of the 45 r4-latest names.
 
-Round-10 window (this file).  Counts are NO LONGER hand-written in
-prose — three rounds in a row a count drifted from the list (r8's
-13-vs-17, r9's tier-2 comment, SELFREVIEW_r9's stale arithmetic), and
-window composition is exactly where a silent arithmetic slip costs a
-round of driver coverage (VERDICT r9 #2).  The window is now BUILT from
-named tier tuples, and ``tests/test_registry_meta.py::
-test_window_tiers_derive_from_artifacts`` re-derives every tier from
-the committed CORRECTNESS_r01..r09 artifacts: the never-checked tier
-must equal the set of registry names absent from all pre-r10 artifacts,
-the rotation tier must equal ALL names whose latest driver row is round
-5, and the re-cert tier must be the alphabetically-first names whose
-latest row is round 6 (the remaining r6 names spill to round 11, each
-with committed both-SF rows in REPLICA_r10.json).
+Round-11 window (this file).  Counts are NOT hand-written in prose —
+the window is BUILT from named tier tuples, and
+``tests/test_registry_meta.py::test_window_tiers_derive_from_artifacts``
+re-derives every tier from the committed CORRECTNESS_r01..r10
+artifacts: the never-checked tier must equal the set of registry names
+absent from all pre-r11 artifacts, the re-cert tier must equal ALL
+names whose latest driver row is round 6 (this closes ADVICE r10 #4 —
+the four r6 names the r10 window dropped to make room for the sketch
+family, ``docs_lr_train`` / ``events_layout_skipping`` /
+``fn_accent_bucket`` / ``fn_clean_strings``, are re-certified here
+rather than silently aging out), and the spill tier must be the
+alphabetically-first names whose latest row is round 7 (the remaining
+r7 names spill to round 12; every name in the registry has committed
+both-SF rows in the newest REPLICA artifact regardless of window
+position).
 
-Tier rationale: never-checked = ``graph_part_pagerank_seeded``
-(registered after the r9 window froze — the standing precedent) plus
-the new round-10 queries (the shared support-2 edge materialization,
-the wedge-capped jaccard + its overflow audit closing VERDICT r9 #4,
-SemDeDup, CCNet perplexity buckets, and the deterministic mergeable-
-sketch family: KMV distinct / sharded-merge / Jaccard + Count-Min
-top-k, ``plans/sketch_queries.py``).  Values-changed =
-``dedup_ngram_jaccard`` (max_doc_id 310→800: the r9 bound was vacuous
-at sf0.1 — ADVICE r9 #1).  Then the r5-latest rotation and the oldest
-r6 re-certs."""
+Tier rationale: never-checked = ``docs_perplexity_buckets_approx``
+(new in round 11 — the percentile-sketch scale twin VERDICT r10 #5
+asked for).  Values-changed = empty: the round-11 sketch-shape fixes
+(two-level rank pulls in ``kmv_jaccard`` / ``cms_estimates``, VERDICT
+r10 #1/#2) are plan-only — outputs re-verified hash-identical at both
+SFs before composing this window."""
 
 from __future__ import annotations
 
@@ -46,84 +44,85 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Names never driver-checked as of the r10 window: the post-r9-window
-# registration + every query new in round 10 (including the mergeable-
-# sketch family added mid-round — the window is recomposed before the
-# driver runs, so new queries take slots from the r6 re-cert tail
-# rather than waiting a round).
+# Names never driver-checked as of the r11 window: every query new in
+# round 11 (the window is recomposed before the driver runs, so new
+# queries take slots from the spill tail rather than waiting a round).
 _TIER_NEVER_CHECKED: tuple[str, ...] = (
-    "graph_part_pagerank_seeded",
-    "graph_part_s2_edges",
-    "graph_part_neighbor_jaccard_capped",
-    "graph_part_wedge_overflow",
-    "docs_semdedup",
-    "docs_perplexity_buckets",
-    "sketch_kmv_distinct",
-    "sketch_kmv_merge",
-    "sketch_kmv_jaccard",
-    "sketch_cms_topk",
+    "docs_perplexity_buckets_approx",
 )
 
-# Queries whose VALUES changed since their last green driver row.
-_TIER_VALUES_CHANGED: tuple[str, ...] = (
-    "dedup_ngram_jaccard",  # max_doc_id 310 -> 800 (ADVICE r9 #1)
-)
+# Queries whose VALUES changed since their last green driver row:
+# none this round (the sketch-module fixes are plan-shape only and
+# were re-verified hash-identical at both SFs).
+_TIER_VALUES_CHANGED: tuple[str, ...] = ()
 
-# Every name whose latest driver row is round 5 (recomputed from the
-# artifacts by the meta test — this tuple must stay EQUAL to that set).
-_TIER_ROTATE_R5: tuple[str, ...] = (
-    "fact_transfers_line",
-    "multimodal_dhash",
-    "multimodal_dhash_pairs",
-    "order_times_approx",
-    "order_times_summary",
-    "sales_by_group_mart",
-    "silver_clean_payments",
-    "sim_ivfpq_topk",
-    "sim_pq_adc_topk",
-    "sorted_distinct_dates",
-    "sql_interface_revenue",
-    "text_decontaminate",
-    "text_dedup_spans",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pii_scan",
-    "text_quality",
-    "text_substring_dedup",
-    "text_tfidf_topk",
-    "text_token_counts",
-    "text_vocabulary",
-    "text_winnow_fingerprints",
-    "transfers_cube_mart",
+# EVERY name whose latest driver row is round 6 — the oldest remaining
+# rows (recomputed from the artifacts by the meta test; this tuple
+# must stay EQUAL to that set).  Includes the four names the r10
+# window dropped (ADVICE r10 #4).
+_TIER_RECERT_R6: tuple[str, ...] = (
+    "docs_lr_train",
+    "events_layout_skipping",
+    "fn_accent_bucket",
+    "fn_clean_strings",
+    "fn_coerce_bool",
+    "fn_json_extract",
+    "fn_safe_unit_cost",
+    "fn_to_date_multi",
+    "fn_to_float_expr",
+    "fn_to_float_locale",
+    "fn_to_int",
+    "forecast_backtest_naive",
+    "forecast_loglinear",
+    "fuzzy_customer_entities",
+    "fuzzy_customer_overflow",
+    "fuzzy_customer_pairs",
+    "fuzzy_customer_recall",
+    "multimodal_decode_coverage",
+    "multimodal_dedup_decisions",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "payments_daily_mart_incremental",
+    "profile_lineitem",
+    "qa_duplicates",
+    "qa_nulls",
+    "sim_ivfpq_recall",
+    "text_bpe_apply",
+    "text_bpe_train",
+    "text_bpe_train_fast",
+    "text_unigram_logprob",
 )
 
 # The alphabetically-first of the names whose latest driver row is
-# round 6 (the oldest remaining rows), filling the window to exactly
-# 50; the rest of the r6 names spill to round 11.
-_TIER_RECERT_R6: tuple[str, ...] = (
-    "corpus_build_manifest",
-    "corpus_lr_gate",
-    "dedup_contained_docs",
-    "dedup_containment",
-    "dedup_containment_overflow",
-    "dedup_containment_recall",
-    "dedup_containment_staged",
-    "dedup_incremental_diff",
-    "dedup_simhash_overflow",
-    "dedup_simhash_staged",
-    "dedup_sparse_cosine",
-    "dedup_sparse_cosine_staged",
-    "deposit_cash_flow",
-    "docs_lr_auc",
-    "docs_lr_eval",
-    "docs_lr_scores",
+# round 7, filling the window to exactly 50; the rest of the r7 names
+# spill to round 12.
+_TIER_SPILL_R7: tuple[str, ...] = (
+    "agg_count_distinct",
+    "corpus_compaction_plan",
+    "corpus_compaction_verify",
+    "dedup_keep_first",
+    "dedup_minhash_recall",
+    "dedup_simhash",
+    "dedup_simhash_banded",
+    "dedup_simhash_recall",
+    "duplicate_detection",
+    "events_zorder_files",
+    "events_zorder_incremental",
+    "events_zorder_pruning",
+    "fuzzy_customer_golden",
+    "fuzzy_customer_overflow_d2",
+    "fuzzy_customer_pairs_d2",
+    "fuzzy_customer_recall_d2",
+    "fuzzy_customer_sn2_recall",
+    "fuzzy_customer_sn_recall",
 )
 
 _PRIORITY: tuple[str, ...] = (
     _TIER_NEVER_CHECKED
     + _TIER_VALUES_CHANGED
-    + _TIER_ROTATE_R5
     + _TIER_RECERT_R6
+    + _TIER_SPILL_R7
 )
 
 

@@ -1351,10 +1351,108 @@ def run_streaming_kmv_sketch(
         .start()
     )
     q.awaitTermination()
-    parts = [
-        d
-        for d in os.listdir(out_dir)
-        if d.startswith("batch_id=")
-    ]
+    parts = (
+        [d for d in os.listdir(out_dir) if d.startswith("batch_id=")]
+        if os.path.isdir(out_dir)
+        else []
+    )
+    if not parts:
+        # drained stream produced zero batches (empty/missing
+        # stream_dir) — return the empty estimate frame instead of an
+        # opaque max()/listdir error (ADVICE r10 #3); the snapshot
+        # always carries (grp, kmv_estimate) — the maintainer aliases
+        # group_col to "grp"
+        return spark.createDataFrame([], "grp string, kmv_estimate double")
     final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
     return spark.read.parquet(os.path.join(out_dir, final))
+
+
+def cms_counter_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    counter_dir: str,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """foreachBatch maintainer of a Count-Min counter table — the
+    frequency analog of :func:`kmv_sketch_batch` (VERDICT r10 #9).
+
+    The CMS merge is elementwise ADDITION by construction (each counter
+    is a sum over rows, and the micro-batches partition the row
+    multiset), so folding a batch in is: build the batch's own
+    depth×width counter table (batch-sized work, bounded output), union
+    with the latest accumulated table, and re-sum per (d, b) cell.
+    State is the latest counter partition only — at most depth×width
+    rows regardless of drained volume.  Writes are per-batch-id
+    idempotent (:func:`write_batch_idempotent`), so at-least-once
+    replays converge: a replayed batch re-reads only STRICTLY-smaller
+    batch ids and overwrites its own partition.
+
+    Stream ≡ batch and chunking invariance are pinned in
+    tests/test_streaming.py::TestStreamingCms with the same
+    maxFilesPerTrigger=1 multi-batch drain guard that keeps the KMV
+    proof non-vacuous."""
+    from pos_pipeline_core_etl_spark.operators.sketches import cms_counters
+
+    spark = batch_df.sparkSession
+    batch_counters = cms_counters(batch_df, key_col, depth, width)
+    prior = [
+        p
+        for p in _prior_partitions(counter_dir, batch_id)
+        if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+    ]
+    if prior:
+        latest = max(prior, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+        merged = (
+            spark.read.parquet(latest)
+            .unionByName(batch_counters)
+            .groupBy("d", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = batch_counters
+    write_batch_idempotent(merged.localCheckpoint(eager=True), batch_id, counter_dir)
+
+
+def run_streaming_cms_sketch(
+    spark: SparkSession,
+    stream_dir: str,
+    counter_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+    schema: str = "grp string, key long",
+) -> DataFrame:
+    """Drain a keyed parquet stream through :func:`cms_counter_batch`
+    with availableNow and return the FINAL (d, b, cnt) counter table —
+    which the tests assert equals the one-shot batch
+    ``cms_counters`` on the same rows, cell for cell."""
+    import os
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force a real multi-batch drain
+        .parquet(stream_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: cms_counter_batch(
+                df, bid, counter_dir, key_col, depth, width
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = (
+        [d for d in os.listdir(counter_dir) if d.startswith("batch_id=")]
+        if os.path.isdir(counter_dir)
+        else []
+    )
+    if not parts:
+        return spark.createDataFrame([], "d int, b bigint, cnt bigint")
+    final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
+    return spark.read.parquet(os.path.join(counter_dir, final))

@@ -328,6 +328,19 @@ class TestRound3PlanShapes:
         assert "Sort " not in plan  # no per-source sort anywhere
         assert "BroadcastHashJoin" in plan  # boundaries ride a broadcast
 
+    def test_ppl_buckets_approx_pure_path_has_no_window_sort(self, spark):
+        """Same contract for the perplexity tertiles (VERDICT r10 #5):
+        the production percentile-sketch path must plan no Window and
+        no Sort — the exact twin's corpus-wide ntile sort is exactly
+        what this path exists to avoid at 100 TB."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            perplexity_buckets_approx_frame,
+        )
+
+        plan = _plan(perplexity_buckets_approx_frame(spark, SF_DIR, contract=False))
+        assert "Window" not in plan
+        assert "Sort " not in plan
+
 
 class TestRound6PlanShapes:
     """Plan hygiene for the round-6 second-pass operators."""
@@ -541,3 +554,80 @@ class TestSketchPlans:
         plan = _plan(sketch_kmv_jaccard(spark, SF_DIR))
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    @staticmethod
+    def _window_nodes(df):
+        """(line, partitioned?) per Window node in the optimized plan,
+        top-down.  A partitioned Window prints three bracket groups
+        (exprs / partition spec / order spec → two '], [' separators);
+        an unpartitioned one prints two (one separator)."""
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            (line.strip(), line.count("], [") >= 2)
+            for line in plan.splitlines()
+            if re.search(r"\bWindow \[", line)
+        ]
+
+    def _assert_two_level_rank(self, df):
+        """The VERDICT r10 #1/#2 contract: any unpartitioned row_number
+        window must sit ABOVE a `_shard`-partitioned pre-rank (i.e. it
+        only ever ranks the bounded shards×k survivors), and Catalyst
+        must have pushed the per-shard rank limit down to a
+        WindowGroupLimit so the shard level never fully sorts either."""
+        nodes = self._window_nodes(df)
+        unpart = [i for i, (_, part) in enumerate(nodes) if not part]
+        sharded = [
+            i for i, (line, part) in enumerate(nodes) if part and "_shard" in line
+        ]
+        assert len(unpart) == 1, f"want exactly one final rank, got {nodes}"
+        assert sharded, f"no _shard-partitioned pre-rank in {nodes}"
+        # top-down print order: deeper (earlier-executed) nodes print
+        # later, so the final unpartitioned rank must print BEFORE the
+        # sharded pre-rank it consumes
+        assert unpart[0] < min(sharded), (
+            "unpartitioned rank is not downstream of the sharded "
+            f"pre-rank: {nodes}"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "WindowGroupLimit [_shard" in plan
+
+    def test_jaccard_sketch_rank_is_two_level(self, spark):
+        """VERDICT r10 #1: the union-sketch pull must be per-shard
+        k-smallest → final rank over shards×k, never an unpartitioned
+        row_number over the full distinct-hash union."""
+        from pos_pipeline_core_etl_spark.plans.sketch_queries import (
+            sketch_kmv_jaccard,
+        )
+
+        self._assert_two_level_rank(sketch_kmv_jaccard(spark, SF_DIR))
+
+    def test_cms_head_selection_is_two_level(self, spark):
+        """VERDICT r10 #2: the top-k head pick must pre-rank within
+        deterministic shards before the final bounded rank — no
+        single-partition sort over all distinct keys."""
+        from pos_pipeline_core_etl_spark.plans.sketch_queries import (
+            sketch_cms_topk,
+        )
+
+        self._assert_two_level_rank(sketch_cms_topk(spark, SF_DIR))
+
+    def test_two_level_rank_equals_global_rank(self, spark):
+        """Value proof for the shape swap: two_level_rank == the naive
+        global row_number cut, row for row, on a frame big enough that
+        every shard overflows k."""
+        from pyspark.sql import Window
+
+        from pos_pipeline_core_etl_spark.operators.sketches import (
+            h60,
+            two_level_rank,
+        )
+
+        df = spark.range(5000).select(
+            h60(F.col("id").cast("string")).alias("h")
+        )
+        fast = two_level_rank(df, [F.col("h")], 64, shard_col=F.col("h"))
+        naive = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("h"))
+        ).filter(F.col("rn") <= 64)
+        assert fast.exceptAll(naive).count() == 0
+        assert naive.exceptAll(fast).count() == 0

@@ -375,15 +375,15 @@ def test_window_tiers_derive_from_artifacts():
     CORRECTNESS_r*.json artifacts — no hand-written count can go stale
     without failing here.
 
-    WINDOW_ROUND pins the artifact horizon: the r10 window was composed
-    from rounds 1..9, so artifacts from round 10 onward (committed by
+    WINDOW_ROUND pins the artifact horizon: the r11 window was composed
+    from rounds 1..10, so artifacts from round 11 onward (committed by
     the driver AFTER this window ran) must not flip the derivation."""
     import glob
     import json
     import os
     import re
 
-    WINDOW_ROUND = 10
+    WINDOW_ROUND = 11
 
     root = os.path.dirname(os.path.dirname(__file__))
     latest: dict[str, int] = {}
@@ -404,18 +404,19 @@ def test_window_tiers_derive_from_artifacts():
         f"artifact-only={sorted(never_checked - set(registry._TIER_NEVER_CHECKED))}"
     )
 
-    r5 = {n for n, r in latest.items() if r == 5}
-    assert set(registry._TIER_ROTATE_R5) == r5, (
-        f"r5 rotation tier out of sync: tier-only="
-        f"{sorted(set(registry._TIER_ROTATE_R5) - r5)}, artifact-only="
-        f"{sorted(r5 - set(registry._TIER_ROTATE_R5))}"
+    r6 = {n for n, r in latest.items() if r == 6}
+    assert set(registry._TIER_RECERT_R6) == r6, (
+        "r6 re-cert tier must be ALL r6-latest names (ADVICE r10 #4 — "
+        "no r6 row may silently age out): tier-only="
+        f"{sorted(set(registry._TIER_RECERT_R6) - r6)}, artifact-only="
+        f"{sorted(r6 - set(registry._TIER_RECERT_R6))}"
     )
 
-    r6 = sorted(n for n, r in latest.items() if r == 6)
-    want = tuple(r6[: len(registry._TIER_RECERT_R6)])
-    assert registry._TIER_RECERT_R6 == want, (
-        "r6 re-cert tier must be the alphabetically-first r6-latest "
-        f"names; expected {want[:5]}..., got {registry._TIER_RECERT_R6[:5]}..."
+    r7 = sorted(n for n, r in latest.items() if r == 7)
+    want = tuple(r7[: len(registry._TIER_SPILL_R7)])
+    assert registry._TIER_SPILL_R7 == want, (
+        "r7 spill tier must be the alphabetically-first r7-latest "
+        f"names; expected {want[:5]}..., got {registry._TIER_SPILL_R7[:5]}..."
     )
 
     # values-changed names must already have a driver row (else they
@@ -426,3 +427,44 @@ def test_window_tiers_derive_from_artifacts():
     assert len(registry._PRIORITY) == 50
     assert len(set(registry._PRIORITY)) == 50
     assert set(registry._PRIORITY) <= names
+
+
+def test_sketch_estimates_are_not_degenerate(spark):
+    """SELFREVIEW r10 #1/#2 mechanized (VERDICT r10 #10): an estimate
+    column whose per-group values are ALL EQUAL at sf0.01 is the
+    signature of a degenerate domain choice (every group sees the same
+    key set — the rejected partkey-KMV shape), and a vacuously-0/1
+    similarity proves nothing.  The rule is applied MECHANICALLY to
+    every ``sketch_*`` registry query, so a future sketch registration
+    fails here until its domain genuinely varies per group:
+
+    - multi-row frames: every estimate/jaccard column must take >1
+      distinct value;
+    - single-row similarity frames: every jaccard column must land
+      strictly inside (0, 1)."""
+    SF = "/root/testdata/sf0.01"
+    names = [n for n in registry.all_queries() if n.startswith("sketch_")]
+    assert names, "sketch family vanished from the registry"
+    for name, fn in registry.all_queries().items():
+        if not name.startswith("sketch_"):
+            continue
+        pdf = fn(spark, SF).toPandas()
+        est_cols = [
+            c
+            for c in pdf.columns
+            if "estimate" in c or c.startswith("jaccard")
+        ]
+        assert est_cols, f"{name}: no estimate column to eyeball"
+        for c in est_cols:
+            if len(pdf) > 1:
+                assert pdf[c].nunique() > 1, (
+                    f"{name}.{c} is all-equal across {len(pdf)} groups — "
+                    "degenerate domain (every group sees the same keys?)"
+                )
+            elif c.startswith("jaccard"):
+                v = float(pdf[c].iloc[0])
+                assert 0.0 < v < 1.0, (
+                    f"{name}.{c} = {v} is vacuous (disjoint or identical sets)"
+                )
+            else:
+                assert float(pdf[c].iloc[0]) > 0.0, f"{name}.{c} vacuous"

@@ -1070,3 +1070,140 @@ class TestStreamingKMVSketch:
         for d in parts:
             n = spark.read.parquet(os.path.join(sketch_dir, d)).count()
             assert n <= 2 * self.K  # groups x k, never the raw key count
+
+
+class TestStreamingCms:
+    """Streaming Count-Min maintainer (VERDICT r10 #9): counters add
+    across micro-batches, so the drained counter table must equal the
+    one-shot batch table cell for cell, invariant to arrival chunking,
+    with state bounded at depth x width rows — proven over a genuinely
+    multi-batch drain (maxFilesPerTrigger=1), same non-vacuity guard as
+    the KMV twin."""
+
+    DEPTH = 4
+    WIDTH = 64
+
+    def _rows(self, spark):
+        from pyspark.sql import functions as F
+
+        # skewed key frequencies (key id // 30 -> repeated rows) so the
+        # counter cells carry non-trivial, non-uniform counts
+        return spark.range(900).select(
+            F.lit("g").alias("grp"),
+            (F.col("id") % 120 + F.col("id") % 7 * 120).cast("long").alias("key"),
+        )
+
+    def _write_chunks(self, spark, tmp_path, n_chunks, tag):
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        rows = self._rows(spark)
+        stream_dir = str(tmp_path / f"cms_{tag}_{n_chunks}")
+        # chunk on a ROW attribute so the chunks partition the row
+        # multiset exactly (CMS counts every row, not distinct keys)
+        for i in range(n_chunks):
+            part = rows.where(F.col("key") % n_chunks == i)
+            part.coalesce(1).write.mode("append").parquet(stream_dir)
+            _t.sleep(1.1)
+        return stream_dir
+
+    def _run(self, spark, tmp_path, n_chunks, tag):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_cms_sketch,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, n_chunks, tag)
+        got = run_streaming_cms_sketch(
+            spark,
+            stream_dir,
+            counter_dir=str(tmp_path / f"ctr_{tag}_{n_chunks}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_cms_{tag}_{n_chunks}"),
+            depth=self.DEPTH,
+            width=self.WIDTH,
+        )
+        return {(r["d"], r["b"]): r["cnt"] for r in got.collect()}
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators.sketches import cms_counters
+
+        got = self._run(spark, tmp_path, 4, "eq")
+        want_df = cms_counters(
+            self._rows(spark), "key", depth=self.DEPTH, width=self.WIDTH
+        )
+        want = {(r["d"], r["b"]): r["cnt"] for r in want_df.collect()}
+        assert got == want
+        # the table is a real frequency sketch, not a degenerate all-
+        # equal grid: cells collide (fewer cells than the 840 distinct
+        # keys is impossible at width 64 without collisions) and the
+        # counts are non-uniform
+        assert len(set(got.values())) > 1
+        assert sum(got.values()) == self.DEPTH * 900
+
+    def test_chunking_invariance(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, 1, "inv") == self._run(
+            spark, tmp_path, 3, "inv"
+        )
+
+    def test_state_bounded_and_multibatch(self, spark, tmp_path):
+        import os
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_cms_sketch,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, 4, "bound")
+        counter_dir = str(tmp_path / "ctr_bound_4")
+        run_streaming_cms_sketch(
+            spark,
+            stream_dir,
+            counter_dir=counter_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_cms_bound_4"),
+            depth=self.DEPTH,
+            width=self.WIDTH,
+        )
+        parts = [d for d in os.listdir(counter_dir) if d.startswith("batch_id=")]
+        assert len(parts) >= 2  # the merge leg demonstrably executed
+        for d in parts:
+            n = spark.read.parquet(os.path.join(counter_dir, d)).count()
+            assert n <= self.DEPTH * self.WIDTH  # depth x width, never key count
+
+    def test_empty_stream_returns_empty_frame(self, spark, tmp_path):
+        """ADVICE r10 #3 analog for the CMS runner (and the KMV runner's
+        guard is exercised in the same breath): an empty stream dir must
+        yield an empty typed frame, not an opaque max()/listdir error."""
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_cms_sketch,
+            run_streaming_kmv_sketch,
+        )
+
+        empty_dir = str(tmp_path / "cms_empty")
+        self._rows(spark).limit(0).coalesce(1).write.parquet(empty_dir)
+        _t.sleep(1.1)
+        got = run_streaming_cms_sketch(
+            spark,
+            empty_dir,
+            counter_dir=str(tmp_path / "ctr_empty"),
+            checkpoint_dir=str(tmp_path / "ckpt_cms_empty"),
+        )
+        # a zero-row batch still writes a (empty) counter partition, so
+        # either path is acceptable as long as the frame is empty+typed
+        assert got.count() == 0
+        assert set(got.columns) == {"d", "b", "cnt"}
+
+        kmv_empty = str(tmp_path / "kmv_empty")
+        self._rows(spark).limit(0).coalesce(1).write.parquet(kmv_empty)
+        _t.sleep(1.1)
+        got_kmv = run_streaming_kmv_sketch(
+            spark,
+            kmv_empty,
+            out_dir=str(tmp_path / "est_empty"),
+            sketch_dir=str(tmp_path / "sk_empty"),
+            checkpoint_dir=str(tmp_path / "ckpt_kmv_empty"),
+        )
+        assert got_kmv.count() == 0
+        assert set(got_kmv.columns) == {"grp", "kmv_estimate"}

