@@ -17,6 +17,8 @@ any engine computing the same rounded values.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1488,33 +1490,55 @@ def ivfpq_search_topk(
     )
 
 
-def _ivfpq_kmeans_scored(
-    embeddings: DataFrame,
-    n_queries: int,
-    nprobe: int,
-    n_clusters: int,
-    coarse_iters: int,
-    m: int,
-    n_codes: int,
-    iters: int,
-    id_col: str,
-    vec_col: str,
-    quant: int,
-    dim: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared candidate-scoring stage of the learned-quantizer IVF-PQ:
-    Lloyd coarse quantizer → residual PQ → probe the ``nprobe`` nearest
-    lists per query → ADC-score list members. Returns
-    ``(scored, assigned)`` where ``scored`` is one row per ADC-scored
-    (query_id, vec_id) candidate with its ``adc_d2`` AND the probe rank
-    ``pr`` of the list that surfaced it (each candidate lives in exactly
-    one inverted list, so ``pr`` is single-valued) — carrying ``pr``
-    lets :func:`ivfpq_kmeans_recall_sweep` evaluate every
-    nprobe' <= nprobe from ONE training + scoring pass instead of
-    re-running Lloyd + PQ per operating point. ``assigned`` is the
-    checkpointed (vec_id, vq, cluster) index frame for refine stages."""
-    from pyspark.sql import Window
+class IvfPqIndex(NamedTuple):
+    """A TRAINED IVF-PQ index: the four frames every query batch reuses
+    plus the quantization parameters they were built with.  This is the
+    deployment boundary the amortization argument rests on (VERDICT r10
+    #8): Lloyd + PQ training is paid ONCE per corpus snapshot; each
+    query batch pays only the probe → ADC → refine path against these
+    frames.  ``ivfpq_build_index(eager=True)`` materializes them so a
+    ladder (or a real serving loop) can price the two legs separately.
 
+    - ``assigned``: (vec_id, vq, cluster) — the inverted-list map plus
+      the original quantized vectors the refine stage reranks against;
+    - ``cents``: (cluster, centroid) — learned coarse centroids,
+      n_clusters rows, broadcast into every probe join;
+    - ``codes``: (vec_id, sub, code) — residual PQ codes, m rows per
+      vector;
+    - ``rcents``: (sub, cluster, centroid) — PQ codebooks, m×n_codes
+      rows, the ADC distance tables' lookup side."""
+
+    assigned: DataFrame
+    cents: DataFrame
+    codes: DataFrame
+    rcents: DataFrame
+    quant: int
+    dim: int
+    m: int
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    n_clusters: int = KMEANS_K,
+    coarse_iters: int = KMEANS_ITERS,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = KMEANS_QUANT,
+    dim: int = 64,
+    eager: bool = False,
+) -> IvfPqIndex:
+    """Train-once half of the learned-quantizer IVF-PQ: full-corpus
+    Lloyd coarse quantizer → residual PQ codebooks → per-vector codes.
+    Everything corpus-sized lives here; nothing depends on the queries.
+
+    ``eager=False`` (the composed single-query-batch path, e.g. the
+    registered ``sim_ivfpq_kmeans_topk``) keeps the checkpoints lazy so
+    the first action pays training exactly once.  ``eager=True``
+    materializes all four index frames immediately — the serving shape,
+    and what lets the scale ladder time train vs query honestly."""
     from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
 
     base = _ensure_parallelism(embeddings, id_col)
@@ -1529,8 +1553,8 @@ def _ivfpq_kmeans_scored(
     )
     # the assignment fans out 4 ways (residuals, list map, query leg,
     # probes) and the centroid frame 3 ways — materialize both once
-    assigned = assigned.localCheckpoint(eager=False)
-    cents = cents.localCheckpoint(eager=False)
+    assigned = assigned.localCheckpoint(eager=eager)
+    cents = cents.localCheckpoint(eager=eager)
 
     qf = float(quant)
     v = F.transform(F.col("vq"), lambda x: x / F.lit(qf))
@@ -1549,6 +1573,38 @@ def _ivfpq_kmeans_scored(
         reuse=True,
     )
     codes = rassigned.select("vec_id", "sub", F.col("cluster").alias("code"))
+    if eager:
+        codes = codes.localCheckpoint(eager=True)
+        rcents = rcents.localCheckpoint(eager=True)
+    return IvfPqIndex(assigned, cents, codes, rcents, quant, dim, m)
+
+
+def ivfpq_score_candidates(
+    index: IvfPqIndex, n_queries: int, nprobe: int
+) -> DataFrame:
+    """Query-path candidate scoring against a trained index: probe the
+    ``nprobe`` nearest learned centroids per query, build the per-query
+    ADC distance tables, and ADC-score the probed lists' members.
+    Returns one row per (query_id, vec_id) candidate with its
+    ``adc_d2`` AND the probe rank ``pr`` of the list that surfaced it
+    (each candidate lives in exactly one inverted list, so ``pr`` is
+    single-valued) — carrying ``pr`` lets
+    :func:`ivfpq_kmeans_recall_sweep` evaluate every nprobe' <= nprobe
+    from ONE training + scoring pass.  Nothing here is corpus-shuffle:
+    the probes are an (n_queries × n_clusters) broadcast join and the
+    scoring join broadcasts the bounded distance table into the codes
+    scan."""
+    from pyspark.sql import Window
+
+    assigned, cents, codes, rcents = (
+        index.assigned,
+        index.cents,
+        index.codes,
+        index.rcents,
+    )
+    quant, dim, m = index.quant, index.dim, index.m
+    qf = float(quant)
+    v = F.transform(F.col("vq"), lambda x: x / F.lit(qf))
     coarse = assigned.select("vec_id", F.col("cluster").alias("coarse"))
 
     # query probes: nprobe nearest LEARNED centroids — an
@@ -1633,7 +1689,79 @@ def _ivfpq_kmeans_scored(
             F.min("pr").alias("pr"),
         )
     )
-    return scored, assigned
+    return scored
+
+
+def ivfpq_query_index(
+    index: IvfPqIndex,
+    k: int = 3,
+    n_queries: int = 10,
+    nprobe: int = IVF_NPROBE,
+    refine: int = IVFPQ_REFINE,
+) -> DataFrame:
+    """Full query path against a trained :class:`IvfPqIndex`: ADC
+    shortlist (:func:`ivfpq_score_candidates`) → exact re-rank of the
+    top-``refine`` candidates on their original vectors → final top-k.
+    This is what a serving loop runs per query batch; every frame it
+    touches besides the shortlist join is index-resident."""
+    from pyspark.sql import Window
+
+    scored = ivfpq_score_candidates(index, n_queries=n_queries, nprobe=nprobe)
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(aw))
+        .where(F.col("arnk") <= refine)
+        .select("query_id", "vec_id")
+    )
+    refined = _ivfpq_exact_rerank(shortlist, index.assigned, index.quant)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        refined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("vec_id").alias("cand_id"),
+            "d2",
+        )
+    )
+
+
+def _ivfpq_kmeans_scored(
+    embeddings: DataFrame,
+    n_queries: int,
+    nprobe: int,
+    n_clusters: int,
+    coarse_iters: int,
+    m: int,
+    n_codes: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    quant: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Composed build + score (the pre-r11 shape, kept for the sweep):
+    :func:`ivfpq_build_index` then :func:`ivfpq_score_candidates`.
+    Returns ``(scored, assigned)`` — ``assigned`` feeds refine stages."""
+    index = ivfpq_build_index(
+        embeddings,
+        n_clusters=n_clusters,
+        coarse_iters=coarse_iters,
+        m=m,
+        n_codes=n_codes,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        quant=quant,
+        dim=dim,
+    )
+    scored = ivfpq_score_candidates(index, n_queries=n_queries, nprobe=nprobe)
+    return scored, index.assigned
 
 
 def _ivfpq_exact_rerank(
@@ -1708,13 +1836,17 @@ def ivfpq_kmeans_search_topk(
     keyed agg per iteration), residuals by centroid join, shared
     :func:`_pq_fit` codebooks, broadcast ADC distance table confined
     to probed lists.  Zero driver collect; the corpus-sized legs are
-    map-side folds + the Lloyd/PQ keyed aggs."""
-    from pyspark.sql import Window
+    map-side folds + the Lloyd/PQ keyed aggs.
 
-    scored, assigned = _ivfpq_kmeans_scored(
+    Since round 11 this is the one-shot composition of the split API:
+    :func:`ivfpq_build_index` (train once — Lloyd, residual PQ, codes)
+    then :func:`ivfpq_query_index` (probe → ADC shortlist → exact
+    refine, FAISS IVFPQR convention).  A deployment holds the
+    :class:`IvfPqIndex` and calls the query half per batch — the ladder
+    prices the two legs separately (LADDER_r11 ``ivfpq_train_once`` /
+    ``ivfpq_query_path``)."""
+    index = ivfpq_build_index(
         embeddings,
-        n_queries=n_queries,
-        nprobe=nprobe,
         n_clusters=n_clusters,
         coarse_iters=coarse_iters,
         m=m,
@@ -1725,33 +1857,8 @@ def ivfpq_kmeans_search_topk(
         quant=quant,
         dim=dim,
     )
-    # refine stage (FAISS IVFPQR convention): ADC is a SHORTLISTER, not
-    # a ranker — with small codebooks its quantization noise swamps the
-    # gaps between true-neighbor distances. Keep the ADC top-``refine``
-    # per query, fetch those candidates' ORIGINAL vectors (one bounded
-    # equi-join back to the index — shortlist-sized, not corpus-sized)
-    # and rank the final k by exact distance.
-    aw = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("vec_id").asc()
-    )
-    shortlist = (
-        scored.withColumn("arnk", F.row_number().over(aw))
-        .where(F.col("arnk") <= refine)
-        .select("query_id", "vec_id")
-    )
-    refined = _ivfpq_exact_rerank(shortlist, assigned, quant)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("vec_id").asc()
-    )
-    return (
-        refined.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(
-            "query_id",
-            "rnk",
-            F.col("vec_id").alias("cand_id"),
-            "d2",
-        )
+    return ivfpq_query_index(
+        index, k=k, n_queries=n_queries, nprobe=nprobe, refine=refine
     )
 
 

@@ -259,6 +259,85 @@ def kmv_jaccard(
     )
 
 
+def kmv_setops(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One-row frame: exact vs KMV-estimated UNION / INTERSECTION /
+    DIFFERENCE cardinalities of two key sets — the full set-operation
+    surface a single mergeable sketch buys (Beyer et al. 2007 §4):
+
+    - ``union_kmv``: the standard (k-1)·M/h_k estimator on the union
+      sketch (k smallest of hash(A) ∪ hash(B));
+    - ``inter_kmv`` / ``aonly_kmv`` / ``bonly_kmv``: the union sketch is
+      a uniform sample of the union, so each region's share of sketch
+      members is an unbiased estimate of its share of the union —
+      multiply by ``union_kmv``.
+
+    When the union never fills the sketch the estimator degrades to
+    EXACT by construction (the sketch IS the union, every ratio is the
+    true ratio), so one formula covers both regimes.
+
+    Scale shape: same as :func:`kmv_jaccard` — the union sketch is
+    pulled with :func:`two_level_rank` (per-shard k-smallest, final
+    rank over the bounded shards×k survivors); only the exact columns
+    (the verify twin by contract) scan the full union, via distributed
+    scalar aggregates.  At deployment the two sides' sketches would be
+    maintained independently and merged (mergeability is proven
+    cross-engine by ``sketch_kmv_merge``); estimating A∖B without ever
+    co-locating A and B is exactly what exact COUNT(DISTINCT) cannot
+    do at 100 TB."""
+    a = (
+        left.where(F.col(key_col).isNotNull())
+        .select(h60(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    b = (
+        right.where(F.col(key_col).isNotNull())
+        .select(h60(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    tagged = (
+        a.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+        .unionByName(
+            b.withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1))
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    sk = two_level_rank(tagged, [F.col("h")], k, shard_col=F.col("h"))
+    est = sk.agg(
+        F.count("h").alias("n_vals"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("sk_both"),
+        F.sum(F.col("in_a") * (F.lit(1) - F.col("in_b"))).alias("sk_aonly"),
+        F.sum((F.lit(1) - F.col("in_a")) * F.col("in_b")).alias("sk_bonly"),
+    )
+    exact = tagged.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.count("h").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+    )
+    union_est = kmv_estimate_col(F.col("n_vals"), F.col("h_k"), k)
+    region = lambda cnt: hround(  # noqa: E731
+        cnt / F.col("n_vals") * union_est, 4
+    )
+    return exact.crossJoin(est).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.lit(k).alias("kmv_k"),
+        union_est.alias("union_kmv"),
+        region(F.col("sk_both")).alias("inter_kmv"),
+        region(F.col("sk_aonly")).alias("aonly_kmv"),
+        region(F.col("sk_bonly")).alias("bonly_kmv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min
 

@@ -1,6 +1,6 @@
 """Deterministic mergeable-sketch queries with DuckDB oracles.
 
-Four driver-checked queries over :mod:`operators/sketches`:
+Five driver-checked queries over :mod:`operators/sketches`:
 
 - ``sketch_kmv_distinct`` — per-returnflag KMV distinct-orderkey
   estimates next to the exact counts (k = 64 binds at both SFs: ~11k
@@ -18,6 +18,12 @@ Four driver-checked queries over :mod:`operators/sketches`:
   the orderkey sets behind returnflags A and R (measured 0.586 at both
   SFs — the click/purchase user-set candidate was rejected as vacuous:
   every user emits every event type, Jaccard identically 1.0).
+- ``sketch_kmv_setops`` — exact vs sketch-estimated union /
+  intersection / difference cardinalities of the 1995-active vs
+  2001-active customer sets (round 11; the region estimates are the
+  Beyer et al. §4 uniform-sample rule over the union sketch — the two
+  order-year cohorts overlap partially, so all three regions are
+  non-empty at both SFs: 489/685/200 at sf0.01).
 - ``sketch_cms_topk`` — Count-Min estimates for the 20 most frequent
   partkeys (width 256 « 2000+ keys, so collisions are real and the
   overshoot column is non-trivially positive; CMS never under-counts
@@ -189,6 +195,77 @@ FROM exact, est
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations
+
+
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs sketch-estimated union / intersection / differences of
+    the customer sets active in the first (1995) and last (2001) order
+    years — 'retained / churned / newly acquired' answered from one
+    mergeable 64-value sketch.  Domain measured before registering
+    (the SELFREVIEW r10 #1 discipline): at sf0.01 the regions are
+    489 / 685 / 200 (a-only / both / b-only), non-vacuous at both SFs.
+    The first candidate (customer dim vs o_custkey) was REJECTED by the
+    degenerate-estimate meta test: this synthetic orders table saturates
+    the customer domain, so 'never ordered' is empty."""
+    ords = load_table(spark, sf_dir, "orders")
+    a = ords.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = ords.where(F.year("o_orderdate") == 2001).select("o_custkey")
+    return sketches.kmv_setops(a, b, "o_custkey", k=KMV_K)
+
+
+SKETCH_KMV_SETOPS_SQL = f"""
+WITH a AS MATERIALIZED (
+  SELECT DISTINCT {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL
+),
+b AS MATERIALIZED (
+  SELECT DISTINCT {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders WHERE year(o_orderdate) = 2001 AND o_custkey IS NOT NULL
+),
+tagged AS MATERIALIZED (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT h, 1 AS in_a, 0 AS in_b FROM a
+    UNION ALL
+    SELECT h, 0 AS in_a, 1 AS in_b FROM b
+  )
+  GROUP BY h
+),
+sk AS (
+  SELECT * FROM (
+    SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM tagged
+  ) WHERE rn <= {KMV_K}
+),
+est AS (
+  SELECT count(*) AS n_vals, max(h) AS h_k,
+         CAST(sum(in_a * in_b) AS BIGINT) AS sk_both,
+         CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS sk_aonly,
+         CAST(sum((1 - in_a) * in_b) AS BIGINT) AS sk_bonly
+  FROM sk
+),
+exact AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         count(*) AS n_union,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+  FROM tagged
+),
+u AS (
+  SELECT *, {kmv_estimate_sql("n_vals", "h_k", KMV_K)} AS union_kmv
+  FROM exact, est
+)
+SELECT n_a, n_b, n_union, n_inter,
+       CAST({KMV_K} AS INTEGER) AS kmv_k,
+       union_kmv,
+       {hround_sql("sk_both / n_vals * union_kmv", 4)} AS inter_kmv,
+       {hround_sql("sk_aonly / n_vals * union_kmv", 4)} AS aonly_kmv,
+       {hround_sql("sk_bonly / n_vals * union_kmv", 4)} AS bonly_kmv
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-Min
 
 
@@ -242,5 +319,6 @@ QUERIES: dict[str, tuple] = {
     "sketch_kmv_distinct": (sketch_kmv_distinct, SKETCH_KMV_DISTINCT_SQL),
     "sketch_kmv_merge": (sketch_kmv_merge, SKETCH_KMV_MERGE_SQL),
     "sketch_kmv_jaccard": (sketch_kmv_jaccard, SKETCH_KMV_JACCARD_SQL),
+    "sketch_kmv_setops": (sketch_kmv_setops, SKETCH_KMV_SETOPS_SQL),
     "sketch_cms_topk": (sketch_cms_topk, SKETCH_CMS_TOPK_SQL),
 }

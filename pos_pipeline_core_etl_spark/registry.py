@@ -31,7 +31,8 @@ position).
 
 Tier rationale: never-checked = ``docs_perplexity_buckets_approx``
 (new in round 11 — the percentile-sketch scale twin VERDICT r10 #5
-asked for).  Values-changed = empty: the round-11 sketch-shape fixes
+asked for) + ``sketch_kmv_setops`` (round 11's set-operation extension
+of the KMV family).  Values-changed = empty: the round-11 sketch-shape fixes
 (two-level rank pulls in ``kmv_jaccard`` / ``cms_estimates``, VERDICT
 r10 #1/#2) are plan-only — outputs re-verified hash-identical at both
 SFs before composing this window."""
@@ -49,6 +50,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries take slots from the spill tail rather than waiting a round).
 _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "docs_perplexity_buckets_approx",
+    "sketch_kmv_setops",
 )
 
 # Queries whose VALUES changed since their last green driver row:
@@ -115,7 +117,6 @@ _TIER_SPILL_R7: tuple[str, ...] = (
     "fuzzy_customer_pairs_d2",
     "fuzzy_customer_recall_d2",
     "fuzzy_customer_sn2_recall",
-    "fuzzy_customer_sn_recall",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -601,6 +601,15 @@ class TestSketchPlans:
 
         self._assert_two_level_rank(sketch_kmv_jaccard(spark, SF_DIR))
 
+    def test_setops_sketch_rank_is_two_level(self, spark):
+        """Round 11: kmv_setops shares kmv_jaccard's union-sketch pull,
+        so it inherits the same two-level contract."""
+        from pos_pipeline_core_etl_spark.plans.sketch_queries import (
+            sketch_kmv_setops,
+        )
+
+        self._assert_two_level_rank(sketch_kmv_setops(spark, SF_DIR))
+
     def test_cms_head_selection_is_two_level(self, spark):
         """VERDICT r10 #2: the top-k head pick must pre-rank within
         deterministic shards before the final bounded rank — no

@@ -452,7 +452,7 @@ def test_sketch_estimates_are_not_degenerate(spark):
         est_cols = [
             c
             for c in pdf.columns
-            if "estimate" in c or c.startswith("jaccard")
+            if "estimate" in c or c.startswith("jaccard") or c.endswith("_kmv")
         ]
         assert est_cols, f"{name}: no estimate column to eyeball"
         for c in est_cols:

@@ -104,6 +104,48 @@ class TestKMVJaccard:
         assert abs(out["jaccard_kmv"] - 1 / 3) < 0.25
 
 
+class TestKMVSetOps:
+    def test_exact_when_union_fits(self, spark):
+        """Union of 30 keys < k = 64: every region estimate degrades to
+        the exact cardinality (the sketch IS the union)."""
+        left = spark.range(0, 20).select(F.col("id").alias("key"))
+        right = spark.range(10, 30).select(F.col("id").alias("key"))
+        out = sketches.kmv_setops(left, right, "key", k=64).collect()[0]
+        assert out["n_union"] == 30 and out["n_inter"] == 10
+        assert out["union_kmv"] == 30.0
+        assert out["inter_kmv"] == 10.0
+        assert out["aonly_kmv"] == 10.0
+        assert out["bonly_kmv"] == 10.0
+
+    def test_regions_partition_the_union_estimate(self, spark):
+        """inter + aonly + bonly must reassemble union_kmv exactly (up
+        to the per-region rounding): the three region counts partition
+        the sketch, so their share-weighted estimates partition the
+        union estimate — an algebraic invariant, not a statistical one."""
+        left = spark.range(0, 2_000).select(F.col("id").alias("key"))
+        right = spark.range(1_000, 3_000).select(F.col("id").alias("key"))
+        out = sketches.kmv_setops(left, right, "key", k=64).collect()[0]
+        total = out["inter_kmv"] + out["aonly_kmv"] + out["bonly_kmv"]
+        assert abs(total - out["union_kmv"]) < 2e-4 * 3  # 3 roundings at 4dp
+
+    def test_estimates_within_envelope(self, spark):
+        """2000 ∪ 2000 with 1000 shared: union estimate within the KMV
+        k = 64 envelope, and each region's share estimate within a
+        4-sigma binomial envelope of its true share."""
+        left = spark.range(0, 2_000).select(F.col("id").alias("key"))
+        right = spark.range(1_000, 3_000).select(F.col("id").alias("key"))
+        out = sketches.kmv_setops(left, right, "key", k=64).collect()[0]
+        assert out["n_union"] == 3_000 and out["n_inter"] == 1_000
+        assert abs(out["union_kmv"] - 3_000) / 3_000 < 0.5  # ~1/sqrt(63) 4σ
+        for col, truth in (
+            ("inter_kmv", 1_000),
+            ("aonly_kmv", 1_000),
+            ("bonly_kmv", 1_000),
+        ):
+            # share error ≤ 4·sqrt(p(1-p)/k) ≈ 0.24, scaled by union est
+            assert abs(out[col] / out["union_kmv"] - truth / 3_000) < 0.25
+
+
 class TestCMS:
     def test_never_undercounts(self, spark):
         """The CMS invariant: estimate ≥ exact for every probed key."""
