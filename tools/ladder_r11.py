@@ -71,8 +71,14 @@ def er_legs(spark) -> None:
             ).alias("c_name"),
         )
 
+    notches = [
+        int(x)
+        for x in os.environ.get(
+            "LADDER_ER_CLUSTERS", "300000,1000000"
+        ).split(",")
+    ]
     fuzzy.resolve_entities(clustered(500), "c_custkey", "c_name").count()  # warm
-    for n_clusters in (300_000, 1_000_000):
+    for n_clusters in notches:
         df = clustered(n_clusters)
         sec_e, rows_e = _time(
             lambda: fuzzy.resolve_entities(df, "c_custkey", "c_name")
@@ -129,7 +135,18 @@ def ivfpq_legs(spark) -> None:
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    spark = get_spark(app_name=f"ladder_r11_{which}")
+    # Short ContextCleaner period: with a 64 GiB heap the driver JVM
+    # almost never GCs on its own, so shuffle files from finished
+    # components rounds pile up on disk for the default 30 min — the
+    # first 15M-key attempt filled the sandbox disk (~76 GB usable)
+    # with ~24 rounds of multi-GB join spill before any round's files
+    # were reclaimed.  2 min keeps the live spill bounded at a few
+    # rounds' worth; on a real cluster the external shuffle service's
+    # cleanup plays this role.
+    spark = get_spark(
+        app_name=f"ladder_r11_{which}",
+        extra_conf={"spark.cleaner.periodicGC.interval": "2min"},
+    )
     if which in ("er", "all"):
         er_legs(spark)
     if which in ("ivfpq", "all"):
