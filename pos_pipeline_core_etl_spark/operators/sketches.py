@@ -429,3 +429,107 @@ def cms_estimates(
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_cnt")).alias("overshoot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles
+
+
+def hist_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a fixed equi-width histogram — the
+    deterministic mergeable quantile sketch (one row per requested
+    probability).
+
+    Why this exists next to the ``approx_percentile`` twins
+    (``docs_quality_pct_approx`` / ``docs_perplexity_buckets_approx``):
+    those are engine-native sketches checked behind a TOLERANCE
+    contract; this one is checked BIT-EXACTLY, because every step is
+    plain arithmetic both engines reproduce.  And it is the shape a
+    100 TB percentile actually ships: exact order statistics need a
+    global sort, while the histogram is two scans of distributed
+    scalar work — (1) min/max/count, (2) one bounded groupBy into
+    ``buckets`` counters.  The counter table is MERGEABLE by
+    construction (counters add across shards/days — same contract the
+    Count-Min table proves), so pre-aggregated per-partition
+    histograms combine without re-touching rows.
+
+    Estimator: for each p, the first bucket whose cumulative count
+    reaches ``ceil(p·n)``; the estimate is that bucket's UPPER edge, so
+    the reported ``rank_le`` (rows with bucket index ≤ the cut — i.e.
+    rows ≤ the upper edge, by construction) always satisfies
+    ``rank_le / n ≥ p``: one-sided, like CMS's never-under-counts.  The
+    over-shoot is bounded by the cut bucket's own share, which the
+    output exposes (``bucket_share``) instead of hiding — a skewed
+    value distribution concentrates mass in few buckets and honesty
+    requires reporting the achieved rank, not pretending p was hit.
+
+    The cumulative pass is an unpartitioned running sum over the
+    counter table — bounded at ``buckets`` rows by construction
+    (same documented exemption as the CMS counter table; the data-sized
+    stages are the two scans).  Null values are dropped (rank semantics
+    over nulls differ cross-engine)."""
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v")
+    )
+    bounds = vals.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count("v").alias("n"),
+    )
+    # span-0 guard: a constant column puts everything in bucket 0
+    # (division by zero would NaN the floor in both engines)
+    bk = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(float(buckets))
+            ),
+        )
+    ).cast("long")
+    hist = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(bk.alias("b"), "mn", "mx", "n")
+        .groupBy("b", "mn", "mx", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # one lazy checkpoint: the ≤buckets-row cumulative table fans out to
+    # every probability's cut — without it each p re-runs the full scan
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).localCheckpoint(
+        eager=False
+    )
+    pl = None
+    for p in probs:
+        row = cum.sparkSession.range(1).select(F.lit(float(p)).alias("p"))
+        pl = row if pl is None else pl.unionByName(row)
+    cand = pl.join(
+        F.broadcast(cum),
+        F.col("cum") >= F.ceil(F.col("p") * F.col("n")).cast("long"),
+    )
+    cuts = cand.groupBy("p").agg(F.min("b").alias("bucket"))
+    return (
+        cuts.join(
+            F.broadcast(cum), F.col("bucket") == F.col("b")
+        ).select(
+            "p",
+            "n",
+            "bucket",
+            hround(
+                F.col("mn")
+                + (F.col("bucket") + 1)
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(buckets)),
+                6,
+            ).alias("q_estimate"),
+            F.col("cum").alias("rank_le"),
+            hround(F.col("cum") / F.col("n"), 6).alias("rank_frac"),
+            hround(F.col("cnt") / F.col("n"), 6).alias("bucket_share"),
+        )
+    )

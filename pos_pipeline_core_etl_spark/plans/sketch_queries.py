@@ -1,6 +1,6 @@
 """Deterministic mergeable-sketch queries with DuckDB oracles.
 
-Five driver-checked queries over :mod:`operators/sketches`:
+Six driver-checked queries over :mod:`operators/sketches`:
 
 - ``sketch_kmv_distinct`` — per-returnflag KMV distinct-orderkey
   estimates next to the exact counts (k = 64 binds at both SFs: ~11k
@@ -24,6 +24,12 @@ Five driver-checked queries over :mod:`operators/sketches`:
   Beyer et al. §4 uniform-sample rule over the union sketch — the two
   order-year cohorts overlap partially, so all three regions are
   non-empty at both SFs: 489/685/200 at sf0.01).
+- ``sketch_hist_quantile`` — p50/p90/p99 of extendedprice from a
+  256-bucket equi-width histogram (round 11): the
+  quantile-without-a-global-sort scale path, with the achieved rank
+  and cut-bucket share reported so the granularity is visible.  Unlike
+  the tolerance-checked ``approx_percentile`` twins this is BIT-EXACT
+  cross-engine — every step is plain arithmetic.
 - ``sketch_cms_topk`` — Count-Min estimates for the 20 most frequent
   partkeys (width 256 « 2000+ keys, so collisions are real and the
   overshoot column is non-trivially positive; CMS never under-counts
@@ -266,6 +272,67 @@ FROM u
 
 
 # ---------------------------------------------------------------------------
+# Histogram quantiles
+
+HIST_BUCKETS = 256
+HIST_PROBS = (0.5, 0.9, 0.99)
+
+
+def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extendedprice from a 256-bucket
+    equi-width histogram — the quantile-without-a-global-sort scale
+    path, bit-exactly reproduced by the oracle (unlike the
+    approx_percentile twins, which are tolerance-checked engine
+    sketches).  The output reports the ACHIEVED rank (`rank_frac` ≥ p,
+    one-sided like CMS) and the cut bucket's own share, so the
+    estimator's granularity is visible instead of hidden."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return sketches.hist_quantiles(
+        df, "l_extendedprice", probs=HIST_PROBS, buckets=HIST_BUCKETS
+    )
+
+
+_HIST_PROBS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({p} AS DOUBLE) AS p" for p in HIST_PROBS
+)
+
+SKETCH_HIST_QUANTILE_SQL = f"""
+WITH vals AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+bounds AS (
+  SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM vals
+),
+hist AS MATERIALIZED (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE LEAST({HIST_BUCKETS - 1},
+                         CAST(floor((v - mn) / (mx - mn)
+                                    * {float(HIST_BUCKETS)}) AS BIGINT))
+         END AS b,
+         mn, mx, n, count(*) AS cnt
+  FROM vals, bounds
+  GROUP BY 1, 2, 3, 4
+),
+cum AS MATERIALIZED (
+  SELECT *, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum FROM hist
+),
+probs AS ({_HIST_PROBS_SQL}),
+cuts AS (
+  SELECT p, min(b) AS bucket
+  FROM probs JOIN cum ON cum >= CAST(ceil(p * n) AS BIGINT)
+  GROUP BY p
+)
+SELECT p, n, bucket,
+       {hround_sql(f"mn + (bucket + 1) * (mx - mn) / {float(HIST_BUCKETS)}", 6)} AS q_estimate,
+       cum AS rank_le,
+       {hround_sql("cum / n", 6)} AS rank_frac,
+       {hround_sql("cnt / n", 6)} AS bucket_share
+FROM cuts JOIN cum ON bucket = b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-Min
 
 
@@ -320,5 +387,6 @@ QUERIES: dict[str, tuple] = {
     "sketch_kmv_merge": (sketch_kmv_merge, SKETCH_KMV_MERGE_SQL),
     "sketch_kmv_jaccard": (sketch_kmv_jaccard, SKETCH_KMV_JACCARD_SQL),
     "sketch_kmv_setops": (sketch_kmv_setops, SKETCH_KMV_SETOPS_SQL),
+    "sketch_hist_quantile": (sketch_hist_quantile, SKETCH_HIST_QUANTILE_SQL),
     "sketch_cms_topk": (sketch_cms_topk, SKETCH_CMS_TOPK_SQL),
 }

@@ -31,8 +31,9 @@ position).
 
 Tier rationale: never-checked = ``docs_perplexity_buckets_approx``
 (new in round 11 — the percentile-sketch scale twin VERDICT r10 #5
-asked for) + ``sketch_kmv_setops`` (round 11's set-operation extension
-of the KMV family).  Values-changed = empty: the round-11 sketch-shape fixes
+asked for) + ``sketch_kmv_setops`` / ``sketch_hist_quantile`` (round
+11's sketch-family extensions: KMV set operations and the bit-exact
+histogram quantile).  Values-changed = empty: the round-11 sketch-shape fixes
 (two-level rank pulls in ``kmv_jaccard`` / ``cms_estimates``, VERDICT
 r10 #1/#2) are plan-only — outputs re-verified hash-identical at both
 SFs before composing this window."""
@@ -50,6 +51,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # queries take slots from the spill tail rather than waiting a round).
 _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "docs_perplexity_buckets_approx",
+    "sketch_hist_quantile",
     "sketch_kmv_setops",
 )
 
@@ -116,7 +118,6 @@ _TIER_SPILL_R7: tuple[str, ...] = (
     "fuzzy_customer_overflow_d2",
     "fuzzy_customer_pairs_d2",
     "fuzzy_customer_recall_d2",
-    "fuzzy_customer_sn2_recall",
 )
 
 _PRIORITY: tuple[str, ...] = (

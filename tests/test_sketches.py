@@ -146,6 +146,54 @@ class TestKMVSetOps:
             assert abs(out[col] / out["union_kmv"] - truth / 3_000) < 0.25
 
 
+class TestHistQuantiles:
+    def test_rank_is_one_sided_and_granularity_bounded(self, spark):
+        """The CMS-style one-sided contract: the achieved rank is never
+        below p, and the overshoot is bounded by the cut bucket's own
+        share (the honesty column the output exposes)."""
+        df = spark.range(10_000).select(
+            ((F.col("id") * 7919) % 100_000).cast("double").alias("x")
+        )
+        rows = sketches.hist_quantiles(df, "x").collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r["rank_frac"] >= r["p"]
+            assert r["rank_frac"] - r["p"] <= r["bucket_share"] + 1e-9
+
+    def test_estimates_differ_and_are_ordered(self, spark):
+        """p50 < p90 < p99 on a spread-out domain — the degenerate-
+        output eyeball as a unit invariant."""
+        df = spark.range(5_000).select(
+            (F.col("id") % 977).cast("double").alias("x")
+        )
+        rows = {
+            r["p"]: r["q_estimate"]
+            for r in sketches.hist_quantiles(df, "x").collect()
+        }
+        assert rows[0.5] < rows[0.9] < rows[0.99]
+
+    def test_constant_column_span_guard(self, spark):
+        """All-equal values: the span-0 guard buckets everything at 0
+        and every estimate is the constant itself at rank 1.0."""
+        df = spark.range(100).select(F.lit(42.5).alias("x"))
+        rows = sketches.hist_quantiles(df, "x").collect()
+        for r in rows:
+            assert r["bucket"] == 0
+            assert r["q_estimate"] == 42.5
+            assert r["rank_frac"] == 1.0
+
+    def test_fine_buckets_approach_exact(self, spark):
+        """With more buckets than distinct values, every value gets its
+        own bucket and the achieved rank is the exact ceil(p*n) order
+        statistic's rank (granularity error vanishes)."""
+        df = spark.range(1_000).select(F.col("id").cast("double").alias("x"))
+        rows = sketches.hist_quantiles(df, "x", buckets=4096).collect()
+        import math
+
+        for r in rows:
+            assert r["rank_le"] == math.ceil(r["p"] * 1_000)
+
+
 class TestCMS:
     def test_never_undercounts(self, spark):
         """The CMS invariant: estimate ≥ exact for every probed key."""
