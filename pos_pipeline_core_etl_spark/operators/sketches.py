@@ -435,6 +435,57 @@ def cms_estimates(
 # Histogram quantiles
 
 
+def hist_bucket_col(
+    v: Column, mn: Column, mx: Column, buckets: int
+) -> Column:
+    """Equi-width bucket index of ``v`` over [mn, mx] → long in
+    [0, buckets): the shared bucketing rule of :func:`hist_quantiles`
+    (bounds discovered from the data) and the fixed-bound forms below
+    (bounds pinned up front — the streaming contract).  Clamped at BOTH
+    edges so out-of-range values (possible only under pinned bounds)
+    land in the edge buckets instead of corrupting the table; span-0
+    guard as in :func:`hist_quantiles`."""
+    return (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(buckets - 1),
+                    F.floor((v - mn) / (mx - mn) * F.lit(float(buckets))),
+                ),
+            )
+        )
+        .cast("long")
+    )
+
+
+def hist_counters_fixed(
+    df: DataFrame,
+    value_col: str,
+    mn: float,
+    mx: float,
+    buckets: int = 256,
+) -> DataFrame:
+    """Fixed-bound histogram counter table ``(b, cnt)`` — the mergeable
+    state a streaming maintainer (or per-shard pre-aggregation) holds.
+    Bounds are pinned BY THE CALLER because a stream cannot know its
+    global min/max up front: the standard fixed-bound histogram
+    contract (values outside [mn, mx] clamp into the edge buckets, so
+    the table never grows and merges stay cell-aligned).  Counters add
+    elementwise across shards/micro-batches — same mergeability
+    contract the Count-Min table proves cross-engine."""
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v")
+    )
+    b = hist_bucket_col(
+        F.col("v"), F.lit(float(mn)), F.lit(float(mx)), buckets
+    )
+    return vals.select(b.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def hist_quantiles(
     df: DataFrame,
     value_col: str,
@@ -481,18 +532,11 @@ def hist_quantiles(
         F.max("v").alias("mx"),
         F.count("v").alias("n"),
     )
-    # span-0 guard: a constant column puts everything in bucket 0
-    # (division by zero would NaN the floor in both engines)
-    bk = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(buckets - 1),
-            F.floor(
-                (F.col("v") - F.col("mn"))
-                / (F.col("mx") - F.col("mn"))
-                * F.lit(float(buckets))
-            ),
-        )
-    ).cast("long")
+    # shared bucketing rule (the low clamp is a no-op here — bounds come
+    # from the data, so every value is in range; span-0 guard included)
+    bk = hist_bucket_col(
+        F.col("v"), F.col("mn"), F.col("mx"), buckets
+    )
     hist = (
         vals.crossJoin(F.broadcast(bounds))
         .select(bk.alias("b"), "mn", "mx", "n")

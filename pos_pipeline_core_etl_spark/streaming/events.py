@@ -1456,3 +1456,102 @@ def run_streaming_cms_sketch(
         return spark.createDataFrame([], "d int, b bigint, cnt bigint")
     final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
     return spark.read.parquet(os.path.join(counter_dir, final))
+
+
+def hist_counter_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    counter_dir: str,
+    value_col: str = "v",
+    mn: float = 0.0,
+    mx: float = 1.0,
+    buckets: int = 256,
+) -> None:
+    """foreachBatch maintainer of a fixed-bound histogram counter table
+    — the quantile analog of :func:`cms_counter_batch`, completing the
+    sketch-maintainer family (KMV order-statistics, CMS frequencies,
+    histogram quantiles).
+
+    Bounds are PINNED at maintainer creation because a stream cannot
+    know its global min/max up front — the standard fixed-bound
+    histogram contract (:func:`operators.sketches.hist_counters_fixed`;
+    out-of-range values clamp into the edge buckets, so the state never
+    grows and merges stay cell-aligned).  The merge is elementwise
+    ADDITION by construction — each bucket count is a sum over rows and
+    the micro-batches partition the row multiset — so folding a batch
+    in is: bucket the batch (batch-sized work, ≤``buckets``-row
+    output), union with the latest accumulated table, re-sum per cell.
+    State is the latest counter partition only.  Writes are
+    per-batch-id idempotent (:func:`write_batch_idempotent`), so
+    at-least-once replays converge.
+
+    Stream ≡ batch and chunking invariance are pinned in
+    tests/test_streaming.py::TestStreamingHist with the same
+    maxFilesPerTrigger=1 multi-batch drain guard that keeps the KMV and
+    CMS proofs non-vacuous."""
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        hist_counters_fixed,
+    )
+
+    spark = batch_df.sparkSession
+    batch_counters = hist_counters_fixed(batch_df, value_col, mn, mx, buckets)
+    prior = [
+        p
+        for p in _prior_partitions(counter_dir, batch_id)
+        if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+    ]
+    if prior:
+        latest = max(prior, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+        merged = (
+            spark.read.parquet(latest)
+            .unionByName(batch_counters)
+            .groupBy("b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = batch_counters
+    write_batch_idempotent(merged.localCheckpoint(eager=True), batch_id, counter_dir)
+
+
+def run_streaming_hist_sketch(
+    spark: SparkSession,
+    stream_dir: str,
+    counter_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "v",
+    mn: float = 0.0,
+    mx: float = 1.0,
+    buckets: int = 256,
+    schema: str = "grp string, v double",
+) -> DataFrame:
+    """Drain a parquet stream through :func:`hist_counter_batch` with
+    availableNow and return the FINAL (b, cnt) counter table — which
+    the tests assert equals the one-shot ``hist_counters_fixed`` on the
+    same rows, cell for cell (the mergeability proof, streamed)."""
+    import os
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force a real multi-batch drain
+        .parquet(stream_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: hist_counter_batch(
+                df, bid, counter_dir, value_col, mn, mx, buckets
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = (
+        [d for d in os.listdir(counter_dir) if d.startswith("batch_id=")]
+        if os.path.isdir(counter_dir)
+        else []
+    )
+    if not parts:
+        return spark.createDataFrame([], "b bigint, cnt bigint")
+    final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
+    return spark.read.parquet(os.path.join(counter_dir, final))

@@ -1207,3 +1207,123 @@ class TestStreamingCms:
         )
         assert got_kmv.count() == 0
         assert set(got_kmv.columns) == {"grp", "kmv_estimate"}
+
+
+class TestStreamingHist:
+    """Streaming fixed-bound histogram maintainer (round 11, completing
+    the sketch-maintainer family): bucket counters add across
+    micro-batches, so the drained counter table must equal the one-shot
+    ``hist_counters_fixed`` on the same rows cell for cell, invariant
+    to arrival chunking, with state bounded at ``buckets`` rows — over
+    a genuinely multi-batch drain (maxFilesPerTrigger=1), same
+    non-vacuity guard as the KMV/CMS twins.  Out-of-range values are in
+    the fixture ON PURPOSE: the clamp-to-edge-bucket contract is part
+    of what stream ≡ batch must prove."""
+
+    MN, MX, BUCKETS = 0.0, 500.0, 64
+
+    def _rows(self, spark):
+        from pyspark.sql import functions as F
+
+        # skewed doubles over [0, 763]: values past MX=500 exercise
+        # the edge-bucket clamp; id%7 skew makes counts non-uniform
+        return spark.range(900).select(
+            F.lit("g").alias("grp"),
+            ((F.col("id") % 110) * (F.col("id") % 7 + 1)).cast("double").alias("v"),
+        )
+
+    def _write_chunks(self, spark, tmp_path, n_chunks, tag):
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        rows = self._rows(spark)
+        stream_dir = str(tmp_path / f"hist_{tag}_{n_chunks}")
+        for i in range(n_chunks):
+            part = rows.where(F.col("v").cast("long") % n_chunks == i)
+            part.coalesce(1).write.mode("append").parquet(stream_dir)
+            _t.sleep(1.1)
+        return stream_dir
+
+    def _run(self, spark, tmp_path, n_chunks, tag):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_hist_sketch,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, n_chunks, tag)
+        got = run_streaming_hist_sketch(
+            spark,
+            stream_dir,
+            counter_dir=str(tmp_path / f"hctr_{tag}_{n_chunks}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_hist_{tag}_{n_chunks}"),
+            mn=self.MN,
+            mx=self.MX,
+            buckets=self.BUCKETS,
+        )
+        return {r["b"]: r["cnt"] for r in got.collect()}
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators.sketches import (
+            hist_counters_fixed,
+        )
+
+        got = self._run(spark, tmp_path, 4, "eq")
+        want_df = hist_counters_fixed(
+            self._rows(spark), "v", self.MN, self.MX, self.BUCKETS
+        )
+        want = {r["b"]: r["cnt"] for r in want_df.collect()}
+        assert got == want
+        # real histogram, not a degenerate grid: non-uniform counts,
+        # every row accounted for, and the clamp bucket is occupied
+        # (the fixture's >MX values all land in bucket BUCKETS-1)
+        assert len(set(got.values())) > 1
+        assert sum(got.values()) == 900
+        assert got[self.BUCKETS - 1] > 0
+
+    def test_chunking_invariance(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, 1, "inv") == self._run(
+            spark, tmp_path, 3, "inv"
+        )
+
+    def test_state_bounded_and_multibatch(self, spark, tmp_path):
+        import os
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_hist_sketch,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, 4, "bound")
+        counter_dir = str(tmp_path / "hctr_bound_4")
+        run_streaming_hist_sketch(
+            spark,
+            stream_dir,
+            counter_dir=counter_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_hist_bound_4"),
+            mn=self.MN,
+            mx=self.MX,
+            buckets=self.BUCKETS,
+        )
+        parts = [d for d in os.listdir(counter_dir) if d.startswith("batch_id=")]
+        assert len(parts) >= 2  # the merge leg demonstrably executed
+        for d in parts:
+            n = spark.read.parquet(os.path.join(counter_dir, d)).count()
+            assert n <= self.BUCKETS  # bucket count, never row count
+
+    def test_empty_stream_returns_empty_frame(self, spark, tmp_path):
+        import time as _t
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_hist_sketch,
+        )
+
+        empty_dir = str(tmp_path / "hist_empty")
+        self._rows(spark).limit(0).coalesce(1).write.parquet(empty_dir)
+        _t.sleep(1.1)
+        got = run_streaming_hist_sketch(
+            spark,
+            empty_dir,
+            counter_dir=str(tmp_path / "hctr_empty"),
+            checkpoint_dir=str(tmp_path / "ckpt_hist_empty"),
+        )
+        assert got.count() == 0
+        assert set(got.columns) == {"b", "cnt"}

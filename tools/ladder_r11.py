@@ -133,6 +133,48 @@ def ivfpq_legs(spark) -> None:
                           "sec": sec_c, "rows": rows_c}), flush=True)
 
 
+def hist_legs(spark) -> None:
+    """Histogram quantile vs Spark's EXACT percentile aggregate (the
+    sort-based order statistic) per notch — the 'quantiles without a
+    global sort' claim, priced."""
+    from pyspark.sql import functions as F
+
+    from pos_pipeline_core_etl_spark.operators import sketches
+
+    warm = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sketches.hist_quantiles(warm, "l_extendedprice").count()
+    for notch, path in IVFPQ_NOTCHES.items():
+        if not os.path.isdir(path):
+            print(json.dumps({"leg": "hist_quantile", "notch": notch,
+                              "skipped": f"fixture missing: {path}"}),
+                  flush=True)
+            continue
+        li = spark.read.parquet(os.path.join(path, "lineitem.parquet"))
+        t0 = time.perf_counter()
+        ex = li.agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("q")
+        ).collect()[0]["q"]
+        sec_ex = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        hq = {
+            r["p"]: (r["q_estimate"], r["rank_frac"])
+            for r in sketches.hist_quantiles(
+                li, "l_extendedprice"
+            ).collect()
+        }
+        sec_h = round(time.perf_counter() - t0, 3)
+        errs = {
+            str(p): round(abs(hq[p][0] - e) / e, 5)
+            for p, e in zip((0.5, 0.9, 0.99), ex)
+        }
+        print(json.dumps({"leg": "hist_quantile_vs_exact", "notch": notch,
+                          "sec_exact_percentile": sec_ex,
+                          "sec_hist_sketch": sec_h,
+                          "rel_err": errs}), flush=True)
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     # Short ContextCleaner period: with a 64 GiB heap the driver JVM
@@ -151,6 +193,8 @@ def main() -> None:
         er_legs(spark)
     if which in ("ivfpq", "all"):
         ivfpq_legs(spark)
+    if which in ("hist", "all"):
+        hist_legs(spark)
     spark.stop()
 
 
