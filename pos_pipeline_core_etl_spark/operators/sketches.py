@@ -486,6 +486,90 @@ def hist_counters_fixed(
     )
 
 
+def hist_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-group histogram quantiles — :func:`hist_quantiles` with a
+    group key, which changes the physical story in the way that matters
+    at 100 TB: every window and agg below is PARTITIONED BY the group,
+    so nothing in the plan is single-partition at any size (the global
+    form's one bounded unpartitioned window disappears).  Bounds are
+    discovered PER GROUP (each group gets its own [mn, mx] span, so a
+    wide-range group cannot wash out a narrow one's resolution); the
+    counter state is ``groups × buckets`` rows and still merges by
+    cell-aligned addition within each group.
+
+    One row per (group, p): the same achieved-rank / bucket-share
+    honesty contract as the global form."""
+    vals = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    )
+    bounds = vals.groupBy("g").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count("v").alias("n"),
+    )
+    bk = hist_bucket_col(F.col("v"), F.col("mn"), F.col("mx"), buckets)
+    hist = (
+        vals.join(F.broadcast(bounds), "g")
+        .select("g", bk.alias("b"), "mn", "mx", "n")
+        .groupBy("g", "b", "mn", "mx", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).localCheckpoint(
+        eager=False
+    )
+    pl = None
+    for p in probs:
+        row = cum.sparkSession.range(1).select(F.lit(float(p)).alias("p"))
+        pl = row if pl is None else pl.unionByName(row)
+    cand = pl.crossJoin(cum).where(
+        F.col("cum") >= F.ceil(F.col("p") * F.col("n")).cast("long")
+    )
+    # rename the group key on the cuts side: cum and cuts share lineage,
+    # so a cuts.g == cum.g condition resolves to the SAME attribute
+    # (Spark warns "trivially true equals predicate") — distinct names
+    # make the equi-join unambiguous
+    cuts = (
+        cand.groupBy("g", "p")
+        .agg(F.min("b").alias("bucket"))
+        .select(F.col("g").alias("cg"), "p", "bucket")
+    )
+    return (
+        cuts.join(
+            cum,
+            (F.col("cg") == F.col("g")) & (F.col("bucket") == F.col("b")),
+        )
+        .select(
+            F.col("cg").alias(group_col),
+            "p",
+            "n",
+            "bucket",
+            hround(
+                F.col("mn")
+                + (F.col("bucket") + 1)
+                * (F.col("mx") - F.col("mn"))
+                / F.lit(float(buckets)),
+                6,
+            ).alias("q_estimate"),
+            F.col("cum").alias("rank_le"),
+            hround(F.col("cum") / F.col("n"), 6).alias("rank_frac"),
+            hround(F.col("cnt") / F.col("n"), 6).alias("bucket_share"),
+        )
+    )
+
+
 def hist_quantiles(
     df: DataFrame,
     value_col: str,

@@ -1,6 +1,6 @@
 """Deterministic mergeable-sketch queries with DuckDB oracles.
 
-Six driver-checked queries over :mod:`operators/sketches`:
+Seven driver-checked queries over :mod:`operators/sketches`:
 
 - ``sketch_kmv_distinct`` — per-returnflag KMV distinct-orderkey
   estimates next to the exact counts (k = 64 binds at both SFs: ~11k
@@ -30,6 +30,10 @@ Six driver-checked queries over :mod:`operators/sketches`:
   and cut-bucket share reported so the granularity is visible.  Unlike
   the tolerance-checked ``approx_percentile`` twins this is BIT-EXACT
   cross-engine — every step is plain arithmetic.
+- ``sketch_hist_quantile_grouped`` — per-language p50/p90/p99 of
+  document length from per-group histograms (round 11): the fully
+  partitioned form — every window and agg keyed by the group, NO
+  single-partition stage in the executed plan (plan-tested).
 - ``sketch_cms_topk`` — Count-Min estimates for the 20 most frequent
   partkeys (width 256 « 2000+ keys, so collisions are real and the
   overshoot column is non-trivially positive; CMS never under-counts
@@ -332,6 +336,57 @@ FROM cuts JOIN cum ON bucket = b
 """
 
 
+def sketch_hist_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p50/p90/p99 of document length from per-group
+    256-bucket histograms — the fully-distributed form: every window
+    and agg is partitioned by the group, so the plan has NO
+    single-partition stage at any size.  Domain measured before
+    registering: per-lang medians at sf0.01 genuinely differ
+    (298–329 chars), so the per-group estimates are non-degenerate."""
+    df = load_table(spark, sf_dir, "documents")
+    return sketches.hist_quantiles_grouped(
+        df, "lang", "n_chars", probs=HIST_PROBS, buckets=HIST_BUCKETS
+    )
+
+
+SKETCH_HIST_QUANTILE_GROUPED_SQL = f"""
+WITH vals AS (
+  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+bounds AS (
+  SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n FROM vals GROUP BY 1
+),
+hist AS MATERIALIZED (
+  SELECT vals.g AS g,
+         CASE WHEN mx = mn THEN 0
+              ELSE GREATEST(0, LEAST({HIST_BUCKETS - 1},
+                         CAST(floor((v - mn) / (mx - mn)
+                                    * {float(HIST_BUCKETS)}) AS BIGINT)))
+         END AS b,
+         mn, mx, n, count(*) AS cnt
+  FROM vals JOIN bounds ON vals.g = bounds.g
+  GROUP BY 1, 2, 3, 4, 5
+),
+cum AS MATERIALIZED (
+  SELECT *, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cum
+  FROM hist
+),
+probs AS ({_HIST_PROBS_SQL}),
+cuts AS (
+  SELECT g, p, min(b) AS bucket
+  FROM probs JOIN cum ON cum >= CAST(ceil(p * n) AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT cuts.g AS lang, p, n, bucket,
+       {hround_sql(f"mn + (bucket + 1) * (mx - mn) / {float(HIST_BUCKETS)}", 6)} AS q_estimate,
+       cum AS rank_le,
+       {hround_sql("cum / n", 6)} AS rank_frac,
+       {hround_sql("cnt / n", 6)} AS bucket_share
+FROM cuts JOIN cum ON cuts.g = cum.g AND cuts.bucket = cum.b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-Min
 
@@ -388,5 +443,9 @@ QUERIES: dict[str, tuple] = {
     "sketch_kmv_jaccard": (sketch_kmv_jaccard, SKETCH_KMV_JACCARD_SQL),
     "sketch_kmv_setops": (sketch_kmv_setops, SKETCH_KMV_SETOPS_SQL),
     "sketch_hist_quantile": (sketch_hist_quantile, SKETCH_HIST_QUANTILE_SQL),
+    "sketch_hist_quantile_grouped": (
+        sketch_hist_quantile_grouped,
+        SKETCH_HIST_QUANTILE_GROUPED_SQL,
+    ),
     "sketch_cms_topk": (sketch_cms_topk, SKETCH_CMS_TOPK_SQL),
 }

@@ -52,6 +52,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "docs_perplexity_buckets_approx",
     "sketch_hist_quantile",
+    "sketch_hist_quantile_grouped",
     "sketch_kmv_setops",
 )
 
@@ -117,7 +118,6 @@ _TIER_SPILL_R7: tuple[str, ...] = (
     "fuzzy_customer_golden",
     "fuzzy_customer_overflow_d2",
     "fuzzy_customer_pairs_d2",
-    "fuzzy_customer_recall_d2",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -194,6 +194,61 @@ class TestHistQuantiles:
             assert r["rank_le"] == math.ceil(r["p"] * 1_000)
 
 
+class TestHistQuantilesGrouped:
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+
+        # two groups with deliberately different spreads: g0 ~ [0,100),
+        # g1 ~ [0,1000) — per-group bounds must keep g0's resolution
+        return spark.range(2_000).select(
+            F.concat(F.lit("g"), (F.col("id") % 2)).alias("grp"),
+            (
+                (F.col("id") % 100).cast("double")
+                * F.when(F.col("id") % 2 == 1, 10.0).otherwise(1.0)
+            ).alias("x"),
+        )
+
+    def test_matches_global_form_per_group(self, spark):
+        """Each group's rows through the GLOBAL operator must equal that
+        group's rows from the grouped operator — same rule, same
+        estimates (per-group bounds make this exact, not approximate)."""
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        grouped = {
+            (r["grp"], r["p"]): (r["q_estimate"], r["rank_le"])
+            for r in sketches.hist_quantiles_grouped(df, "grp", "x").collect()
+        }
+        for g in ("g0", "g1"):
+            solo = sketches.hist_quantiles(
+                df.where(F.col("grp") == g), "x"
+            ).collect()
+            for r in solo:
+                assert grouped[(g, r["p"])] == (r["q_estimate"], r["rank_le"])
+
+    def test_per_group_bounds_preserve_resolution(self, spark):
+        """g0's p50 must land near 50, not be washed to g1's scale —
+        the per-group-bounds rationale as an assertion."""
+        rows = {
+            (r["grp"], r["p"]): r["q_estimate"]
+            for r in sketches.hist_quantiles_grouped(
+                self._df(spark), "grp", "x"
+            ).collect()
+        }
+        assert abs(rows[("g0", 0.5)] - 50) < 2  # bucket width ~0.39
+        assert abs(rows[("g1", 0.5)] - 500) < 20
+
+    def test_no_single_partition_stage(self, spark):
+        """The grouped form's selling point, plan-tested: the executed
+        plan contains NO SinglePartition exchange anywhere (the global
+        form's one bounded unpartitioned window disappears when every
+        window/agg is keyed by the group)."""
+        df = sketches.hist_quantiles_grouped(self._df(spark), "grp", "x")
+        df.collect()  # finalize AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
 class TestCMS:
     def test_never_undercounts(self, spark):
         """The CMS invariant: estimate ≥ exact for every probed key."""
