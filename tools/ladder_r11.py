@@ -173,6 +173,24 @@ def hist_legs(spark) -> None:
                           "sec_exact_percentile": sec_ex,
                           "sec_hist_sketch": sec_h,
                           "rel_err": errs}), flush=True)
+        # grouped form: per-returnflag percentiles, exact vs histogram
+        t0 = time.perf_counter()
+        li.groupBy("l_returnflag").agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("q")
+        ).collect()
+        sec_gex = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_rows = sketches.hist_quantiles_grouped(
+            li, "l_returnflag", "l_extendedprice"
+        ).count()
+        sec_gh = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"leg": "hist_quantile_grouped_vs_exact",
+                          "notch": notch,
+                          "sec_exact_grouped_percentile": sec_gex,
+                          "sec_hist_grouped": sec_gh,
+                          "rows": n_rows}), flush=True)
 
 
 def main() -> None:
