@@ -281,3 +281,53 @@ def test_fastss_deletion_identity_depth2(a, b):
     blocking is CANDIDATE-COMPLETE."""
     if _lev(a, b) <= 2:
         assert _d2(a) & _d2(b), (a, b)
+
+
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.integers(min_value=2, max_value=64),
+)
+@settings(max_examples=10, deadline=None)
+def test_hist_quantile_cuts_match_python_model(spark, vals, buckets):
+    """Round 11: the histogram quantile's integer outputs (cut bucket,
+    achieved rank) on random doubles ≡ a direct Python model of the
+    same rule — same IEEE ops in the same order, so the bucket index
+    and cumulative rank must agree EXACTLY, for every bucket count the
+    operator accepts and for degenerate inputs (single value, all
+    equal) hypothesis likes to find."""
+    import math
+
+    from pos_pipeline_core_etl_spark.operators.sketches import hist_quantiles
+
+    probs = (0.5, 0.9, 0.99)
+    mn, mx, n = min(vals), max(vals), len(vals)
+
+    def bidx(v):
+        if mx == mn:
+            return 0
+        return int(max(0, min(buckets - 1, math.floor((v - mn) / (mx - mn) * buckets))))
+
+    counts: dict[int, int] = {}
+    for v in vals:
+        counts[bidx(v)] = counts.get(bidx(v), 0) + 1
+    want = {}
+    for p in probs:
+        need, cum = math.ceil(p * n), 0
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= need:
+                want[p] = (b, cum)
+                break
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = {
+        r["p"]: (r["bucket"], r["rank_le"], r["rank_frac"])
+        for r in hist_quantiles(df, "x", probs=probs, buckets=buckets).collect()
+    }
+    for p in probs:
+        assert (got[p][0], got[p][1]) == want[p], (p, got[p], want[p])
+        assert got[p][2] >= p - 1e-6  # one-sided, modulo 6dp rounding
