@@ -100,6 +100,11 @@ HEADLINE = (
     # (approx tertile cuts in one agg + broadcast bucket assign — the
     # scale twin of the corpus-wide ntile sort)
     "docs_perplexity_buckets_approx",
+    # round-11 addition: the bit-exact equi-width histogram quantile —
+    # the quantile-without-a-global-sort family representative (exact
+    # percentile grows 2.3 -> 16.5 s on the 1x -> 100x ladder where this
+    # stays ~1-1.6 s flat; LADDER_r11)
+    "sketch_hist_quantile",
 )
 
 

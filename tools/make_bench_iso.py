@@ -113,6 +113,12 @@ BATCHES = {
     "round11_ppl": [
         "docs_perplexity_buckets_approx",
     ],
+    # round-11 second pass: the histogram quantile is sub-second and
+    # scan-bound — its own batch so the first comparable baseline
+    # (BENCH_ISO_r12) starts uncontaminated
+    "round11_hist": [
+        "sketch_hist_quantile",
+    ],
 }
 
 
