@@ -105,6 +105,11 @@ HEADLINE = (
     # percentile grows 2.3 -> 16.5 s on the 1x -> 100x ladder where this
     # stays ~1-1.6 s flat; LADDER_r11)
     "sketch_hist_quantile",
+    # round-12 addition (VERDICT r11 #7): the IVF-PQ query path alone
+    # against a prebuilt eager index — the first call (warmup) trains,
+    # the timed reps pay probe -> ADC -> refine only, so the headline
+    # series finally tracks SERVING cost round-over-round
+    "sim_ivfpq_query_only",
 )
 
 
@@ -228,6 +233,13 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
     scale_path = ("salted_agg_lineitem", "bucketed_join_lineitem")
+    # entries that must warm at FULL SF: the scale paths (AQE plans
+    # differ across SFs) and the query-only IVF-PQ (its warmup call is
+    # what trains + materializes the per-(session, sf) index — warming
+    # at sf0.001 would leave the first timed rep paying the sf-dir
+    # index build, which is exactly the cost this entry exists to
+    # exclude)
+    full_sf_warm = (*scale_path, "sim_ivfpq_query_only")
     timed = (*HEADLINE, *scale_path)
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set — the
     # isolated-pass tool for separating plan regressions from same-run
@@ -246,8 +258,8 @@ def main() -> None:
             # plans differ between sf0.001 and the bench SF, so a small-SF
             # warmup leaves the first timed rep paying codegen +
             # shuffle-file setup — the 2.9× rep spread VERDICT r4 flagged
-            warm_sf = SF_DIR if name in scale_path else warm_dir
-            n_warm = 2 if name in scale_path else 1
+            warm_sf = SF_DIR if name in full_sf_warm else warm_dir
+            n_warm = 2 if name in full_sf_warm else 1
             with _conf_override(spark, QUERY_CONF.get(name, {})):
                 for _ in range(n_warm):
                     queries[name](spark, warm_sf).count()

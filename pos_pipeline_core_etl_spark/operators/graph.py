@@ -167,7 +167,7 @@ def pagerank_fixedpoint(
     floor division leaks a deterministic dust of rank mass instead —
     documented, identical cross-engine. The node count n is a bounded
     scalar (one count over the node set — graph-dimension-sized, the
-    IVF_MAX_QUERIES class of collect).
+    bounded-scalar class of collect).
 
     Per iteration: one join of the degree-annotated edge list with the
     current ranks + one keyed sum by destination; the edge list is

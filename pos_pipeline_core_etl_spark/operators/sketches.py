@@ -315,16 +315,24 @@ def kmv_setops(
         F.sum(F.col("in_a") * (F.lit(1) - F.col("in_b"))).alias("sk_aonly"),
         F.sum((F.lit(1) - F.col("in_a")) * F.col("in_b")).alias("sk_bonly"),
     )
+    # coalesce: SUM over an empty union is NULL in both engines, but an
+    # empty union's exact counts are semantically 0 (ADVICE r11 #1)
     exact = tagged.agg(
-        F.sum("in_a").alias("n_a"),
-        F.sum("in_b").alias("n_b"),
+        F.coalesce(F.sum("in_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).alias("n_b"),
         F.count("h").alias("n_union"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)).alias(
+            "n_inter"
+        ),
     )
     union_est = kmv_estimate_col(F.col("n_vals"), F.col("h_k"), k)
-    region = lambda cnt: hround(  # noqa: E731
-        cnt / F.col("n_vals") * union_est, 4
-    )
+    # empty-union guard (ADVICE r11 #1): with n_vals = 0 the region
+    # share is 0/0 — report 0.0 (the regions of an empty union ARE
+    # empty), never NULL; mirrored in SKETCH_KMV_SETOPS_SQL
+    region = lambda cnt: F.when(  # noqa: E731
+        F.col("n_vals") > 0,
+        hround(cnt / F.col("n_vals") * union_est, 4),
+    ).otherwise(F.lit(0.0))
     return exact.crossJoin(est).select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
@@ -492,6 +500,7 @@ def hist_quantiles_grouped(
     value_col: str,
     probs: tuple[float, ...] = (0.5, 0.9, 0.99),
     buckets: int = 256,
+    broadcast_bounds: bool = False,
 ) -> DataFrame:
     """Per-group histogram quantiles — :func:`hist_quantiles` with a
     group key, which changes the physical story in the way that matters
@@ -502,6 +511,16 @@ def hist_quantiles_grouped(
     wide-range group cannot wash out a narrow one's resolution); the
     counter state is ``groups × buckets`` rows and still merges by
     cell-aligned addition within each group.
+
+    The per-group bounds frame is one row PER GROUP — it scales with
+    the group-key cardinality, not with a constant, so it is NOT force-
+    broadcast by default (VERDICT r11 #1): a high-cardinality group
+    (user id, domain) would build a driver-sized broadcast where a
+    plain shuffle join on the group key is fine, and AQE already
+    broadcasts genuinely small sides on its own.  Pass
+    ``broadcast_bounds=True`` only when the caller can bound the group
+    domain by contract (a language / country / enum column) — the same
+    bounded-by-contract discipline the centroid broadcasts document.
 
     One row per (group, p): the same achieved-rank / bucket-share
     honesty contract as the global form."""
@@ -516,8 +535,9 @@ def hist_quantiles_grouped(
         F.count("v").alias("n"),
     )
     bk = hist_bucket_col(F.col("v"), F.col("mn"), F.col("mx"), buckets)
+    bounds_side = F.broadcast(bounds) if broadcast_bounds else bounds
     hist = (
-        vals.join(F.broadcast(bounds), "g")
+        vals.join(bounds_side, "g")
         .select("g", bk.alias("b"), "mn", "mx", "n")
         .groupBy("g", "b", "mn", "mx", "n")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -840,7 +840,7 @@ def bpe_train(
     )
 
 
-BPE_MAX_VOCAB = 5_000_000  # driver-side trainer guard (IVF_MAX_QUERIES style)
+BPE_MAX_VOCAB = 5_000_000  # driver-side trainer guard (bounded-collect contract)
 
 
 def bpe_train_fast(

@@ -601,6 +601,11 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     need outliers in near-constant groups should fall back to the mean
     absolute deviation or qa_zscore_anomalies."""
     events = load_table(spark, sf_dir, "events")
+    # med/mad are one row per event_type — an enum column of the events
+    # schema (single-digit domain), so these forced broadcasts are
+    # bounded by the data model, not by corpus size (r12 hint audit);
+    # a free-form group key would need the hint dropped, as in
+    # sketches.hist_quantiles_grouped
     med = events.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med")
     )

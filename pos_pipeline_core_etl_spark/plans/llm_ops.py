@@ -4610,6 +4610,41 @@ SIM_IVFPQ_KMEANS_TOPK_SQL = _ivfpq_kmeans_oracle()
 QUERIES["sim_ivfpq_kmeans_topk"] = (sim_ivfpq_kmeans_topk, SIM_IVFPQ_KMEANS_TOPK_SQL)
 
 
+# one trained index per (session, sf_dir): the deployment shape — a
+# serving loop holds the IvfPqIndex and pays training ONCE per corpus
+# snapshot; keyed by session id so a fresh SparkSession can't read
+# another session's dead checkpoint blocks
+_IVFPQ_INDEX_CACHE: dict[tuple[int, str], object] = {}
+
+
+def sim_ivfpq_query_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ QUERY PATH alone against a prebuilt ``eager=True``
+    index (VERDICT r11 #7): ``sim_ivfpq_kmeans_topk`` times train +
+    query composed, so the headline series never tracked serving cost
+    even though LADDER_r11 shows it is the flat leg (~1.3–2 s warm at
+    1×→100× while training grows 5→20 s).  The first call per
+    (session, sf) trains and materializes the four index frames —
+    bench warmup / the driver's first action absorbs it — and every
+    subsequent call pays only probe → ADC shortlist → exact refine.
+
+    Hash-checkable against the SAME oracle as the composed form: the
+    index build is deterministic (fixed-init Lloyd + PQ, integer
+    quantization), so prebuilt-vs-inline produces identical rows."""
+    key = (id(spark), sf_dir)
+    index = _IVFPQ_INDEX_CACHE.get(key)
+    if index is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        index = similarity.ivfpq_build_index(emb, eager=True)
+        _IVFPQ_INDEX_CACHE[key] = index
+    return similarity.ivfpq_query_index(index).orderBy("query_id", "rnk")
+
+
+QUERIES["sim_ivfpq_query_only"] = (
+    sim_ivfpq_query_only,
+    SIM_IVFPQ_KMEANS_TOPK_SQL,
+)
+
+
 def sim_ivfpq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of the LEARNED-quantizer IVF-PQ against exact
     squared-L2 top-k — the standing pair to sim_ivfpq_recall that

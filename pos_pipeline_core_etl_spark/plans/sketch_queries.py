@@ -255,10 +255,10 @@ est AS (
   FROM sk
 ),
 exact AS (
-  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
-         CAST(sum(in_b) AS BIGINT) AS n_b,
+  SELECT CAST(COALESCE(sum(in_a), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(sum(in_b), 0) AS BIGINT) AS n_b,
          count(*) AS n_union,
-         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+         CAST(COALESCE(sum(in_a * in_b), 0) AS BIGINT) AS n_inter
   FROM tagged
 ),
 u AS (
@@ -268,9 +268,15 @@ u AS (
 SELECT n_a, n_b, n_union, n_inter,
        CAST({KMV_K} AS INTEGER) AS kmv_k,
        union_kmv,
-       {hround_sql("sk_both / n_vals * union_kmv", 4)} AS inter_kmv,
-       {hround_sql("sk_aonly / n_vals * union_kmv", 4)} AS aonly_kmv,
-       {hround_sql("sk_bonly / n_vals * union_kmv", 4)} AS bonly_kmv
+       CASE WHEN n_vals > 0
+            THEN {hround_sql("sk_both / n_vals * union_kmv", 4)}
+            ELSE 0.0 END AS inter_kmv,
+       CASE WHEN n_vals > 0
+            THEN {hround_sql("sk_aonly / n_vals * union_kmv", 4)}
+            ELSE 0.0 END AS aonly_kmv,
+       CASE WHEN n_vals > 0
+            THEN {hround_sql("sk_bonly / n_vals * union_kmv", 4)}
+            ELSE 0.0 END AS bonly_kmv
 FROM u
 """
 
@@ -310,9 +316,9 @@ bounds AS (
 ),
 hist AS MATERIALIZED (
   SELECT CASE WHEN mx = mn THEN 0
-              ELSE LEAST({HIST_BUCKETS - 1},
+              ELSE GREATEST(0, LEAST({HIST_BUCKETS - 1},
                          CAST(floor((v - mn) / (mx - mn)
-                                    * {float(HIST_BUCKETS)}) AS BIGINT))
+                                    * {float(HIST_BUCKETS)}) AS BIGINT)))
          END AS b,
          mn, mx, n, count(*) AS cnt
   FROM vals, bounds

@@ -31,9 +31,10 @@ position).
 
 Tier rationale: never-checked = ``docs_perplexity_buckets_approx``
 (new in round 11 — the percentile-sketch scale twin VERDICT r10 #5
-asked for) + ``sketch_kmv_setops`` / ``sketch_hist_quantile`` (round
-11's sketch-family extensions: KMV set operations and the bit-exact
-histogram quantile).  Values-changed = empty: the round-11 sketch-shape fixes
+asked for) + ``sketch_kmv_setops`` / ``sketch_hist_quantile`` /
+``sketch_hist_quantile_grouped`` (round 11's sketch-family
+extensions: KMV set operations and the bit-exact histogram quantile,
+global and per-group).  Values-changed = empty: the round-11 sketch-shape fixes
 (two-level rank pulls in ``kmv_jaccard`` / ``cms_estimates``, VERDICT
 r10 #1/#2) are plan-only — outputs re-verified hash-identical at both
 SFs before composing this window."""

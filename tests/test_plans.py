@@ -341,6 +341,61 @@ class TestRound3PlanShapes:
         assert "Window" not in plan
         assert "Sort " not in plan
 
+    def test_quality_pct_pure_path_values_match_contract(self, spark):
+        """VALUE-test the contract=False production path (VERDICT r11
+        #6 — plan-tested only until now): every doc's pure-path
+        ``pct_approx`` must sit within PCT_APPROX_TOL of the contract
+        path's exact ``quality_pct`` — the same tolerance the driver
+        hash-checks via ``pct_within_tol``, now asserted on the pure
+        output itself instead of inferred from shared expressions."""
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            PCT_APPROX_TOL,
+            quality_pct_approx_frame,
+        )
+
+        pure = {
+            r["doc_id"]: r["pct_approx"]
+            for r in quality_pct_approx_frame(
+                spark, SF_DIR, contract=False
+            ).collect()
+        }
+        exact = {
+            r["doc_id"]: r["quality_pct"]
+            for r in quality_pct_approx_frame(
+                spark, SF_DIR, contract=True
+            ).collect()
+        }
+        assert set(pure) == set(exact) and pure
+        worst = max(abs(pure[d] - exact[d]) for d in pure)
+        assert worst <= PCT_APPROX_TOL, f"worst |approx-exact| = {worst}"
+
+    def test_ppl_buckets_pure_path_values_match_contract(self, spark):
+        """Same closure for the perplexity tertiles: the pure path's
+        ``ppl_bucket_approx`` tile index must land within ONE tile of
+        the contract path's exact ``ppl_bucket`` for every doc — the
+        ``bucket_within_tol`` relationship, asserted on the pure
+        output directly."""
+        from pos_pipeline_core_etl_spark.operators.text import PPL_BUCKET_NAMES
+        from pos_pipeline_core_etl_spark.plans.llm_ops import (
+            perplexity_buckets_approx_frame,
+        )
+
+        idx = {n: i for i, n in enumerate(PPL_BUCKET_NAMES)}
+        pure = {
+            r["doc_id"]: idx[r["ppl_bucket_approx"]]
+            for r in perplexity_buckets_approx_frame(
+                spark, SF_DIR, contract=False
+            ).collect()
+        }
+        exact = {
+            r["doc_id"]: idx[r["ppl_bucket"]]
+            for r in perplexity_buckets_approx_frame(
+                spark, SF_DIR, contract=True
+            ).collect()
+        }
+        assert set(pure) == set(exact) and pure
+        assert all(abs(pure[d] - exact[d]) <= 1 for d in pure)
+
 
 class TestRound6PlanShapes:
     """Plan hygiene for the round-6 second-pass operators."""

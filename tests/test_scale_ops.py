@@ -232,20 +232,38 @@ class TestIvfAnn:
         b = sorted(map(tuple, ivf_search_topk(emb).collect()))
         assert a == b
 
-    def test_ivf_query_batch_capped(self, spark):
-        """Probe selection collects query vectors driver-side; a
-        corpus-sized n_queries must raise instead of silently OOMing
-        the driver (VERDICT r4)."""
-        import pytest
-
-        from pos_pipeline_core_etl_spark.operators.similarity import (
-            IVF_MAX_QUERIES,
-            ivf_search_topk,
-        )
+    def test_ivf_probe_selection_is_distributed(self, spark, monkeypatch):
+        """VERDICT r11 #5: probe selection must NOT build probe rows on
+        the driver.  The only ``collect()`` in the whole search is the
+        bounded quantizer training sample inside ``ivf_centroids``
+        (≤256 rows by construction) — counted here by instrumenting
+        DataFrame.collect, so a regression back to the driver-side
+        python probe loop (a second collect of the query batch) fails
+        loudly.  The 10k-query cap is gone with the loop: a corpus-
+        sized batch is a bigger relational plan, not a driver OOM."""
+        from pos_pipeline_core_etl_spark.operators import similarity
 
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-        with pytest.raises(ValueError, match="IVF_MAX_QUERIES"):
-            ivf_search_topk(emb, n_queries=IVF_MAX_QUERIES + 1)
+        # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame
+        # through a classic/connect subclass whose collect overrides it)
+        cls = type(emb)
+        calls = []
+        real_collect = cls.collect
+        monkeypatch.setattr(
+            cls,
+            "collect",
+            lambda self: (calls.append(1), real_collect(self))[1],
+        )
+        out = similarity.ivf_search_topk(emb, k=3, nprobe=4)
+        assert len(calls) == 1, (
+            f"{len(calls)} driver collects while PLANNING the search — "
+            "only the bounded ivf_centroids sample is allowed"
+        )
+        monkeypatch.undo()
+        # the cap is gone: an over-10k batch plans fine (n_queries
+        # larger than the corpus just means every vector is a query)
+        assert similarity.ivf_search_topk(emb, n_queries=20_000).count() > 0
+        assert out.count() > 0
 
 
 class TestEmbeddingNeardup:
@@ -520,6 +538,65 @@ class TestConnectedComponents:
         }
         assert set(got.values()) == {0}
 
+    @staticmethod
+    def _persisted_rdd_count(spark) -> int:
+        """Live persisted-RDD count from the JVM SparkContext — the
+        storage-info ground truth ``_release_checkpoint`` manipulates."""
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def test_release_checkpoint_keeps_persisted_rdds_bounded(
+        self, spark, monkeypatch
+    ):
+        """Pin ``_release_checkpoint`` against silent regression
+        (VERDICT r11 #2): it reaches through private py4j accessors
+        under a blanket ``except``, so a Spark API change would turn
+        the per-round block release into a NO-OP with zero signal — and
+        the r10 15M-key ER OOM class returns invisibly.  This test
+        makes that failure loud: a multi-round CC run must leave O(1)
+        persisted RDDs behind, and the SAME run with the release
+        stubbed to ``pass`` must leak ~one frame per halving round —
+        so the healthy bound genuinely discriminates (the test fails
+        if the stub arm stops leaking, i.e. if the bound went vacuous).
+        """
+        from pos_pipeline_core_etl_spark.operators import dedup
+
+        chain = [(i, i + 1) for i in range(300)]
+        edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+
+        jmap = spark.sparkContext._jsc.getPersistentRDDs
+        base = self._persisted_rdd_count(spark)
+        labels = dedup.connected_components(edges)
+        labels.collect()
+        healthy = self._persisted_rdd_count(spark) - base
+        dedup._release_checkpoint(labels)  # drop the returned frame too
+        # O(1): the returned labels checkpoint (+ at most one in-flight
+        # frame) — NOT one per round.  A no-op release lands ≥ 6 here.
+        assert healthy <= 3, (
+            f"{healthy} persisted RDDs left behind — _release_checkpoint "
+            "is no longer freeing per-round checkpoint blocks"
+        )
+
+        # discrimination arm: stub the release and the leak must be
+        # visible, proving the bound above can actually catch a no-op
+        monkeypatch.setattr(
+            dedup, "_release_checkpoint", lambda df: None
+        )
+        before_ids = set(jmap().keySet().toArray())
+        leaked_labels = dedup.connected_components(edges)
+        leaked_labels.collect()
+        leaked_ids = set(jmap().keySet().toArray()) - before_ids
+        assert len(leaked_ids) > 3, (
+            f"stubbed release leaked only {len(leaked_ids)} RDDs — the "
+            "healthy bound no longer discriminates; tighten the fixture"
+        )
+        # clean up exactly what this arm leaked (ids diffed, so foreign
+        # persisted RDDs are untouched)
+        monkeypatch.undo()
+        live = jmap()
+        for rid in leaked_ids:
+            rdd = live.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
 
 
 class TestLshParameterization:

@@ -117,6 +117,22 @@ class TestKMVSetOps:
         assert out["aonly_kmv"] == 10.0
         assert out["bonly_kmv"] == 10.0
 
+    def test_empty_inputs_report_zero_regions(self, spark):
+        """Both sides empty (ADVICE r11 #1): n_vals = 0 makes the
+        region share 0/0 — the guard must report 0.0 for every region
+        (the regions of an empty union ARE empty), never NULL."""
+        from pyspark.sql import types as T
+
+        empty = spark.createDataFrame(
+            [], T.StructType([T.StructField("key", T.LongType())])
+        )
+        out = sketches.kmv_setops(empty, empty, "key", k=64).collect()[0]
+        assert out["n_union"] == 0 and out["n_inter"] == 0
+        assert out["union_kmv"] == 0.0
+        assert out["inter_kmv"] == 0.0
+        assert out["aonly_kmv"] == 0.0
+        assert out["bonly_kmv"] == 0.0
+
     def test_regions_partition_the_union_estimate(self, spark):
         """inter + aonly + bonly must reassemble union_kmv exactly (up
         to the per-region rounding): the three region counts partition

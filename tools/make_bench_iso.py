@@ -119,6 +119,13 @@ BATCHES = {
     "round11_hist": [
         "sketch_hist_quantile",
     ],
+    # round-12 addition: the query-only IVF-PQ serving path — its own
+    # batch because the first (warmup) call trains+materializes the
+    # index in the same JVM; batching it with other ANN entries would
+    # charge their reps the index's executor-memory footprint
+    "round12_ivfpq_query": [
+        "sim_ivfpq_query_only",
+    ],
 }
 
 
