@@ -1,6 +1,6 @@
 """Deterministic mergeable-sketch queries with DuckDB oracles.
 
-Seven driver-checked queries over :mod:`operators/sketches`:
+Eight driver-checked queries over :mod:`operators/sketches`:
 
 - ``sketch_kmv_distinct`` — per-returnflag KMV distinct-orderkey
   estimates next to the exact counts (k = 64 binds at both SFs: ~11k
@@ -34,6 +34,11 @@ Seven driver-checked queries over :mod:`operators/sketches`:
   document length from per-group histograms (round 11): the fully
   partitioned form — every window and agg keyed by the group, NO
   single-partition stage in the executed plan (plan-tested).
+- ``sketch_hist_fixed_grouped`` — the per-group FIXED-BOUND counter
+  table itself (round 12): the exact mergeable state the streaming
+  maintainer holds, checked cell-for-cell; bounds pinned at [0, 400]
+  against n_chars reaching ~553, so the edge-bucket clamp is exercised
+  for every language.
 - ``sketch_cms_topk`` — Count-Min estimates for the 20 most frequent
   partkeys (width 256 « 2000+ keys, so collisions are real and the
   overshoot column is non-trivially positive; CMS never under-counts
@@ -50,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
+from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
 from pos_pipeline_core_etl_spark.operators import sketches
 from pos_pipeline_core_etl_spark.operators.sketches import (
     H60_SQL,
@@ -394,6 +399,68 @@ FROM cuts JOIN cum ON cuts.g = cum.g AND cuts.bucket = cum.b
 
 
 # ---------------------------------------------------------------------------
+# Fixed-bound histogram counter state (the streaming maintainer's table)
+
+HIST_FIXED_MN = 0.0
+HIST_FIXED_MX = 400.0
+HIST_FIXED_BUCKETS = 32
+
+
+def sketch_hist_fixed_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group FIXED-BOUND counter table itself — the exact state
+    a streaming maintainer (``streaming.events.hist_grouped_counter_
+    batch``, VERDICT r11 #8) or per-shard pre-aggregation holds —
+    checked cell-for-cell against DuckDB (round 12).  The quantile
+    queries above check a DERIVED readout; this one pins the mergeable
+    state the 100 TB path actually ships between nodes.
+
+    Bounds are pinned at [0, 400] with 32 buckets against document
+    n_chars spanning ~[48, 553] per language at both SFs, so the
+    >400 tail clamps into the edge bucket for EVERY group — the clamp
+    contract is exercised non-vacuously, not just covered.
+    ``bucket_share`` (cnt / the group's total) feeds the mechanized
+    degenerate-domain guard: per-lang length distributions genuinely
+    differ, so the shares take many values."""
+    df = load_table(spark, sf_dir, "documents")
+    ctr = sketches.hist_counters_fixed_grouped(
+        df, "lang", "n_chars", HIST_FIXED_MN, HIST_FIXED_MX, HIST_FIXED_BUCKETS
+    )
+    totals = ctr.groupBy("g").agg(F.sum("cnt").alias("n"))
+    return ctr.join(totals, "g").select(
+        F.col("g").alias("lang"),
+        "b",
+        F.col("cnt").cast("long").alias("cnt"),
+        hround(F.col("cnt") / F.col("n"), 6).alias("bucket_share"),
+    )
+
+
+SKETCH_HIST_FIXED_GROUPED_SQL = f"""
+WITH vals AS (
+  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+ctr AS MATERIALIZED (
+  SELECT g,
+         CASE WHEN {HIST_FIXED_MX} = {HIST_FIXED_MN} THEN 0
+              ELSE GREATEST(0, LEAST({HIST_FIXED_BUCKETS - 1},
+                         CAST(floor((v - {HIST_FIXED_MN})
+                                    / ({HIST_FIXED_MX} - {HIST_FIXED_MN})
+                                    * {float(HIST_FIXED_BUCKETS)}) AS BIGINT)))
+         END AS b,
+         count(*) AS cnt
+  FROM vals
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM ctr GROUP BY 1
+)
+SELECT ctr.g AS lang, b, CAST(cnt AS BIGINT) AS cnt,
+       {hround_sql("cnt / n", 6)} AS bucket_share
+FROM ctr JOIN totals ON ctr.g = totals.g
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-Min
 
 
@@ -452,6 +519,10 @@ QUERIES: dict[str, tuple] = {
     "sketch_hist_quantile_grouped": (
         sketch_hist_quantile_grouped,
         SKETCH_HIST_QUANTILE_GROUPED_SQL,
+    ),
+    "sketch_hist_fixed_grouped": (
+        sketch_hist_fixed_grouped,
+        SKETCH_HIST_FIXED_GROUPED_SQL,
     ),
     "sketch_cms_topk": (sketch_cms_topk, SKETCH_CMS_TOPK_SQL),
 }

@@ -13,31 +13,29 @@ round-3 queries; r4 front-loaded the 24 never-checked round-4 names; r7
 retired the r3 backlog; r8 went 50/50 green over the r7 spillovers + the
 13 new r8 queries + 28 of the 45 r4-latest names.
 
-Round-11 window (this file).  Counts are NOT hand-written in prose —
+Round-12 window (this file).  Counts are NOT hand-written in prose —
 the window is BUILT from named tier tuples, and
 ``tests/test_registry_meta.py::test_window_tiers_derive_from_artifacts``
-re-derives every tier from the committed CORRECTNESS_r01..r10
+re-derives every tier from the committed CORRECTNESS_r01..r11
 artifacts: the never-checked tier must equal the set of registry names
-absent from all pre-r11 artifacts, the re-cert tier must equal ALL
-names whose latest driver row is round 6 (this closes ADVICE r10 #4 —
-the four r6 names the r10 window dropped to make room for the sketch
-family, ``docs_lr_train`` / ``events_layout_skipping`` /
-``fn_accent_bucket`` / ``fn_clean_strings``, are re-certified here
-rather than silently aging out), and the spill tier must be the
-alphabetically-first names whose latest row is round 7 (the remaining
-r7 names spill to round 12; every name in the registry has committed
-both-SF rows in the newest REPLICA artifact regardless of window
-position).
+absent from all pre-r12 artifacts, the re-cert tier must equal ALL
+names whose latest driver row is round 7 (VERDICT r11 #3 — the 35
+r7-era rows are the oldest in the union and the r11 plan already
+promised them this window; none may silently age out), and the spill
+tier must be the alphabetically-first names whose latest row is round
+8, filling the window to exactly 50 (the remaining r8 names spill to
+round 13; every name in the registry has committed both-SF rows in
+the newest REPLICA artifact regardless of window position).
 
-Tier rationale: never-checked = ``docs_perplexity_buckets_approx``
-(new in round 11 — the percentile-sketch scale twin VERDICT r10 #5
-asked for) + ``sketch_kmv_setops`` / ``sketch_hist_quantile`` /
-``sketch_hist_quantile_grouped`` (round 11's sketch-family
-extensions: KMV set operations and the bit-exact histogram quantile,
-global and per-group).  Values-changed = empty: the round-11 sketch-shape fixes
-(two-level rank pulls in ``kmv_jaccard`` / ``cms_estimates``, VERDICT
-r10 #1/#2) are plan-only — outputs re-verified hash-identical at both
-SFs before composing this window."""
+Tier rationale: never-checked = ``sim_ivfpq_query_only`` (new in
+round 12 — the IVF-PQ serving path against a prebuilt eager index,
+VERDICT r11 #7) + ``sketch_hist_fixed_grouped`` (round 12 — the
+per-group fixed-bound counter table, i.e. the streaming maintainer's
+mergeable state of VERDICT r11 #8, checked cell-for-cell).  Values-changed = empty: the round-12 kmv_setops
+empty-input guard and the grouped-histogram broadcast-hint removal
+(VERDICT r11 #1, ADVICE r11 #1) change NO values on the registered
+domains — re-verified hash-identical at sf0.01 before composing this
+window."""
 
 from __future__ import annotations
 
@@ -47,85 +45,86 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Names never driver-checked as of the r11 window: every query new in
-# round 11 (the window is recomposed before the driver runs, so new
+# Names never driver-checked as of the r12 window: the one query new
+# in round 12 (the window is recomposed before the driver runs, so new
 # queries take slots from the spill tail rather than waiting a round).
 _TIER_NEVER_CHECKED: tuple[str, ...] = (
-    "docs_perplexity_buckets_approx",
-    "sketch_hist_quantile",
-    "sketch_hist_quantile_grouped",
-    "sketch_kmv_setops",
+    "sim_ivfpq_query_only",
+    "sketch_hist_fixed_grouped",
 )
 
 # Queries whose VALUES changed since their last green driver row:
-# none this round (the sketch-module fixes are plan-shape only and
-# were re-verified hash-identical at both SFs).
+# none this round (the r12 kmv_setops empty-input guard and the
+# grouped-histogram hint removal are value-neutral on the registered
+# domains — re-verified hash-identical at sf0.01).
 _TIER_VALUES_CHANGED: tuple[str, ...] = ()
 
-# EVERY name whose latest driver row is round 6 — the oldest remaining
+# EVERY name whose latest driver row is round 7 — the oldest remaining
 # rows (recomputed from the artifacts by the meta test; this tuple
-# must stay EQUAL to that set).  Includes the four names the r10
-# window dropped (ADVICE r10 #4).
-_TIER_RECERT_R6: tuple[str, ...] = (
-    "docs_lr_train",
-    "events_layout_skipping",
-    "fn_accent_bucket",
-    "fn_clean_strings",
-    "fn_coerce_bool",
-    "fn_json_extract",
-    "fn_safe_unit_cost",
-    "fn_to_date_multi",
-    "fn_to_float_expr",
-    "fn_to_float_locale",
-    "fn_to_int",
-    "forecast_backtest_naive",
-    "forecast_loglinear",
-    "fuzzy_customer_entities",
-    "fuzzy_customer_overflow",
-    "fuzzy_customer_pairs",
-    "fuzzy_customer_recall",
-    "multimodal_decode_coverage",
-    "multimodal_dedup_decisions",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "payments_daily_mart_incremental",
-    "profile_lineitem",
-    "qa_duplicates",
-    "qa_nulls",
-    "sim_ivfpq_recall",
-    "text_bpe_apply",
-    "text_bpe_train",
-    "text_bpe_train_fast",
-    "text_unigram_logprob",
+# must stay EQUAL to that set).  The r11 window spilled these here
+# (VERDICT r11 #3).
+_TIER_RECERT_R7: tuple[str, ...] = (
+    "fuzzy_customer_recall_d2",
+    "fuzzy_customer_sn2_recall",
+    "fuzzy_customer_sn_recall",
+    "fuzzy_customer_sorted_pairs",
+    "grand_totals_rollup",
+    "horizontal_sum",
+    "join_bigbig_revenue",
+    "join_broadcast_dims",
+    "join_left_flag",
+    "join_validity_window",
+    "join_validity_window_bucketed",
+    "monthly_rollup",
+    "pivot_status_by_priority",
+    "qa_missing_days",
+    "qa_monthly_sales",
+    "qa_non_negative",
+    "qa_per_sucursal_ranges",
+    "qa_revenue_consistency",
+    "qa_sample_months",
+    "qa_zero_method_flags",
+    "qa_zscore_anomalies",
+    "scan_filter_project",
+    "set_except_keys",
+    "sim_ivfpq_kmeans_recall",
+    "sim_ivfpq_kmeans_topk",
+    "sim_ivfpq_recall_sweep",
+    "skew_profile_events",
+    "stratified_sample",
+    "text_chunk_windows",
+    "text_decontaminate_fuzzy",
+    "topk_orders",
+    "topk_per_group",
+    "union_by_name",
+    "unpivot_measures",
+    "value_mode",
 )
 
 # The alphabetically-first of the names whose latest driver row is
-# round 7, filling the window to exactly 50; the rest of the r7 names
-# spill to round 12.
-_TIER_SPILL_R7: tuple[str, ...] = (
-    "agg_count_distinct",
-    "corpus_compaction_plan",
-    "corpus_compaction_verify",
-    "dedup_keep_first",
-    "dedup_minhash_recall",
-    "dedup_simhash",
-    "dedup_simhash_banded",
-    "dedup_simhash_recall",
-    "duplicate_detection",
-    "events_zorder_files",
-    "events_zorder_incremental",
-    "events_zorder_pruning",
-    "fuzzy_customer_golden",
-    "fuzzy_customer_overflow_d2",
-    "fuzzy_customer_pairs_d2",
+# round 8, filling the window to exactly 50; the rest of the r8 names
+# spill to round 13.
+_TIER_SPILL_R8: tuple[str, ...] = (
+    "calendar_zero_fill",
+    "corpus_build_manifest_decon",
+    "corpus_decon_decisions",
+    "corpus_drift_report",
+    "corpus_mixture_plan",
+    "corpus_prep_decisions",
+    "corpus_psi_drift",
+    "corpus_shard_checksums",
+    "corpus_stats",
+    "dedup_cluster_sizes",
+    "dedup_decisions",
+    "dedup_embedding_cosine",
+    "dedup_incremental_batch",
 )
 
 _PRIORITY: tuple[str, ...] = (
     _TIER_NEVER_CHECKED
     + _TIER_VALUES_CHANGED
-    + _TIER_RECERT_R6
-    + _TIER_SPILL_R7
+    + _TIER_RECERT_R7
+    + _TIER_SPILL_R8
 )
 
 

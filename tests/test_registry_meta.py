@@ -375,15 +375,15 @@ def test_window_tiers_derive_from_artifacts():
     CORRECTNESS_r*.json artifacts — no hand-written count can go stale
     without failing here.
 
-    WINDOW_ROUND pins the artifact horizon: the r11 window was composed
-    from rounds 1..10, so artifacts from round 11 onward (committed by
+    WINDOW_ROUND pins the artifact horizon: the r12 window was composed
+    from rounds 1..11, so artifacts from round 12 onward (committed by
     the driver AFTER this window ran) must not flip the derivation."""
     import glob
     import json
     import os
     import re
 
-    WINDOW_ROUND = 11
+    WINDOW_ROUND = 12
 
     root = os.path.dirname(os.path.dirname(__file__))
     latest: dict[str, int] = {}
@@ -404,19 +404,19 @@ def test_window_tiers_derive_from_artifacts():
         f"artifact-only={sorted(never_checked - set(registry._TIER_NEVER_CHECKED))}"
     )
 
-    r6 = {n for n, r in latest.items() if r == 6}
-    assert set(registry._TIER_RECERT_R6) == r6, (
-        "r6 re-cert tier must be ALL r6-latest names (ADVICE r10 #4 — "
-        "no r6 row may silently age out): tier-only="
-        f"{sorted(set(registry._TIER_RECERT_R6) - r6)}, artifact-only="
-        f"{sorted(r6 - set(registry._TIER_RECERT_R6))}"
+    r7 = {n for n, r in latest.items() if r == 7}
+    assert set(registry._TIER_RECERT_R7) == r7, (
+        "r7 re-cert tier must be ALL r7-latest names (VERDICT r11 #3 — "
+        "no r7 row may silently age out): tier-only="
+        f"{sorted(set(registry._TIER_RECERT_R7) - r7)}, artifact-only="
+        f"{sorted(r7 - set(registry._TIER_RECERT_R7))}"
     )
 
-    r7 = sorted(n for n, r in latest.items() if r == 7)
-    want = tuple(r7[: len(registry._TIER_SPILL_R7)])
-    assert registry._TIER_SPILL_R7 == want, (
-        "r7 spill tier must be the alphabetically-first r7-latest "
-        f"names; expected {want[:5]}..., got {registry._TIER_SPILL_R7[:5]}..."
+    r8 = sorted(n for n, r in latest.items() if r == 8)
+    want = tuple(r8[: len(registry._TIER_SPILL_R8)])
+    assert registry._TIER_SPILL_R8 == want, (
+        "r8 spill tier must be the alphabetically-first r8-latest "
+        f"names; expected {want[:5]}..., got {registry._TIER_SPILL_R8[:5]}..."
     )
 
     # values-changed names must already have a driver row (else they
@@ -449,10 +449,21 @@ def test_sketch_estimates_are_not_degenerate(spark):
         if not name.startswith("sketch_"):
             continue
         pdf = fn(spark, SF).toPandas()
+        # column classes covered (VERDICT r11 #9 — every registered
+        # sketch output class gets the backstop): KMV/CMS/histogram
+        # point estimates ("estimate" substring catches kmv_estimate /
+        # cms_estimate / q_estimate), jaccard similarities, *_kmv
+        # region estimates, and the histogram's achieved-rank /
+        # cut-bucket-share honesty columns — all-equal rank_frac or
+        # bucket_share across rows is the all-mass-in-one-bucket
+        # degenerate-span signature
         est_cols = [
             c
             for c in pdf.columns
-            if "estimate" in c or c.startswith("jaccard") or c.endswith("_kmv")
+            if "estimate" in c
+            or c.startswith("jaccard")
+            or c.endswith("_kmv")
+            or c in ("rank_frac", "bucket_share")
         ]
         assert est_cols, f"{name}: no estimate column to eyeball"
         for c in est_cols:
