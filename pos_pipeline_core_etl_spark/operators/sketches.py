@@ -347,6 +347,101 @@ def kmv_setops(
 
 
 # ---------------------------------------------------------------------------
+# Priority sampling (weighted)
+
+
+def priority_sample_summary(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Weighted sample + unbiased subset-sum estimate via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup, JACM 2007) — the weighted member
+    of the sketch family (round 12): KMV samples a key SET uniformly;
+    this samples rows PROPORTIONALLY TO WEIGHT, the operation a
+    training-data pipeline runs when it keeps k shards of a corpus by
+    quality/length weight and still wants total-mass estimates.
+
+    Construction (all basic IEEE ops — bit-exact cross-engine, no libm):
+    each row's priority is ``w / u`` with ``u = (h+1)/2^60`` from the
+    shared 60-bit key hash; the sample is the top-k by (priority desc,
+    h asc); ``tau`` is the (k+1)-th priority and every sampled row
+    estimates its weight as ``max(w, tau)`` — summing those is the DLT
+    unbiased estimator of the TOTAL weight.  When the input has ≤ k
+    rows, ``tau`` is 0 and the estimate degrades to EXACT, the same
+    two-regime contract as the KMV estimator.
+
+    Physical shape: the top-(k+1) selection is :func:`two_level_rank`
+    (per-shard k+1 smallest-by-order, final rank over the bounded
+    shards×(k+1) union) — per-shard priority heaps are exactly the
+    mergeable state a sharded/streaming maintainer holds, so the
+    driver's hash match against the single-pass oracle doubles as the
+    mergeability proof, as with ``sketch_kmv_merge``.  One distributed
+    scan for the exact totals (the verify twin), one for the sketch.
+
+    One summary row: n_rows, k, tau, n_heavy (sampled rows whose own
+    weight beats tau — kept exactly), exact vs estimated total weight,
+    and the relative error, reported rather than hidden."""
+    rows = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
+    ).select(
+        h60(F.col(key_col).cast("string")).alias("h"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    # u = (h+1)/2^60 in (0, 1]; priority = w / u, written as one
+    # division then one multiplication IN THIS ORDER on both engines so
+    # the doubles are bit-identical (IEEE basic ops only)
+    pr = F.col("w") * (F.lit(M60) / (F.col("h") + F.lit(1)).cast("double"))
+    ranked = two_level_rank(
+        rows.withColumn("pr", pr),
+        [F.desc("pr"), F.col("h")],
+        k + 1,
+        shard_col=F.col("h"),
+    )
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("pr"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    sample = ranked.where(F.col("rn") <= k)
+    est = sample.crossJoin(F.broadcast(tau)).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.coalesce(
+            F.sum(F.greatest(F.col("w"), F.col("tau"))), F.lit(0.0)
+        ).alias("w_est"),
+        F.coalesce(
+            F.sum((F.col("w") >= F.col("tau")).cast("long")), F.lit(0)
+        ).alias("n_heavy"),
+        # empty input: the agg row still materializes (global agg), but
+        # max over zero rows is NULL — report tau = 0 (nothing cut)
+        F.coalesce(F.max("tau"), F.lit(0.0)).alias("tau"),
+    )
+    exact = rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("w_exact"),
+    )
+    return exact.crossJoin(est).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.lit(k).alias("sample_k"),
+        F.col("n_sample").cast("long").alias("n_sample"),
+        F.col("n_heavy").cast("long").alias("n_heavy"),
+        hround(F.col("tau"), 4).alias("tau"),
+        hround(F.col("w_exact"), 2).alias("w_total_exact"),
+        hround(F.col("w_est"), 2).alias("w_total_estimate"),
+        hround(
+            F.when(
+                F.col("w_exact") > 0,
+                F.abs(F.col("w_est") - F.col("w_exact")) / F.col("w_exact"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-Min
 
 

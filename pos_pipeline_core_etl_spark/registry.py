@@ -31,7 +31,10 @@ Tier rationale: never-checked = ``sim_ivfpq_query_only`` (new in
 round 12 — the IVF-PQ serving path against a prebuilt eager index,
 VERDICT r11 #7) + ``sketch_hist_fixed_grouped`` (round 12 — the
 per-group fixed-bound counter table, i.e. the streaming maintainer's
-mergeable state of VERDICT r11 #8, checked cell-for-cell).  Values-changed = empty: the round-12 kmv_setops
+mergeable state of VERDICT r11 #8, checked cell-for-cell) +
+``sketch_priority_sample`` (round 12 — the weighted sampling sketch:
+Duffield-Lund-Thorup priority sampling with the sharded-rank
+mergeability proof).  Values-changed = empty: the round-12 kmv_setops
 empty-input guard and the grouped-histogram broadcast-hint removal
 (VERDICT r11 #1, ADVICE r11 #1) change NO values on the registered
 domains — re-verified hash-identical at sf0.01 before composing this
@@ -51,6 +54,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "sim_ivfpq_query_only",
     "sketch_hist_fixed_grouped",
+    "sketch_priority_sample",
 )
 
 # Queries whose VALUES changed since their last green driver row:
@@ -117,7 +121,6 @@ _TIER_SPILL_R8: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "dedup_decisions",
     "dedup_embedding_cosine",
-    "dedup_incremental_batch",
 )
 
 _PRIORITY: tuple[str, ...] = (

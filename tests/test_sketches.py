@@ -265,6 +265,68 @@ class TestHistQuantilesGrouped:
         assert "SinglePartition" not in plan
 
 
+class TestPrioritySample:
+    def test_exact_when_input_fits(self, spark):
+        """≤ k rows: tau = 0, every row keeps its own weight, and the
+        estimate IS the exact total — the KMV-style degrade-to-exact
+        regime."""
+        df = spark.range(1, 41).select(
+            F.col("id").alias("key"), (F.col("id") * 10.0).alias("w")
+        )
+        out = sketches.priority_sample_summary(df, "key", "w", k=64).collect()[0]
+        assert out["n_rows"] == 40 and out["n_sample"] == 40
+        assert out["tau"] == 0.0
+        assert out["w_total_estimate"] == out["w_total_exact"] == 8200.0
+        assert out["rel_err"] == 0.0
+
+    def test_estimate_within_envelope(self, spark):
+        """10k uniform-ish weights sampled at k = 64: the DLT estimator
+        must land within a loose 4-sigma envelope (~4/sqrt(k-1) ≈ 0.5
+        relative) of the true total — the property, not the instance,
+        so a sign error or a tau-off-by-one fails this immediately."""
+        df = spark.range(1, 10_001).select(
+            F.col("id").alias("key"),
+            ((F.col("id") % 997) + 1).cast("double").alias("w"),
+        )
+        out = sketches.priority_sample_summary(df, "key", "w", k=64).collect()[0]
+        assert out["n_rows"] == 10_000 and out["n_sample"] == 64
+        assert out["tau"] > 0
+        assert out["rel_err"] < 0.5
+        # consistency: the reported rel_err is derived from the two
+        # reported totals, so the honesty column can't drift from them
+        want = abs(out["w_total_estimate"] - out["w_total_exact"]) / out[
+            "w_total_exact"
+        ]
+        assert abs(out["rel_err"] - want) < 1e-4
+
+    def test_heavy_rows_kept_exactly(self, spark):
+        """A single dominant weight (1e9 among ~5k-scale noise) must be
+        in the sample with its OWN weight (w >= tau counts it in
+        n_heavy), so the estimate tracks totals a uniform sample would
+        miss — the reason weighted sampling exists."""
+        from pyspark.sql import functions as F2
+
+        df = spark.range(1, 5_001).select(
+            F.col("id").alias("key"),
+            F2.when(F.col("id") == 777, 1e9)
+            .otherwise((F.col("id") % 100) + 1.0)
+            .alias("w"),
+        )
+        out = sketches.priority_sample_summary(df, "key", "w", k=64).collect()[0]
+        assert out["n_heavy"] >= 1
+        # the dominant weight is ~1e9 of a ~1.00025e9 total: the
+        # estimate must carry it (a miss would undershoot by ~99.97%)
+        assert out["w_total_estimate"] >= 1e9
+
+    def test_deterministic(self, spark):
+        df = spark.range(1, 2_001).select(
+            F.col("id").alias("key"), (F.col("id") % 37 + 1.0).alias("w")
+        )
+        a = sketches.priority_sample_summary(df, "key", "w").collect()
+        b = sketches.priority_sample_summary(df, "key", "w").collect()
+        assert a == b
+
+
 class TestCMS:
     def test_never_undercounts(self, spark):
         """The CMS invariant: estimate ≥ exact for every probed key."""
