@@ -391,16 +391,36 @@ def priority_sample_summary(
         h60(F.col(key_col).cast("string")).alias("h"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    # u = (h+1)/2^60 in (0, 1]; priority = w / u, written as one
-    # division then one multiplication IN THIS ORDER on both engines so
-    # the doubles are bit-identical (IEEE basic ops only)
-    pr = F.col("w") * (F.lit(M60) / (F.col("h") + F.lit(1)).cast("double"))
     ranked = two_level_rank(
-        rows.withColumn("pr", pr),
+        rows.withColumn("pr", priority_col()),
         [F.desc("pr"), F.col("h")],
         k + 1,
         shard_col=F.col("h"),
     )
+    exact = rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("w_exact"),
+    )
+    return priority_summary_from_parts(exact, ranked, k)
+
+
+def priority_col() -> Column:
+    """Priority ``w / u`` with ``u = (h+1)/2^60``, written as one
+    division then one multiplication IN THIS ORDER on every engine and
+    every caller (one-shot and streaming maintainer) so the doubles are
+    bit-identical — IEEE basic ops only, no libm."""
+    return F.col("w") * (F.lit(M60) / (F.col("h") + F.lit(1)).cast("double"))
+
+
+def priority_summary_from_parts(
+    exact: DataFrame, ranked: DataFrame, k: int
+) -> DataFrame:
+    """Assemble the one-row DLT summary from its two mergeable parts —
+    an exact-totals frame ``(n_rows, w_exact)`` and a ranked top-(k+1)
+    frame ``(h, w, pr, rn)``.  Shared by :func:`priority_sample_summary`
+    and the streaming maintainer's final readout
+    (``streaming.events.run_streaming_priority_sample``), so the two
+    paths cannot drift in estimator arithmetic."""
     tau = ranked.agg(
         F.coalesce(
             F.max(F.when(F.col("rn") == k + 1, F.col("pr"))), F.lit(0.0)
@@ -418,10 +438,6 @@ def priority_sample_summary(
         # empty input: the agg row still materializes (global agg), but
         # max over zero rows is NULL — report tau = 0 (nothing cut)
         F.coalesce(F.max("tau"), F.lit(0.0)).alias("tau"),
-    )
-    exact = rows.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(F.sum("w"), F.lit(0.0)).alias("w_exact"),
     )
     return exact.crossJoin(est).select(
         F.col("n_rows").cast("long").alias("n_rows"),

@@ -1648,3 +1648,175 @@ def run_streaming_hist_grouped_sketch(
         return spark.createDataFrame([], "g string, b bigint, cnt bigint")
     final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
     return spark.read.parquet(os.path.join(counter_dir, final))
+
+
+def priority_sketch_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    totals_dir: str,
+    key_col: str = "key",
+    weight_col: str = "w",
+    k: int = 64,
+) -> None:
+    """foreachBatch maintainer of a PRIORITY-SAMPLING sketch (round 12
+    — the weighted member joining the KMV / CMS / histogram
+    maintainers): per batch, rank the batch's rows by the DLT priority
+    ``w/u``, merge with the prior top-(k+1) state, and re-take the
+    top-(k+1) — valid because the top-(k+1) of a union is inside the
+    union of top-(k+1)s, the same argument as the KMV merge.  State is
+    TWO mergeable parts, each bounded:
+
+    - the ranked sketch: at most k+1 ``(h, w, pr, rn)`` rows;
+    - the exact totals: ONE ``(n_rows, w_exact)`` row — a pure counter
+      (exact totals over a stream cannot dedup without unbounded
+      state, so the maintainer's contract is per-ROW observations;
+      batches partition the row multiset).
+
+    Both are written per-batch-id idempotently
+    (:func:`write_batch_idempotent`): a replayed batch recomputes from
+    partitions with SMALLER ids and overwrites its own id, so
+    at-least-once delivery converges.  The final readout reassembles
+    the summary through the SAME
+    ``sketches.priority_summary_from_parts`` the one-shot operator
+    uses, so stream ≡ batch is an identity of parts, not a parallel
+    implementation."""
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        h60,
+        priority_col,
+    )
+
+    spark = batch_df.sparkSession
+    rows = batch_df.where(
+        F.col(key_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
+    ).select(
+        h60(F.col(key_col).cast("string")).alias("h"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    from pos_pipeline_core_etl_spark.operators.sketches import two_level_rank
+
+    # the batch's own top-(k+1), selected DISTRIBUTEDLY (per-shard rank
+    # then a rank over the bounded shards×(k+1) union) before anything
+    # touches the single-partition merge below — a corpus-sized batch
+    # never meets an unpartitioned window
+    batch_sk = two_level_rank(
+        rows.withColumn("pr", priority_col()),
+        [F.desc("pr"), F.col("h")],
+        k + 1,
+        shard_col=F.col("h"),
+    ).select("h", "w", "pr")
+    batch_tot = rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("w_exact"),
+    )
+
+    def _latest(base_dir: str):
+        prior = [
+            p
+            for p in _prior_partitions(base_dir, batch_id)
+            if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return max(prior, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+
+    latest_sk = _latest(sketch_dir)
+    if latest_sk is not None:
+        merged = (
+            spark.read.parquet(latest_sk)
+            .select("h", "w", "pr")
+            .unionByName(batch_sk)
+        )
+    else:
+        merged = batch_sk
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("pr").desc(), F.col("h").asc())
+    # the union is at most 2(k+1) rows (prior state + the batch's own
+    # pre-pruned top-(k+1)), so this unpartitioned rank is over a
+    # CONSTANT-bounded frame — the documented exemption class
+    sk = (
+        merged.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k + 1)
+        .localCheckpoint(eager=True)
+    )
+    latest_tot = _latest(totals_dir)
+    if latest_tot is not None:
+        prior_tot = spark.read.parquet(latest_tot)
+        tot = (
+            prior_tot.unionByName(batch_tot)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("w_exact").alias("w_exact"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        tot = batch_tot.localCheckpoint(eager=True)
+    write_batch_idempotent(sk, batch_id, sketch_dir)
+    write_batch_idempotent(tot, batch_id, totals_dir)
+
+
+def run_streaming_priority_sample(
+    spark: SparkSession,
+    stream_dir: str,
+    sketch_dir: str,
+    totals_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    weight_col: str = "w",
+    k: int = 64,
+    schema: str = "key long, w double",
+) -> DataFrame:
+    """Drain a (key, weight) parquet stream through
+    :func:`priority_sketch_batch` with availableNow and return the
+    final DLT summary row — assembled from the drained state by the
+    SAME ``priority_summary_from_parts`` the one-shot operator uses,
+    which the tests assert equals the one-shot summary on the same
+    rows."""
+    import os
+
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        priority_summary_from_parts,
+    )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force a real multi-batch drain
+        .parquet(stream_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: priority_sketch_batch(
+                df, bid, sketch_dir, totals_dir, key_col, weight_col, k
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _final(base_dir: str):
+        parts = (
+            [d for d in os.listdir(base_dir) if d.startswith("batch_id=")]
+            if os.path.isdir(base_dir)
+            else []
+        )
+        if not parts:
+            return None
+        final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
+        return spark.read.parquet(os.path.join(base_dir, final))
+
+    ranked = _final(sketch_dir)
+    exact = _final(totals_dir)
+    if ranked is None or exact is None:
+        return spark.createDataFrame(
+            [],
+            "n_rows long, sample_k int, n_sample long, n_heavy long, "
+            "tau double, w_total_exact double, w_total_estimate double, "
+            "rel_err double",
+        )
+    return priority_summary_from_parts(exact, ranked, k)

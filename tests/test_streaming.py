@@ -1436,3 +1436,103 @@ class TestStreamingHistGrouped:
         for d in parts:
             n = spark.read.parquet(os.path.join(counter_dir, d)).count()
             assert n <= 2 * self.BUCKETS  # groups × buckets, never rows
+
+
+class TestStreamingPrioritySample:
+    """Streaming priority-sampling maintainer (round 12 — the weighted
+    member completing the KMV/CMS/histogram maintainer matrix): the
+    drained state's summary must EQUAL the one-shot
+    ``priority_sample_summary`` on the same rows, invariant to arrival
+    chunking, with the sketch state bounded at k+1 rows — over a
+    genuinely multi-batch drain (maxFilesPerTrigger=1, ≥2 batch
+    partitions asserted).  Weights are integer-valued doubles so the
+    streamed totals counter (batch-wise float addition) is EXACTLY the
+    one-shot sum regardless of summation order — equality is exact, not
+    tolerance-based."""
+
+    K = 32
+
+    def _rows(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(1, 3_001).select(
+            F.col("id").alias("key"),
+            ((F.col("id") % 499) + 1).cast("double").alias("w"),
+        )
+
+    def _write_chunks(self, spark, tmp_path, n_chunks, tag):
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        rows = self._rows(spark)
+        stream_dir = str(tmp_path / f"prio_{tag}_{n_chunks}")
+        for i in range(n_chunks):
+            part = rows.where(F.col("key") % n_chunks == i)
+            part.coalesce(1).write.mode("append").parquet(stream_dir)
+            _t.sleep(1.1)
+        return stream_dir
+
+    def _run(self, spark, tmp_path, n_chunks, tag):
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_priority_sample,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, n_chunks, tag)
+        got = run_streaming_priority_sample(
+            spark,
+            stream_dir,
+            sketch_dir=str(tmp_path / f"psk_{tag}_{n_chunks}"),
+            totals_dir=str(tmp_path / f"ptot_{tag}_{n_chunks}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_prio_{tag}_{n_chunks}"),
+            k=self.K,
+        )
+        return got.collect()[0].asDict()
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from pos_pipeline_core_etl_spark.operators.sketches import (
+            priority_sample_summary,
+        )
+
+        got = self._run(spark, tmp_path, 4, "eq")
+        want = (
+            priority_sample_summary(self._rows(spark), "key", "w", k=self.K)
+            .collect()[0]
+            .asDict()
+        )
+        assert got == want
+        # non-vacuity: the sample genuinely cut (tau > 0), every row
+        # counted, and the estimate is a real estimate, not the total
+        assert got["n_rows"] == 3_000 and got["n_sample"] == self.K
+        assert got["tau"] > 0
+        assert got["w_total_estimate"] != got["w_total_exact"]
+
+    def test_chunking_invariance(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, 1, "inv") == self._run(
+            spark, tmp_path, 3, "inv"
+        )
+
+    def test_state_bounded_and_multibatch(self, spark, tmp_path):
+        import os
+
+        from pos_pipeline_core_etl_spark.streaming.events import (
+            run_streaming_priority_sample,
+        )
+
+        stream_dir = self._write_chunks(spark, tmp_path, 4, "bound")
+        sketch_dir = str(tmp_path / "psk_bound_4")
+        run_streaming_priority_sample(
+            spark,
+            stream_dir,
+            sketch_dir=sketch_dir,
+            totals_dir=str(tmp_path / "ptot_bound_4"),
+            checkpoint_dir=str(tmp_path / "ckpt_prio_bound_4"),
+            k=self.K,
+        )
+        parts = [d for d in os.listdir(sketch_dir) if d.startswith("batch_id=")]
+        assert len(parts) >= 2  # the merge leg demonstrably executed
+        import pyspark.sql.functions as F  # noqa: F401
+
+        for d in parts:
+            n = spark.read.parquet(os.path.join(sketch_dir, d)).count()
+            assert n <= self.K + 1  # top-(k+1) state, never row count
