@@ -828,3 +828,165 @@ def hist_quantiles(
             hround(F.col("cnt") / F.col("n"), 6).alias("bucket_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — the membership sketch
+
+
+# 62 usable bits per word, not 64: DuckDB's ``<<`` overflow-checks
+# ``1::BIGINT << 63`` (and bit 62 is the sign-adjacent maximum that
+# keeps every word positive in BOTH engines), so positions map to
+# (word_idx = pos // 62, bit = pos % 62).  Spark's shiftleft would
+# happily wrap — the narrower width is the cross-engine contract.
+BLOOM_BITS_PER_WORD = 62
+BLOOM_WORDS = 128
+BLOOM_HASHES = 4
+
+
+def bloom_pos(key: Column, hash_idx: int, m_bits: int) -> Column:
+    """Bit position of ``key`` under hash ``hash_idx`` — the same
+    salted-md5 construction as :func:`cms_bucket` (``"i:key"``), so the
+    DuckDB oracle reproduces every position exactly."""
+    return h60(F.concat(F.lit(f"{hash_idx}:"), key.cast("string"))) % F.lit(m_bits)
+
+
+def bloom_pos_sql(key_expr: str, hash_idx_expr: str, m_bits: int) -> str:
+    salted = f"CAST({hash_idx_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    return f"({H60_SQL.format(s=salted)} % {m_bits})"
+
+
+def _bloom_positions(
+    df: DataFrame, key_col: str, words: int, n_hashes: int
+) -> DataFrame:
+    """One row per (input row, hash index) with the bit ``pos``.
+    ``inline`` of a literal array keeps the fan-out JVM-side."""
+    m_bits = words * BLOOM_BITS_PER_WORD
+    key = F.col(key_col)
+    return df.where(key.isNotNull()).select(
+        *df.columns,
+        F.explode(
+            F.array(*[bloom_pos(key, i, m_bits) for i in range(n_hashes)])
+        ).alias("pos"),
+    )
+
+
+def bloom_words(
+    df: DataFrame,
+    key_col: str,
+    words: int = BLOOM_WORDS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build the filter as a DENSE ``(word_idx, word)`` table —
+    ``words`` rows of 62-bit-packed BIGINTs (absent words 0-filled via
+    a range join so the state shape is constant regardless of data).
+
+    The aggregation is ``bit_or`` — associative, commutative,
+    idempotent — so per-shard filters merge by elementwise OR
+    (:func:`bloom_words_sharded` proves it against the single-pass
+    form, and the streaming maintainer replays the same merge over
+    micro-batches).  State is ``words`` longs TOTAL: at 100 TB the
+    build side streams through a partial ``bit_or`` per partition and
+    the driver-visible result never exceeds the fixed word count —
+    this is Spark's own runtime-filter shape (InjectRuntimeFilter's
+    bloom pruning), reproduced here as an explicit, mergeable,
+    cross-engine-checkable artifact a pipeline can persist and reuse.
+    """
+    b = F.lit(BLOOM_BITS_PER_WORD)
+    packed = (
+        _bloom_positions(df, key_col, words, n_hashes)
+        .select(
+            F.floor(F.col("pos") / b).cast("long").alias("word_idx"),
+            (F.col("pos") % b).cast("int").alias("bit"),
+        )
+        .select("word_idx", F.expr("shiftleft(1L, bit)").alias("bitval"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitval").alias("word"))
+    )
+    dense = df.sparkSession.range(words).select(F.col("id").alias("word_idx"))
+    return (
+        dense.join(packed, "word_idx", "left")
+        .select(
+            "word_idx",
+            F.coalesce("word", F.lit(0).cast("long")).alias("word"),
+        )
+    )
+
+
+def bloom_words_sharded(
+    df: DataFrame,
+    key_col: str,
+    shard_col: Column,
+    words: int = BLOOM_WORDS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Shard-then-merge build: per-shard word tables OR-merged — the
+    partial-aggregate shape a 1000-executor run uses.  Equality with
+    :func:`bloom_words` is proven (a) in tests against a direct Python
+    md5 model and (b) cross-engine by ``sketch_bloom_merge``'s
+    single-pass oracle."""
+    b = F.lit(BLOOM_BITS_PER_WORD)
+    per_shard = (
+        _bloom_positions(
+            df.withColumn("_shard", shard_col), key_col, words, n_hashes
+        )
+        .select(
+            "_shard",
+            F.floor(F.col("pos") / b).cast("long").alias("word_idx"),
+            (F.col("pos") % b).cast("int").alias("bit"),
+        )
+        .select("_shard", "word_idx", F.expr("shiftleft(1L, bit)").alias("bitval"))
+        .groupBy("_shard", "word_idx")
+        .agg(F.bit_or("bitval").alias("word"))
+    )
+    merged = per_shard.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    dense = df.sparkSession.range(words).select(F.col("id").alias("word_idx"))
+    return dense.join(merged, "word_idx", "left").select(
+        "word_idx", F.coalesce("word", F.lit(0).cast("long")).alias("word")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    words_df: DataFrame,
+    words: int = BLOOM_WORDS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Membership test: one row per DISTINCT probe key with
+    ``is_candidate`` true iff every hash's bit is set.
+
+    ``words_df`` is broadcast by CONSTRUCTION bound, not by data: it is
+    the dense ``words``-row table :func:`bloom_words` emits (128 rows ×
+    16 bytes by default), so the hint can never scale with a key or
+    group cardinality — the ``hist_quantiles_grouped`` broadcast rule.
+    No false negatives ever (a build key's bits are all set by
+    definition); false positives are quantified by the caller against
+    an exact anti-join, which is what ``sketch_bloom_semijoin``
+    reports per segment.  At 100 TB the probe side never shuffles: the
+    filter words ride along as a broadcast and the candidate test is a
+    map-side bool_and."""
+    b = F.lit(BLOOM_BITS_PER_WORD)
+    probes = (
+        _bloom_positions(
+            df.select(key_col).where(F.col(key_col).isNotNull()).distinct(),
+            key_col,
+            words,
+            n_hashes,
+        )
+        .select(
+            key_col,
+            F.floor(F.col("pos") / b).cast("long").alias("word_idx"),
+            (F.col("pos") % b).cast("int").alias("bit"),
+        )
+        .select(key_col, "word_idx", F.expr("shiftleft(1L, bit)").alias("mask"))
+    )
+    hit = F.coalesce(
+        (F.col("word").bitwiseAND(F.col("mask")) != 0), F.lit(False)
+    )
+    return (
+        probes.join(F.broadcast(words_df), "word_idx", "left")
+        .select(key_col, hit.alias("_hit"))
+        .groupBy(key_col)
+        .agg(F.bool_and("_hit").alias("is_candidate"))
+    )

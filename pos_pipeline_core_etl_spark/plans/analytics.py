@@ -1963,3 +1963,139 @@ QUERIES["graph_pagerank_convergence"] = (
     graph_pagerank_convergence,
     _graph_convergence_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style cascading rollup (round 12)
+
+ROLLUP_KMV_K = 16
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: day grain computed FROM the hour
+    grain FROM the minute grain, never re-scanning raw — the
+    TimescaleDB continuous-aggregate / materialized-rollup pattern,
+    expressed as three cascaded mergeable aggregations.  The oracle
+    computes the day grain DIRECTLY from raw, so the driver's value
+    hash is the cross-engine proof that the cascade loses nothing:
+    counts and sums re-aggregate exactly (associative), and the
+    distinct-user leg rides a KMV sketch (k=16, binding at both SFs)
+    merged hour→day by the ``kmv_merge_sketch`` rank argument instead
+    of an unmergeable exact COUNT(DISTINCT).
+
+    At 100 TB this is the load-bearing serving shape: the minute grain
+    is materialized once per ingest window, coarser grains are
+    re-aggregations of ~1440× fewer rows, and the only quantity that
+    WOULD force a raw re-scan (distinct users) is carried as
+    constant-size mergeable sketch state next to the exact counters.
+    ``n_users_exact`` is reported alongside ``users_kmv`` so the
+    estimator error is visible per cell, the honesty convention of
+    ``sketch_kmv_distinct``."""
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        h60,
+        kmv_estimate_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    k = ROLLUP_KMV_K
+
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.to_date("hour").alias("day"), "event_type"
+    ).agg(F.sum("cnt").alias("n_events"), F.sum("sv").alias("sv"))
+
+    hashed = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            h60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    per_hour = (
+        hashed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("day", "event_type", "hour").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn", "hour")
+        .distinct()  # same user may survive in several hour sketches
+    )
+    merged = per_hour.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("day", "event_type").orderBy("h")),
+    ).filter(F.col("rn") <= k)
+    sk_day = merged.groupBy("day", "event_type").agg(
+        F.count("*").alias("n_vals"), F.max("h").alias("h_k")
+    )
+    exact_users = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("n_users_exact"))
+
+    return (
+        day.join(exact_users, ["day", "event_type"])
+        .join(sk_day, ["day", "event_type"])
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            hround(F.col("sv"), 2).alias("sum_value"),
+            "n_users_exact",
+            kmv_estimate_col(
+                F.col("n_vals"), F.col("h_k"), k
+            ).alias("users_kmv"),
+        )
+    )
+
+
+def _rollup_cascade_oracle() -> str:
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        H60_SQL,
+        kmv_estimate_sql,
+    )
+
+    k = ROLLUP_KMV_K
+    h = H60_SQL.format(s="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, event_type, {h} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT day, event_type, h,
+         row_number() OVER (PARTITION BY day, event_type ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT day, event_type, count(*) AS n_vals, max(h) AS h_k
+  FROM ranked WHERE rn <= {k} GROUP BY 1, 2
+),
+agg AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         count(*) AS n_events,
+         {hround_sql("SUM(value)", 2)} AS sum_value,
+         count(DISTINCT user_id) AS n_users_exact
+  FROM events GROUP BY 1, 2
+)
+SELECT a.day, a.event_type, a.n_events, a.sum_value, a.n_users_exact,
+       {kmv_estimate_sql("s.n_vals", "s.h_k", k)} AS users_kmv
+FROM agg a JOIN sk s ON s.day = a.day AND s.event_type = a.event_type
+ORDER BY 1, 2
+"""
+
+
+QUERIES["events_rollup_cascade"] = (
+    events_rollup_cascade,
+    _rollup_cascade_oracle(),
+)

@@ -1,6 +1,6 @@
 """Deterministic mergeable-sketch queries with DuckDB oracles.
 
-Nine driver-checked queries over :mod:`operators/sketches`:
+Eleven driver-checked queries over :mod:`operators/sketches`:
 
 - ``sketch_kmv_distinct`` — per-returnflag KMV distinct-orderkey
   estimates next to the exact counts (k = 64 binds at both SFs: ~11k
@@ -44,6 +44,22 @@ Nine driver-checked queries over :mod:`operators/sketches`:
   64 orders by ``w/u`` priority, estimate total order value as
   ``sum(max(w, tau))``; sharded rank on the Spark side vs single-pass
   oracle = the mergeability proof; pure IEEE +,×,÷ — no libm.
+- ``sketch_bloom_merge`` — the Bloom membership filter over the
+  1995-active customer keys as its dense 128-word bit table, built
+  PER SHARD (custkey % 4) and OR-merged on the Spark side vs the
+  single-pass oracle (round 12): ``bit_or`` is associative /
+  commutative / idempotent, so the value-hash match on 128 packed
+  BIGINTs is the merge proof at the finest possible grain — any
+  single bit placed differently by either engine flips a word.
+- ``sketch_bloom_semijoin`` — the filter USED: probe every customer,
+  audit candidates against the exact membership per mktsegment
+  (round 12).  The fixed 7936-bit filter is sized for sf0.01
+  (load ≈ 0.59 → measured 12 false positives, ~3.7% of the 326
+  non-members, per-segment rates 0–7.4%) and
+  deliberately saturates at sf0.1 (load ≈ 5.9 → fp ≈ 99%, bits_set
+  7914/7936) — both regimes reported honestly via ``fp_rate``,
+  because the sizing lesson (m must scale with the build
+  cardinality) IS the 100 TB content of this query.
 - ``sketch_cms_topk`` — Count-Min estimates for the 20 most frequent
   partkeys (width 256 « 2000+ keys, so collisions are real and the
   overshoot column is non-trivially positive; CMS never under-counts
@@ -583,6 +599,151 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter: shard-merge proof + semi-join pruning audit
+
+BLOOM_W = sketches.BLOOM_WORDS
+BLOOM_H = sketches.BLOOM_HASHES
+_BLOOM_MBITS = BLOOM_W * sketches.BLOOM_BITS_PER_WORD
+
+
+def _bloom_build_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build side: customers with at least one 1995 order — the same
+    cohort construction as ``sketch_kmv_setops``' A side, so the
+    cardinality (1174 at sf0.01, 11695 at sf0.1) is already measured."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+
+
+def sketch_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = _bloom_build_keys(spark, sf_dir)
+    words = sketches.bloom_words_sharded(
+        build, "key", F.col("key") % 4, BLOOM_W, BLOOM_H
+    )
+    return words.select(
+        "word_idx",
+        "word",
+        F.bit_count("word").cast("long").alias("bits_set"),
+    )
+
+
+_BLOOM_BUILD_CTE = """
+build AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS key FROM orders
+  WHERE year(o_orderdate) = 1995
+)"""
+
+
+def _bloom_words_ctes() -> str:
+    """Single-pass word table (the merge oracle being single-pass IS
+    the proof, the ``sketch_kmv_merge`` pattern)."""
+    pos = sketches.bloom_pos_sql("k.key", "g.i", _BLOOM_MBITS)
+    return f"""{_BLOOM_BUILD_CTE},
+bits AS (
+  SELECT {pos} AS pos
+  FROM build k CROSS JOIN generate_series(0, {BLOOM_H - 1}) AS g(i)
+),
+words AS MATERIALIZED (
+  SELECT gs.i AS word_idx,
+         COALESCE(bit_or(1::BIGINT << CAST(b.pos % {sketches.BLOOM_BITS_PER_WORD} AS INTEGER)), 0) AS word
+  FROM generate_series(0, {BLOOM_W - 1}) AS gs(i)
+  LEFT JOIN bits b ON (b.pos // {sketches.BLOOM_BITS_PER_WORD}) = gs.i
+  GROUP BY 1
+)"""
+
+
+SKETCH_BLOOM_MERGE_SQL = f"""
+WITH {_bloom_words_ctes()}
+SELECT word_idx, word, CAST(bit_count(word) AS BIGINT) AS bits_set
+FROM words
+ORDER BY word_idx
+"""
+
+
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = _bloom_build_keys(spark, sf_dir)
+    words = sketches.bloom_words(build, "key", BLOOM_W, BLOOM_H)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cand = sketches.bloom_probe(cust, "c_custkey", words, BLOOM_W, BLOOM_H)
+    flagged = (
+        cust.join(cand, "c_custkey")
+        .join(
+            build.select(
+                F.col("key").alias("c_custkey"), F.lit(True).alias("_m")
+            ),
+            "c_custkey",
+            "left",
+        )
+        .withColumn("is_member", F.coalesce("_m", F.lit(False)))
+    )
+    agg = flagged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("is_candidate").cast("long")).alias("n_candidates"),
+        F.sum(
+            (F.col("is_candidate") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_pos"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_probe",
+        "n_members",
+        "n_candidates",
+        "n_false_pos",
+        hround(
+            F.col("n_false_pos")
+            / F.greatest(F.col("n_probe") - F.col("n_members"), F.lit(1)).cast(
+                "double"
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_probe_pos_sql() -> str:
+    return sketches.bloom_pos_sql("k.c_custkey", "g.i", _BLOOM_MBITS)
+
+
+SKETCH_BLOOM_SEMIJOIN_SQL = f"""
+WITH {_bloom_words_ctes()},
+probe_bits AS (
+  SELECT k.c_custkey, k.c_mktsegment,
+         {_bloom_probe_pos_sql()} AS pos
+  FROM customer k CROSS JOIN generate_series(0, {BLOOM_H - 1}) AS g(i)
+),
+cand AS (
+  SELECT c_custkey, c_mktsegment,
+         bool_and(COALESCE((w.word & (1::BIGINT << CAST(pb.pos % {sketches.BLOOM_BITS_PER_WORD} AS INTEGER))) <> 0, FALSE)) AS is_candidate
+  FROM probe_bits pb
+  LEFT JOIN words w ON w.word_idx = (pb.pos // {sketches.BLOOM_BITS_PER_WORD})
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.is_candidate,
+         (b.key IS NOT NULL) AS is_member
+  FROM cand c LEFT JOIN build b ON b.key = c.c_custkey
+),
+agg AS (
+  SELECT c_mktsegment,
+         count(*) AS n_probe,
+         CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+         CAST(SUM(CASE WHEN is_candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN is_candidate AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+  FROM flagged GROUP BY 1
+)
+SELECT c_mktsegment, n_probe, n_members, n_candidates, n_false_pos,
+       {hround_sql("n_false_pos / CAST(GREATEST(n_probe - n_members, 1) AS DOUBLE)", 6)} AS fp_rate
+FROM agg
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sketch_kmv_distinct": (sketch_kmv_distinct, SKETCH_KMV_DISTINCT_SQL),
     "sketch_kmv_merge": (sketch_kmv_merge, SKETCH_KMV_MERGE_SQL),
@@ -602,4 +763,9 @@ QUERIES: dict[str, tuple] = {
         SKETCH_PRIORITY_SAMPLE_SQL,
     ),
     "sketch_cms_topk": (sketch_cms_topk, SKETCH_CMS_TOPK_SQL),
+    "sketch_bloom_merge": (sketch_bloom_merge, SKETCH_BLOOM_MERGE_SQL),
+    "sketch_bloom_semijoin": (
+        sketch_bloom_semijoin,
+        SKETCH_BLOOM_SEMIJOIN_SQL,
+    ),
 }

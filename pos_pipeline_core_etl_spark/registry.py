@@ -34,7 +34,14 @@ per-group fixed-bound counter table, i.e. the streaming maintainer's
 mergeable state of VERDICT r11 #8, checked cell-for-cell) +
 ``sketch_priority_sample`` (round 12 — the weighted sampling sketch:
 Duffield-Lund-Thorup priority sampling with the sharded-rank
-mergeability proof).  Values-changed = empty: the round-12 kmv_setops
+mergeability proof) + ``sketch_bloom_merge`` / ``sketch_bloom_semijoin``
+(round 12 — the Bloom membership filter: shard-built OR-merged word
+table checked bit-for-bit, and the semi-join pruning audit reporting
+per-segment false-positive rates in both the properly-sized and the
+saturated regime) + ``events_rollup_cascade`` (round 12 — the
+hypertable-style minute→hour→day cascading rollup with a mergeable KMV
+distinct-users leg, proven against a direct-from-raw day-grain
+oracle).  Values-changed = empty: the round-12 kmv_setops
 empty-input guard and the grouped-histogram broadcast-hint removal
 (VERDICT r11 #1, ADVICE r11 #1) change NO values on the registered
 domains — re-verified hash-identical at sf0.01 before composing this
@@ -55,6 +62,9 @@ _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "sim_ivfpq_query_only",
     "sketch_hist_fixed_grouped",
     "sketch_priority_sample",
+    "sketch_bloom_merge",
+    "sketch_bloom_semijoin",
+    "events_rollup_cascade",
 )
 
 # Queries whose VALUES changed since their last green driver row:
@@ -118,9 +128,6 @@ _TIER_SPILL_R8: tuple[str, ...] = (
     "corpus_psi_drift",
     "corpus_shard_checksums",
     "corpus_stats",
-    "dedup_cluster_sizes",
-    "dedup_decisions",
-    "dedup_embedding_cosine",
 )
 
 _PRIORITY: tuple[str, ...] = (

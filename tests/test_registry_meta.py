@@ -457,13 +457,26 @@ def test_sketch_estimates_are_not_degenerate(spark):
         # cut-bucket-share honesty columns — all-equal rank_frac or
         # bucket_share across rows is the all-mass-in-one-bucket
         # degenerate-span signature
+        # (round 12: "bits_set" covers the Bloom word table — an
+        # all-equal popcount across words is the all-bits-in-one-word
+        # degenerate hash signature — and "fp_rate"/"n_candidates"
+        # cover the semi-join audit, where an all-equal candidate
+        # count across segments would mean the probe never
+        # discriminated)
         est_cols = [
             c
             for c in pdf.columns
             if "estimate" in c
             or c.startswith("jaccard")
             or c.endswith("_kmv")
-            or c in ("rank_frac", "bucket_share")
+            or c
+            in (
+                "rank_frac",
+                "bucket_share",
+                "bits_set",
+                "n_candidates",
+                "fp_rate",
+            )
         ]
         assert est_cols, f"{name}: no estimate column to eyeball"
         for c in est_cols:
