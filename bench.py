@@ -110,6 +110,13 @@ HEADLINE = (
     # the timed reps pay probe -> ADC -> refine only, so the headline
     # series finally tracks SERVING cost round-over-round
     "sim_ivfpq_query_only",
+    # round-12 additions (second half): the Bloom semi-join pruning
+    # audit (map-side broadcast probe — the explicit form of Spark's
+    # runtime bloom pruning) and the hypertable cascade rollup
+    # (minute->hour->day re-aggregation with a mergeable KMV
+    # distinct-users leg — the continuous-aggregate serving shape)
+    "sketch_bloom_semijoin",
+    "events_rollup_cascade",
 )
 
 

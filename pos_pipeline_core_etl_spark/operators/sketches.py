@@ -953,40 +953,49 @@ def bloom_probe(
     words: int = BLOOM_WORDS,
     n_hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
-    """Membership test: one row per DISTINCT probe key with
-    ``is_candidate`` true iff every hash's bit is set.
+    """Membership test: every input row back, plus ``is_candidate``
+    true iff all ``n_hashes`` bits for ``key_col`` are set (NULL keys
+    test false — a NULL is never a member).
 
-    ``words_df`` is broadcast by CONSTRUCTION bound, not by data: it is
-    the dense ``words``-row table :func:`bloom_words` emits (128 rows ×
-    16 bytes by default), so the hint can never scale with a key or
-    group cardinality — the ``hist_quantiles_grouped`` broadcast rule.
-    No false negatives ever (a build key's bits are all set by
-    definition); false positives are quantified by the caller against
-    an exact anti-join, which is what ``sketch_bloom_semijoin``
-    reports per segment.  At 100 TB the probe side never shuffles: the
-    filter words ride along as a broadcast and the candidate test is a
-    map-side bool_and."""
+    Shape matters more than the arithmetic here: the probe side is the
+    100 TB side, so it must NEVER shuffle.  Each hash is one chained
+    LEFT BROADCAST join against ``words_df`` — which is broadcast by
+    CONSTRUCTION bound, not by data: the dense ``words``-row table
+    :func:`bloom_words` emits (128 rows × 16 bytes by default), so the
+    hint can never scale with a key or group cardinality (the
+    ``hist_quantiles_grouped`` broadcast rule).  The executed plan is
+    ``n_hashes`` map-side BroadcastHashJoins over a single scan of the
+    probe — no exchange, no explode, no per-key aggregation
+    (plan-asserted in tests/test_plans.py).  No false negatives ever:
+    a build key's bits are all set by definition; false positives are
+    quantified by the caller against an exact anti-join, which is what
+    ``sketch_bloom_semijoin`` reports per segment."""
+    key = F.col(key_col)
     b = F.lit(BLOOM_BITS_PER_WORD)
-    probes = (
-        _bloom_positions(
-            df.select(key_col).where(F.col(key_col).isNotNull()).distinct(),
-            key_col,
-            words,
-            n_hashes,
+    m_bits = words * BLOOM_BITS_PER_WORD
+    in_cols = list(df.columns)
+    out = df
+    hits = []
+    for i in range(n_hashes):
+        pos = bloom_pos(key, i, m_bits)
+        wdf = words_df.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
         )
-        .select(
-            key_col,
-            F.floor(F.col("pos") / b).cast("long").alias("word_idx"),
-            (F.col("pos") % b).cast("int").alias("bit"),
+        out = (
+            out.withColumn(f"_wi{i}", F.floor(pos / b).cast("long"))
+            .withColumn(f"_bit{i}", (pos % b).cast("int"))
+            .join(F.broadcast(wdf), f"_wi{i}", "left")
         )
-        .select(key_col, "word_idx", F.expr("shiftleft(1L, bit)").alias("mask"))
-    )
-    hit = F.coalesce(
-        (F.col("word").bitwiseAND(F.col("mask")) != 0), F.lit(False)
-    )
-    return (
-        probes.join(F.broadcast(words_df), "word_idx", "left")
-        .select(key_col, hit.alias("_hit"))
-        .groupBy(key_col)
-        .agg(F.bool_and("_hit").alias("is_candidate"))
-    )
+        hits.append(
+            F.coalesce(
+                F.col(f"_w{i}").bitwiseAND(
+                    F.expr(f"shiftleft(1L, _bit{i})")
+                )
+                != 0,
+                F.lit(False),
+            )
+        )
+    cand = hits[0]
+    for h in hits[1:]:
+        cand = cand & h
+    return out.select(*in_cols, cand.alias("is_candidate"))

@@ -666,14 +666,20 @@ ORDER BY word_idx
 
 def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = _bloom_build_keys(spark, sf_dir)
-    words = sketches.bloom_words(build, "key", BLOOM_W, BLOOM_H)
+    # materialize the 128-row filter once: bloom_probe references it in
+    # each of its n_hashes broadcast joins, and without the (lazy)
+    # checkpoint the build-side scan+agg would re-evaluate per join —
+    # the ivfpq_build_index(eager=False) pattern; in production the
+    # filter would be persisted and reused across probe jobs outright
+    words = sketches.bloom_words(build, "key", BLOOM_W, BLOOM_H).localCheckpoint(
+        eager=False
+    )
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     cand = sketches.bloom_probe(cust, "c_custkey", words, BLOOM_W, BLOOM_H)
     flagged = (
-        cust.join(cand, "c_custkey")
-        .join(
+        cand.join(
             build.select(
                 F.col("key").alias("c_custkey"), F.lit(True).alias("_m")
             ),

@@ -1820,3 +1820,87 @@ def run_streaming_priority_sample(
             "rel_err double",
         )
     return priority_summary_from_parts(exact, ranked, k)
+
+
+def bloom_word_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_col: str = "key",
+    words: int = 128,
+    n_hashes: int = 4,
+) -> None:
+    """foreachBatch body for the streaming Bloom membership maintainer
+    (round 12, joining the KMV/CMS/histogram/priority maintainer
+    family): state is the dense ``(word_idx, word)`` table — ``words``
+    BIGINTs total, constant regardless of stream length — and the
+    merge is elementwise ``bit_or``, which is associative, commutative
+    AND idempotent, so a replayed batch cannot even transiently skew
+    the state (strictly stronger than the counter maintainers, whose
+    convergence relies on the per-batch-id overwrite alone).  Same
+    idempotent per-batch-id writes; stream ≡ batch proven in
+    tests/test_streaming.py::TestStreamingBloom under the
+    maxFilesPerTrigger=1 multi-batch drain guard."""
+    from pos_pipeline_core_etl_spark.operators.sketches import bloom_words
+
+    spark = batch_df.sparkSession
+    batch_words = bloom_words(batch_df, key_col, words, n_hashes)
+    prior = [
+        p
+        for p in _prior_partitions(state_dir, batch_id)
+        if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+    ]
+    if prior:
+        latest = max(prior, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+        merged = (
+            spark.read.parquet(latest)
+            .unionByName(batch_words)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+    else:
+        merged = batch_words
+    write_batch_idempotent(merged.localCheckpoint(eager=True), batch_id, state_dir)
+
+
+def run_streaming_bloom_sketch(
+    spark: SparkSession,
+    stream_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    words: int = 128,
+    n_hashes: int = 4,
+    schema: str = "key bigint",
+) -> DataFrame:
+    """Drain a parquet stream through :func:`bloom_word_batch` with
+    availableNow and return the FINAL ``(word_idx, word)`` table —
+    asserted equal to the one-shot ``bloom_words`` on the same rows,
+    bit for bit."""
+    import os
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force a real multi-batch drain
+        .parquet(stream_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: bloom_word_batch(
+                df, bid, state_dir, key_col, words, n_hashes
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = (
+        [d for d in os.listdir(state_dir) if d.startswith("batch_id=")]
+        if os.path.isdir(state_dir)
+        else []
+    )
+    if not parts:
+        return spark.createDataFrame([], "word_idx bigint, word bigint")
+    final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
+    return spark.read.parquet(os.path.join(state_dir, final))

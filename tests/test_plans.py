@@ -695,3 +695,52 @@ class TestSketchPlans:
         ).filter(F.col("rn") <= 64)
         assert fast.exceptAll(naive).count() == 0
         assert naive.exceptAll(fast).count() == 0
+
+
+class TestBloomPlans:
+    def test_probe_spine_is_shuffle_free(self, spark):
+        """The probe side is the 100 TB side: against a materialized
+        filter, the executed plan must be exactly n_hashes map-side
+        BroadcastHashJoins over ONE scan of the probe — no shuffle
+        exchange, no sort-merge join, no aggregation of probe rows.
+        (bloom_probe's old explode+groupBy shape shuffled probe×H rows;
+        this test pins the rewrite.)"""
+        from pos_pipeline_core_etl_spark.operators import sketches
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+        build = spark.range(500).select(F.col("id").alias("key"))
+        words = sketches.bloom_words(build, "key").localCheckpoint(eager=True)
+        cust = load_table(spark, SF_DIR, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        probed = sketches.bloom_probe(cust, "c_custkey", words)
+        plan = _plan(probed)
+        assert plan.count("BroadcastHashJoin") == sketches.BLOOM_HASHES
+        assert "SortMergeJoin" not in plan
+        assert "HashAggregate" not in plan
+        # shuffle exchanges print as "(n) Exchange"; broadcast ones as
+        # "(n) BroadcastExchange" — only the latter may appear
+        assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+
+    def test_rollup_cascade_equals_direct_in_spark(self, spark):
+        """The cascade's exact legs (counts, sums) re-aggregated
+        minute→hour→day must equal a direct day-grain aggregation of
+        raw — same engine, so any inequality is a cascade bug, not an
+        engine difference (the oracle check covers cross-engine)."""
+        from pos_pipeline_core_etl_spark.plans.analytics import (
+            events_rollup_cascade,
+        )
+        from pos_pipeline_core_etl_spark.sources.tables import load_table
+
+        got = events_rollup_cascade(spark, SF_DIR).select(
+            "day", "event_type", "n_events", "n_users_exact"
+        )
+        ev = load_table(spark, SF_DIR, "events")
+        direct = ev.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+        )
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0

@@ -358,3 +358,127 @@ class TestCMS:
         df = spark.range(50_000).select((F.col("id") % 3_000).alias("key"))
         n = sketches.cms_counters(df, "key", depth=4, width=64).count()
         assert n <= 4 * 64
+
+
+class TestBloom:
+    """Bloom filter invariants the oracle equality alone would not
+    distinguish from luck: agreement with a DIRECT Python md5 model
+    (the hashing itself, not just engine-vs-engine), merge ≡
+    single-pass across shard counts, the no-false-negatives guarantee,
+    and the constant dense state shape."""
+
+    W, H = 16, 4
+
+    def _build(self, spark, keys):
+        return spark.createDataFrame([(k,) for k in keys], "key bigint")
+
+    def _python_model(self, keys):
+        import hashlib
+
+        b = sketches.BLOOM_BITS_PER_WORD
+        m_bits = self.W * b
+        words = [0] * self.W
+        for k in keys:
+            for i in range(self.H):
+                pos = (
+                    int(
+                        hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16
+                    )
+                    % m_bits
+                )
+                words[pos // b] |= 1 << (pos % b)
+        return words
+
+    def test_matches_direct_python_md5_model(self, spark):
+        """Every word equals a from-scratch Python construction — pins
+        the salt format, the 60-bit truncation, the 62-bit packing and
+        the word split, independent of any SQL engine."""
+        keys = list(range(100, 160))
+        got = {
+            r["word_idx"]: r["word"]
+            for r in sketches.bloom_words(
+                self._build(spark, keys), "key", self.W, self.H
+            ).collect()
+        }
+        model = self._python_model(keys)
+        assert got == {i: model[i] for i in range(self.W)}
+
+    @pytest.mark.parametrize("shards", [2, 5])
+    def test_sharded_merge_equals_single_pass(self, spark, shards):
+        """bit_or associativity/commutativity as an executed fact, for
+        shard fan-outs that do and do not divide the key count."""
+        df = self._build(spark, list(range(300)))
+        single = {
+            r["word_idx"]: r["word"]
+            for r in sketches.bloom_words(df, "key", self.W, self.H).collect()
+        }
+        merged = {
+            r["word_idx"]: r["word"]
+            for r in sketches.bloom_words_sharded(
+                df, "key", F.col("key") % shards, self.W, self.H
+            ).collect()
+        }
+        assert merged == single
+
+    def test_no_false_negatives_and_null_keys_probe_false(self, spark):
+        """A build key can never test negative (its bits are set by
+        definition); a NULL probe key is never a member."""
+        keys = list(range(50))
+        words = sketches.bloom_words(
+            self._build(spark, keys), "key", self.W, self.H
+        ).localCheckpoint(eager=True)
+        probe = spark.createDataFrame(
+            [(k,) for k in keys] + [(None,)], "key bigint"
+        )
+        got = {
+            r["key"]: r["is_candidate"]
+            for r in sketches.bloom_probe(
+                probe, "key", words, self.W, self.H
+            ).collect()
+        }
+        assert all(got[k] for k in keys)
+        assert got[None] is False
+
+    def test_sized_filter_rejects_most_nonmembers(self, spark):
+        """At load ≈ 0.08 (50 keys × 4 hashes / 256×62 bits) the
+        theoretical fp rate is ~4e-5 — so of 1000 non-members,
+        essentially none may pass.  Guards against a degenerate
+        always-true probe (which would also satisfy the
+        no-false-negatives test)."""
+        keys = list(range(50))
+        words = sketches.bloom_words(
+            self._build(spark, keys), "key", 256, self.H
+        ).localCheckpoint(eager=True)
+        probe = self._build(spark, list(range(1000, 2000)))
+        n_pass = (
+            sketches.bloom_probe(probe, "key", words, 256, self.H)
+            .where("is_candidate")
+            .count()
+        )
+        assert n_pass <= 5
+
+    def test_dense_state_shape_is_constant(self, spark):
+        """One key or a thousand: the emitted table is always exactly
+        ``words`` rows with every index present (0-filled) — the
+        broadcastability / mergeability contract."""
+        for n in (1, 1000):
+            out = sketches.bloom_words(
+                self._build(spark, list(range(n))), "key", self.W, self.H
+            ).collect()
+            assert len(out) == self.W
+            assert sorted(r["word_idx"] for r in out) == list(range(self.W))
+
+    def test_probe_preserves_input_rows_and_columns(self, spark):
+        """The probe is a row-for-row annotator (map-side contract):
+        duplicate input keys stay duplicated, extra columns ride
+        through untouched."""
+        words = sketches.bloom_words(
+            self._build(spark, [1, 2, 3]), "key", self.W, self.H
+        )
+        probe = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (9, "c")], "key bigint, tag string"
+        )
+        rows = sketches.bloom_probe(probe, "key", words, self.W, self.H).collect()
+        assert len(rows) == 3
+        assert sorted(r["tag"] for r in rows) == ["a", "b", "c"]
+        assert all(set(r.asDict()) == {"key", "tag", "is_candidate"} for r in rows)
