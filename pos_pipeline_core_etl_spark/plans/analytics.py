@@ -1991,15 +1991,20 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_users_exact`` is reported alongside ``users_kmv`` so the
     estimator error is visible per cell, the honesty convention of
     ``sketch_kmv_distinct``."""
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_cascade_frame(ev, ROLLUP_KMV_K)
+
+
+def rollup_cascade_frame(ev: DataFrame, k: int = ROLLUP_KMV_K) -> DataFrame:
+    """Frame-level cascade (shared by the registered query and the
+    streaming maintainer's stream ≡ batch test — one assembly, so the
+    two paths cannot drift)."""
     from pyspark.sql import Window
 
     from pos_pipeline_core_etl_spark.operators.sketches import (
         h60,
         kmv_estimate_col,
     )
-
-    ev = load_table(spark, sf_dir, "events")
-    k = ROLLUP_KMV_K
 
     minute = ev.groupBy(
         F.date_trunc("minute", "ts").alias("minute"), "event_type"

@@ -1904,3 +1904,173 @@ def run_streaming_bloom_sketch(
         return spark.createDataFrame([], "word_idx bigint, word bigint")
     final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
     return spark.read.parquet(os.path.join(state_dir, final))
+
+
+def rollup_cascade_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    counter_dir: str,
+    sketch_dir: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    k: int = 16,
+) -> None:
+    """foreachBatch maintainer of the hypertable cascade rollup
+    (round 12): the CONTINUOUS form of ``events_rollup_cascade`` — a
+    streaming materialized view of the day grain, folded micro-batch
+    by micro-batch instead of minute→hour→day.
+
+    Two co-located state tables (the dedup maintainer's two-dir
+    precedent), both bounded by the CELL count (days × types), never
+    by stream length:
+
+    - counters: (day, event_type, cnt, sv) — each batch aggregates its
+      own rows to cell-grain partials (batch-sized work, map-side
+      combine), then one keyed sum against the prior state;
+    - sketch: (day, event_type, h, rn ≤ k) — the per-cell KMV state:
+      batch hashes pre-pruned to their own per-cell k-smallest BEFORE
+      the union with prior state, so the merge rank is over ≤ 2k rows
+      per cell (the ``kmv_sketch_batch`` shape at rollup grain).
+
+    The maintained view serves n_events / sum_value / users_kmv.  It
+    deliberately does NOT serve ``n_users_exact``: an exact distinct
+    over a stream needs per-cell key SETS (unbounded state) — the
+    sketch IS the bounded answer, and the one-shot query reports both
+    precisely so the estimator error stays visible where the exact
+    count is still affordable.  Per-row observation contract and
+    per-batch-id idempotent writes as in the sibling maintainers;
+    stream ≡ batch and chunking invariance pinned in
+    tests/test_streaming.py::TestStreamingRollup."""
+    from pyspark.sql import Window
+
+    from pos_pipeline_core_etl_spark.operators.sketches import h60
+
+    spark = batch_df.sparkSession
+    cell = [F.to_date(ts_col).alias("day"), F.col(type_col).alias("event_type")]
+
+    batch_counters = batch_df.groupBy(*cell).agg(
+        F.count("*").alias("cnt"), F.sum(value_col).alias("sv")
+    )
+    prior_c = [
+        p
+        for p in _prior_partitions(counter_dir, batch_id)
+        if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+    ]
+    if prior_c:
+        latest = max(prior_c, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+        merged_c = (
+            spark.read.parquet(latest)
+            .unionByName(batch_counters)
+            .groupBy("day", "event_type")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
+        )
+    else:
+        merged_c = batch_counters
+
+    w_cell = Window.partitionBy("day", "event_type").orderBy("h")
+    batch_sketch = (
+        batch_df.where(F.col(user_col).isNotNull())
+        .select(*cell, h60(F.col(user_col).cast("string")).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    prior_s = [
+        p
+        for p in _prior_partitions(sketch_dir, batch_id)
+        if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+    ]
+    if prior_s:
+        latest = max(prior_s, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+        union = (
+            spark.read.parquet(latest)
+            .select("day", "event_type", "h")
+            .unionByName(batch_sketch)
+            .distinct()  # a user seen in prior batches re-hashes identically
+        )
+    else:
+        union = batch_sketch
+    merged_s = union.withColumn("rn", F.row_number().over(w_cell)).filter(
+        F.col("rn") <= k
+    )
+
+    write_batch_idempotent(
+        merged_c.localCheckpoint(eager=True), batch_id, counter_dir
+    )
+    write_batch_idempotent(
+        merged_s.localCheckpoint(eager=True), batch_id, sketch_dir
+    )
+
+
+def run_streaming_rollup(
+    spark: SparkSession,
+    stream_dir: str,
+    counter_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    k: int = 16,
+    schema: str = "ts timestamp, user_id bigint, event_type string, value double",
+) -> DataFrame:
+    """Drain a parquet event stream through :func:`rollup_cascade_batch`
+    with availableNow and assemble the FINAL day-grain serving view
+    (day, event_type, n_events, sum_value, users_kmv) from the two
+    state tables — asserted cell-for-cell against the one-shot cascade
+    on the same rows (sums exactly, estimates bit-for-bit)."""
+    import os
+
+    from pos_pipeline_core_etl_spark.operators.sketches import kmv_estimate_col
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force a real multi-batch drain
+        .parquet(stream_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: rollup_cascade_batch(
+                df, bid, counter_dir, sketch_dir, k=k
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _final(base: str) -> str | None:
+        parts = (
+            [d for d in os.listdir(base) if d.startswith("batch_id=")]
+            if os.path.isdir(base)
+            else []
+        )
+        if not parts:
+            return None
+        return os.path.join(
+            base, max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
+        )
+
+    c_part, s_part = _final(counter_dir), _final(sketch_dir)
+    if c_part is None:
+        return spark.createDataFrame(
+            [],
+            "day date, event_type string, n_events bigint, "
+            "sum_value double, users_kmv double",
+        )
+    counters = spark.read.parquet(c_part)
+    sk = (
+        spark.read.parquet(s_part)
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n_vals"), F.max("h").alias("h_k"))
+    )
+    return counters.join(sk, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.col("cnt").alias("n_events"),
+        F.col("sv").alias("sum_value"),
+        kmv_estimate_col(
+            F.coalesce("n_vals", F.lit(0)), F.coalesce("h_k", F.lit(0)), k
+        ).alias("users_kmv"),
+    )

@@ -126,6 +126,13 @@ BATCHES = {
     "round12_ivfpq_query": [
         "sim_ivfpq_query_only",
     ],
+    # round-12 second pass: both ~1 s and scan/broadcast-bound — one
+    # shared batch keeps JVM count down without cross-contamination
+    # (the bloom probe is map-side; the cascade is three keyed aggs)
+    "round12_bloom_rollup": [
+        "sketch_bloom_semijoin",
+        "events_rollup_cascade",
+    ],
 }
 
 
