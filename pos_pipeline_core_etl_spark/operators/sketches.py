@@ -550,6 +550,101 @@ def cms_estimates(
     )
 
 
+def cms_counters_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group counter table ``(g, d, b, cnt)`` — one independent CMS
+    PER GROUP, all sharing the salted bucket hash (the
+    ``hist_counters_fixed_grouped`` pattern at the frequency sketch).
+    State is ``groups × depth × width`` rows, so it scales with the
+    group cardinality — which is why, unlike the global form, nothing
+    here forces a broadcast (the ``hist_quantiles_grouped`` lesson:
+    AQE broadcasts small counter tables on its own; a forced hint
+    would OOM on a high-cardinality group column)."""
+    key = F.col(key_col).cast("string")
+    df = df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+    tall = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(key, d, width).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select("g", "x.d", "x.b")
+    return tall.groupBy("g", "d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimates_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    top: int = 5,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group CMS estimates for each group's ``top`` most frequent
+    keys (exact count desc, key asc — deterministic cut per group).
+
+    Every stage is keyed by the group: the head selection is a
+    PARTITIONED window (no two-level dance needed — the group IS the
+    shard), the counter join is on ``(g, d, b)``, and the min-over-
+    depth agg is per ``(g, key)``.  No single-partition stage at any
+    group cardinality, and no forced broadcast (see
+    :func:`cms_counters_grouped`)."""
+    key = F.col(key_col).cast("string")
+    df = df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+    counters = cms_counters_grouped(df, group_col, key_col, depth, width)
+    exact = (
+        df.select(F.col(group_col).alias("g"), F.col(key_col))
+        .groupBy("g", key_col)
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("exact_cnt"), F.col(key_col))
+    heads = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+    )
+    probes = heads.select(
+        "g",
+        key_col,
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(key, d, width).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select("g", key_col, "exact_cnt", "x.d", "x.b")
+    est = (
+        probes.join(counters, ["g", "d", "b"])
+        .groupBy("g", key_col, "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("g").alias(group_col),
+        key_col,
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overshoot"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Histogram quantiles
 
@@ -844,16 +939,40 @@ BLOOM_WORDS = 128
 BLOOM_HASHES = 4
 
 
-def bloom_pos(key: Column, hash_idx: int, m_bits: int) -> Column:
-    """Bit position of ``key`` under hash ``hash_idx`` — the same
-    salted-md5 construction as :func:`cms_bucket` (``"i:key"``), so the
-    DuckDB oracle reproduces every position exactly."""
-    return h60(F.concat(F.lit(f"{hash_idx}:"), key.cast("string"))) % F.lit(m_bits)
+# Kirsch-Mitzenmacher double hashing (2006): derive all n positions
+# from TWO base hashes, pos_i = (h1 + i·h2) mod m — asymptotically the
+# same false-positive rate as n independent hashes, at HALF the md5
+# cost per probed row (the ladder measured the probe md5-bound: this
+# is the 100 TB hot path's per-row constant).  Overflow-safe by
+# construction: h1, h2 < 2^60 and i ≤ n_hashes−1, so h1 + i·h2 < 2^63
+# for any n_hashes ≤ 8 — exact signed-64 arithmetic in both engines.
 
 
-def bloom_pos_sql(key_expr: str, hash_idx_expr: str, m_bits: int) -> str:
-    salted = f"CAST({hash_idx_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
-    return f"({H60_SQL.format(s=salted)} % {m_bits})"
+def bloom_base_hashes(key: Column) -> tuple[Column, Column]:
+    """The two md5-derived base hashes ("b0:"/"b1:" salts, same
+    construction as :func:`cms_bucket`) every bit position derives
+    from."""
+    return (
+        h60(F.concat(F.lit("b0:"), key.cast("string"))),
+        h60(F.concat(F.lit("b1:"), key.cast("string"))),
+    )
+
+
+def bloom_pos(h1: Column, h2: Column, hash_idx: int, m_bits: int) -> Column:
+    """Bit position ``(h1 + i·h2) mod m`` of hash ``hash_idx``."""
+    return (h1 + F.lit(hash_idx) * h2) % F.lit(m_bits)
+
+
+def bloom_base_hashes_sql(key_expr: str) -> tuple[str, str]:
+    s = f"CAST({key_expr} AS VARCHAR)"
+    return (
+        H60_SQL.format(s=f"'b0:' || {s}"),
+        H60_SQL.format(s=f"'b1:' || {s}"),
+    )
+
+
+def bloom_pos_sql(h1_expr: str, h2_expr: str, hash_idx_expr: str, m_bits: int) -> str:
+    return f"(({h1_expr} + {hash_idx_expr} * {h2_expr}) % {m_bits})"
 
 
 def _bloom_positions(
@@ -862,12 +981,22 @@ def _bloom_positions(
     """One row per (input row, hash index) with the bit ``pos``.
     ``inline`` of a literal array keeps the fan-out JVM-side."""
     m_bits = words * BLOOM_BITS_PER_WORD
-    key = F.col(key_col)
-    return df.where(key.isNotNull()).select(
-        *df.columns,
-        F.explode(
-            F.array(*[bloom_pos(key, i, m_bits) for i in range(n_hashes)])
-        ).alias("pos"),
+    h1, h2 = bloom_base_hashes(F.col(key_col))
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+        .select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    *[
+                        bloom_pos(F.col("_h1"), F.col("_h2"), i, m_bits)
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("pos"),
+        )
     )
 
 
@@ -975,9 +1104,11 @@ def bloom_probe(
     m_bits = words * BLOOM_BITS_PER_WORD
     in_cols = list(df.columns)
     out = df
+    h1, h2 = bloom_base_hashes(key)
+    out = out.withColumn("_h1", h1).withColumn("_h2", h2)
     hits = []
     for i in range(n_hashes):
-        pos = bloom_pos(key, i, m_bits)
+        pos = bloom_pos(F.col("_h1"), F.col("_h2"), i, m_bits)
         wdf = words_df.select(
             F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
         )

@@ -1,6 +1,6 @@
 """Deterministic mergeable-sketch queries with DuckDB oracles.
 
-Eleven driver-checked queries over :mod:`operators/sketches`:
+Twelve driver-checked queries over :mod:`operators/sketches`:
 
 - ``sketch_kmv_distinct`` — per-returnflag KMV distinct-orderkey
   estimates next to the exact counts (k = 64 binds at both SFs: ~11k
@@ -54,16 +54,24 @@ Eleven driver-checked queries over :mod:`operators/sketches`:
 - ``sketch_bloom_semijoin`` — the filter USED: probe every customer,
   audit candidates against the exact membership per mktsegment
   (round 12).  The fixed 7936-bit filter is sized for sf0.01
-  (load ≈ 0.59 → measured 12 false positives, ~3.7% of the 326
-  non-members, per-segment rates 0–7.4%) and
+  (load ≈ 0.59 → measured 19 false positives, ~5.8% of the 326
+  non-members, per-segment rates 1.5–8.8%) and
   deliberately saturates at sf0.1 (load ≈ 5.9 → fp ≈ 99%, bits_set
-  7914/7936) — both regimes reported honestly via ``fp_rate``,
+  7916/7936) — both regimes reported honestly via ``fp_rate``,
   because the sizing lesson (m must scale with the build
   cardinality) IS the 100 TB content of this query.
 - ``sketch_cms_topk`` — Count-Min estimates for the 20 most frequent
   partkeys (width 256 « 2000+ keys, so collisions are real and the
   overshoot column is non-trivially positive; CMS never under-counts
   and a unit test pins that invariant).
+- ``sketch_cms_grouped`` — per-returnflag top-5 partkey frequencies
+  from one independent CMS PER GROUP (round 12, completing the
+  grouped forms: histogram and CMS now both have them).  Every stage
+  keyed by the group — partitioned-window heads, (g, d, b) counter
+  join, NO forced broadcast (the counter state scales with the group
+  cardinality: the ``hist_quantiles_grouped`` lesson applied from the
+  start).  Overshoot positive on all 15 rows at both SFs (measured
+  before registering), estimates 13–15 distinct.
 
 Unlike ``events_cardinality_sketch`` (HLL++ behind a 2% tolerance
 flag), every number here is bit-deterministic: both engines hash with
@@ -641,11 +649,15 @@ build AS MATERIALIZED (
 def _bloom_words_ctes() -> str:
     """Single-pass word table (the merge oracle being single-pass IS
     the proof, the ``sketch_kmv_merge`` pattern)."""
-    pos = sketches.bloom_pos_sql("k.key", "g.i", _BLOOM_MBITS)
+    h1, h2 = sketches.bloom_base_hashes_sql("k.key")
+    pos = sketches.bloom_pos_sql("h.h1", "h.h2", "g.i", _BLOOM_MBITS)
     return f"""{_BLOOM_BUILD_CTE},
+hashed AS (
+  SELECT {h1} AS h1, {h2} AS h2 FROM build k
+),
 bits AS (
   SELECT {pos} AS pos
-  FROM build k CROSS JOIN generate_series(0, {BLOOM_H - 1}) AS g(i)
+  FROM hashed h CROSS JOIN generate_series(0, {BLOOM_H - 1}) AS g(i)
 ),
 words AS MATERIALIZED (
   SELECT gs.i AS word_idx,
@@ -712,16 +724,21 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bloom_probe_pos_sql() -> str:
-    return sketches.bloom_pos_sql("k.c_custkey", "g.i", _BLOOM_MBITS)
+def _bloom_probe_hashed_cte() -> str:
+    h1, h2 = sketches.bloom_base_hashes_sql("k.c_custkey")
+    return f"""probe_hashed AS (
+  SELECT k.c_custkey, k.c_mktsegment, {h1} AS h1, {h2} AS h2
+  FROM customer k
+)"""
 
 
 SKETCH_BLOOM_SEMIJOIN_SQL = f"""
 WITH {_bloom_words_ctes()},
+{_bloom_probe_hashed_cte()},
 probe_bits AS (
-  SELECT k.c_custkey, k.c_mktsegment,
-         {_bloom_probe_pos_sql()} AS pos
-  FROM customer k CROSS JOIN generate_series(0, {BLOOM_H - 1}) AS g(i)
+  SELECT h.c_custkey, h.c_mktsegment,
+         {sketches.bloom_pos_sql("h.h1", "h.h2", "g.i", _BLOOM_MBITS)} AS pos
+  FROM probe_hashed h CROSS JOIN generate_series(0, {BLOOM_H - 1}) AS g(i)
 ),
 cand AS (
   SELECT c_custkey, c_mktsegment,
@@ -750,6 +767,56 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped CMS: per-group heavy hitters
+
+CMS_GROUPED_TOP = 5
+
+
+def sketch_cms_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return sketches.cms_estimates_grouped(
+        df,
+        "l_returnflag",
+        "l_partkey",
+        top=CMS_GROUPED_TOP,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+    )
+
+
+SKETCH_CMS_GROUPED_SQL = f"""
+WITH counts AS MATERIALIZED (
+  SELECT l_returnflag AS g, l_partkey, count(*) AS exact_cnt FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL GROUP BY 1, 2
+),
+counters AS MATERIALIZED (
+  SELECT g, gs.d, {_cms_bucket_sql("c.l_partkey", "gs.d")} AS b,
+         CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+  FROM counts c CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS gs(d)
+  GROUP BY 1, 2, 3
+),
+heads AS (
+  SELECT g, l_partkey, exact_cnt FROM (
+    SELECT g, l_partkey, exact_cnt,
+           row_number() OVER (PARTITION BY g ORDER BY exact_cnt DESC, l_partkey) AS rn
+    FROM counts
+  ) WHERE rn <= {CMS_GROUPED_TOP}
+),
+est AS (
+  SELECT h.g, h.l_partkey, h.exact_cnt, MIN(ct.cnt) AS cms_estimate
+  FROM heads h
+  CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS gs(d)
+  JOIN counters ct
+    ON ct.g = h.g AND ct.d = gs.d AND ct.b = {_cms_bucket_sql("h.l_partkey", "gs.d")}
+  GROUP BY 1, 2, 3
+)
+SELECT g AS l_returnflag, l_partkey, exact_cnt, cms_estimate,
+       cms_estimate - exact_cnt AS overshoot
+FROM est
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sketch_kmv_distinct": (sketch_kmv_distinct, SKETCH_KMV_DISTINCT_SQL),
     "sketch_kmv_merge": (sketch_kmv_merge, SKETCH_KMV_MERGE_SQL),
@@ -774,4 +841,5 @@ QUERIES: dict[str, tuple] = {
         sketch_bloom_semijoin,
         SKETCH_BLOOM_SEMIJOIN_SQL,
     ),
+    "sketch_cms_grouped": (sketch_cms_grouped, SKETCH_CMS_GROUPED_SQL),
 }

@@ -379,13 +379,10 @@ class TestBloom:
         m_bits = self.W * b
         words = [0] * self.W
         for k in keys:
+            h1 = int(hashlib.md5(f"b0:{k}".encode()).hexdigest()[:15], 16)
+            h2 = int(hashlib.md5(f"b1:{k}".encode()).hexdigest()[:15], 16)
             for i in range(self.H):
-                pos = (
-                    int(
-                        hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16
-                    )
-                    % m_bits
-                )
+                pos = (h1 + i * h2) % m_bits
                 words[pos // b] |= 1 << (pos % b)
         return words
 
@@ -482,3 +479,70 @@ class TestBloom:
         assert len(rows) == 3
         assert sorted(r["tag"] for r in rows) == ["a", "b", "c"]
         assert all(set(r.asDict()) == {"key", "tag", "is_candidate"} for r in rows)
+
+
+class TestCMSGrouped:
+    """Per-group CMS (round 12): the invariants the registered query's
+    oracle match alone can't distinguish from luck — never-undercounts
+    PER GROUP, group isolation (a group's counters are untouched by
+    another group's mass), and exactness when wide."""
+
+    def _two_group(self, spark):
+        # g0: 500 hot keys over 10k rows; g1: DIFFERENT key range,
+        # 10× lighter — cross-group contamination would inflate g1
+        a = spark.range(10_000).select(
+            F.lit("g0").alias("grp"), (F.col("id") % 500).alias("key")
+        )
+        b = spark.range(1_000).select(
+            F.lit("g1").alias("grp"), (F.col("id") % 50 + 10_000).alias("key")
+        )
+        return a.unionByName(b)
+
+    def test_never_undercounts_per_group(self, spark):
+        rows = sketches.cms_estimates_grouped(
+            self._two_group(spark), "grp", "key", top=10, depth=4, width=64
+        ).collect()
+        assert {r["grp"] for r in rows} == {"g0", "g1"}
+        assert all(r["overshoot"] >= 0 for r in rows)
+
+    def test_group_isolation(self, spark):
+        """g1's estimates must equal a run over g1's rows ALONE: the
+        (g, d, b) counter key means g0's 10× mass cannot leak into
+        g1's counters (the property a global-counter implementation
+        would violate)."""
+        both = sketches.cms_estimates_grouped(
+            self._two_group(spark), "grp", "key", top=10, depth=4, width=64
+        )
+        g1_both = {
+            (r["key"]): (r["exact_cnt"], r["cms_estimate"])
+            for r in both.where("grp = 'g1'").collect()
+        }
+        alone = sketches.cms_estimates_grouped(
+            self._two_group(spark).where("grp = 'g1'"),
+            "grp",
+            "key",
+            top=10,
+            depth=4,
+            width=64,
+        )
+        g1_alone = {
+            (r["key"]): (r["exact_cnt"], r["cms_estimate"])
+            for r in alone.collect()
+        }
+        assert g1_both == g1_alone
+
+    def test_exact_when_wide(self, spark):
+        rows = sketches.cms_estimates_grouped(
+            self._two_group(spark), "grp", "key", top=10, depth=4, width=4096
+        ).collect()
+        assert all(r["overshoot"] == 0 for r in rows)
+
+    def test_counter_state_scales_with_groups_only(self, spark):
+        """≤ groups × depth × width rows no matter the input size —
+        and therefore NOT broadcastable by contract (the operator
+        forces no hint; this pins the state-shape half of that
+        docstring claim)."""
+        n = sketches.cms_counters_grouped(
+            self._two_group(spark), "grp", "key", depth=4, width=64
+        ).count()
+        assert n <= 2 * 4 * 64

@@ -97,6 +97,10 @@ def main() -> None:
             json.dumps(
                 {
                     "leg": "bloom_probe_vs_exact",
+                    # 4-independent-md5 rows in LADDER_r12.jsonl predate
+                    # this field; "km2" = Kirsch-Mitzenmacher double
+                    # hashing (2 md5s, positions derived arithmetically)
+                    "hashing": "km2",
                     "build_keys": n_build,
                     "probe_rows": PROBE_ROWS,
                     "words": WORDS,
