@@ -457,6 +457,88 @@ def priority_summary_from_parts(
     )
 
 
+def priority_sample_summary_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group (stratified) priority sampling — one DLT summary row
+    PER GROUP: the operation behind "keep k documents per source by
+    quality weight, still estimate each source's total mass".
+
+    Same estimator arithmetic as :func:`priority_sample_summary`
+    (priority ``w/u``, tau = per-group (k+1)-th, ``sum(max(w, tau))``
+    — IEEE ×,÷ only, bit-exact cross-engine); the physical shape
+    follows :func:`cms_estimates_grouped`, not the global form: the
+    top-(k+1) selection is ONE partitioned window (the group is the
+    shard — no two-level dance), every agg and join is keyed by the
+    group, and nothing forces a broadcast (the tau/exact frames scale
+    with group cardinality — the ``hist_quantiles_grouped`` rule)."""
+    rows = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
+    ).select(
+        F.col(group_col).alias("g"),
+        h60(F.col(key_col).cast("string")).alias("h"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    w_g = Window.partitionBy("g").orderBy(F.desc("pr"), F.col("h"))
+    ranked = (
+        rows.withColumn("pr", priority_col())
+        .withColumn("rn", F.row_number().over(w_g))
+        .filter(F.col("rn") <= k + 1)
+    )
+    exact = rows.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("w_exact"),
+    )
+    tau = ranked.groupBy("g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("pr"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    est = (
+        ranked.where(F.col("rn") <= k)
+        .join(tau, "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.coalesce(
+                F.sum(F.greatest(F.col("w"), F.col("tau"))), F.lit(0.0)
+            ).alias("w_est"),
+            F.coalesce(
+                F.sum((F.col("w") >= F.col("tau")).cast("long")), F.lit(0)
+            ).alias("n_heavy"),
+            F.coalesce(F.max("tau"), F.lit(0.0)).alias("tau"),
+        )
+    )
+    return (
+        exact.join(est, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.lit(k).alias("sample_k"),
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.col("n_heavy").cast("long").alias("n_heavy"),
+            hround(F.col("tau"), 4).alias("tau"),
+            hround(F.col("w_exact"), 2).alias("w_total_exact"),
+            hround(F.col("w_est"), 2).alias("w_total_estimate"),
+            hround(
+                F.when(
+                    F.col("w_exact") > 0,
+                    F.abs(F.col("w_est") - F.col("w_exact"))
+                    / F.col("w_exact"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min
 

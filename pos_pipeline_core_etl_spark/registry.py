@@ -43,7 +43,10 @@ hypertable-style minute→hour→day cascading rollup with a mergeable KMV
 distinct-users leg, proven against a direct-from-raw day-grain
 oracle) + ``sketch_cms_grouped`` (round 12 — per-group Count-Min
 heavy hitters, completing the grouped sketch forms; no forced
-broadcast of the group-scaled counter state).  Values-changed = empty: the round-12 kmv_setops
+broadcast of the group-scaled counter state) +
+``sketch_priority_grouped`` (round 12 — the stratified weighted
+sampler: one DLT summary per group from a partitioned-window
+top-(k+1)).  Values-changed = empty: the round-12 kmv_setops
 empty-input guard and the grouped-histogram broadcast-hint removal
 (VERDICT r11 #1, ADVICE r11 #1) change NO values on the registered
 domains — re-verified hash-identical at sf0.01 before composing this
@@ -68,6 +71,7 @@ _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "sketch_bloom_semijoin",
     "events_rollup_cascade",
     "sketch_cms_grouped",
+    "sketch_priority_grouped",
 )
 
 # Queries whose VALUES changed since their last green driver row:
@@ -129,7 +133,6 @@ _TIER_SPILL_R8: tuple[str, ...] = (
     "corpus_mixture_plan",
     "corpus_prep_decisions",
     "corpus_psi_drift",
-    "corpus_shard_checksums",
 )
 
 _PRIORITY: tuple[str, ...] = (

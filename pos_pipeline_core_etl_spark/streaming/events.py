@@ -2074,3 +2074,97 @@ def run_streaming_rollup(
             F.coalesce("n_vals", F.lit(0)), F.coalesce("h_k", F.lit(0)), k
         ).alias("users_kmv"),
     )
+
+
+def cms_grouped_counter_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    counter_dir: str,
+    group_col: str = "grp",
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Per-group twin of :func:`cms_counter_batch` (round 12,
+    completing the grouped column of the maintainer matrix alongside
+    the grouped histogram): counter state keyed by ``(g, d, b)`` —
+    one independent CMS per group, merged by elementwise addition per
+    cell.  State is ``groups × depth × width`` rows, so the group
+    column must be an enum-bounded key by contract (the
+    ``hist_quantiles_grouped`` cardinality rule — and as in the
+    one-shot :func:`~pos_pipeline_core_etl_spark.operators.sketches.
+    cms_counters_grouped`, nothing here forces a broadcast).  Same
+    idempotent per-batch-id writes; stream ≡ batch and group
+    isolation proven in
+    tests/test_streaming.py::TestStreamingCMSGrouped under the
+    maxFilesPerTrigger=1 multi-batch drain guard."""
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        cms_counters_grouped,
+    )
+
+    spark = batch_df.sparkSession
+    batch_counters = cms_counters_grouped(
+        batch_df, group_col, key_col, depth, width
+    )
+    prior = [
+        p
+        for p in _prior_partitions(counter_dir, batch_id)
+        if int(p.rsplit("batch_id=", 1)[1]) < batch_id
+    ]
+    if prior:
+        latest = max(prior, key=lambda p: int(p.rsplit("batch_id=", 1)[1]))
+        merged = (
+            spark.read.parquet(latest)
+            .unionByName(batch_counters)
+            .groupBy("g", "d", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = batch_counters
+    write_batch_idempotent(merged.localCheckpoint(eager=True), batch_id, counter_dir)
+
+
+def run_streaming_cms_grouped_sketch(
+    spark: SparkSession,
+    stream_dir: str,
+    counter_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "grp",
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+    schema: str = "grp string, key long",
+) -> DataFrame:
+    """Drain a parquet stream through :func:`cms_grouped_counter_batch`
+    with availableNow and return the FINAL ``(g, d, b, cnt)`` counter
+    table — asserted equal to the one-shot ``cms_counters_grouped`` on
+    the same rows, cell for cell."""
+    import os
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force a real multi-batch drain
+        .parquet(stream_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: cms_grouped_counter_batch(
+                df, bid, counter_dir, group_col, key_col, depth, width
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = (
+        [d for d in os.listdir(counter_dir) if d.startswith("batch_id=")]
+        if os.path.isdir(counter_dir)
+        else []
+    )
+    if not parts:
+        return spark.createDataFrame(
+            [], "g string, d int, b bigint, cnt bigint"
+        )
+    final = max(parts, key=lambda d: int(d.rsplit("=", 1)[1]))
+    return spark.read.parquet(os.path.join(counter_dir, final))

@@ -546,3 +546,86 @@ class TestCMSGrouped:
             self._two_group(spark), "grp", "key", depth=4, width=64
         ).count()
         assert n <= 2 * 4 * 64
+
+
+class TestPrioritySampleGrouped:
+    """Stratified priority sampling (round 12): per-group DLT
+    invariants — heavy-hitter retention lands in the RIGHT group,
+    degrade-to-exact per group, and group isolation of tau."""
+
+    def _mixed(self, spark):
+        # g0: 2000 noise rows (w ∈ [1, 100]) + one planted 1e9 whale;
+        # g1: 10 rows (below k — must degrade to exact)
+        noise = spark.range(2_000).select(
+            F.lit("g0").alias("grp"),
+            F.col("id").alias("key"),
+            ((F.col("id") % 100) + 1).cast("double").alias("w"),
+        )
+        whale = spark.range(1).select(
+            F.lit("g0").alias("grp"),
+            F.lit(999_999).alias("key"),
+            F.lit(1e9).alias("w"),
+        )
+        small = spark.range(10).select(
+            F.lit("g1").alias("grp"),
+            (F.col("id") + 10_000).alias("key"),
+            F.lit(5.0).alias("w"),
+        )
+        return noise.unionByName(whale).unionByName(small)
+
+    def test_whale_retained_in_its_group_only(self, spark):
+        rows = {
+            r["grp"]: r
+            for r in sketches.priority_sample_summary_grouped(
+                self._mixed(spark), "grp", "key", "w", k=16
+            ).collect()
+        }
+        g0 = rows["g0"]
+        # the 1e9 weight must be carried by the estimator (w_est ≥ 1e9)
+        # and counted as a heavy row in g0
+        assert g0["n_heavy"] >= 1
+        assert g0["w_total_estimate"] >= 1e9
+        assert rows["g1"]["n_heavy"] == 0 or rows["g1"]["tau"] == 0.0
+
+    def test_small_group_degrades_to_exact(self, spark):
+        rows = {
+            r["grp"]: r
+            for r in sketches.priority_sample_summary_grouped(
+                self._mixed(spark), "grp", "key", "w", k=16
+            ).collect()
+        }
+        g1 = rows["g1"]
+        assert g1["n_rows"] == 10 and g1["n_sample"] == 10
+        assert g1["tau"] == 0.0
+        assert g1["w_total_estimate"] == g1["w_total_exact"] == 50.0
+        assert g1["rel_err"] == 0.0
+
+    def test_group_isolation(self, spark):
+        """g1's summary must equal a run over g1 alone — g0's whale
+        cannot move g1's tau or estimate (per-group state, the
+        cms_estimates_grouped isolation property)."""
+        both = {
+            r["grp"]: r.asDict()
+            for r in sketches.priority_sample_summary_grouped(
+                self._mixed(spark), "grp", "key", "w", k=16
+            ).collect()
+        }
+        alone = {
+            r["grp"]: r.asDict()
+            for r in sketches.priority_sample_summary_grouped(
+                self._mixed(spark).where("grp = 'g1'"), "grp", "key", "w", k=16
+            ).collect()
+        }
+        assert both["g1"] == alone["g1"]
+
+    def test_matches_global_when_one_group(self, spark):
+        """On a single-group frame the stratified form must reproduce
+        the global operator row for row (same estimator assembly,
+        different physical shape — two_level_rank vs partitioned
+        window — so equality pins the shapes against each other)."""
+        df = self._mixed(spark).where("grp = 'g0'")
+        grouped = sketches.priority_sample_summary_grouped(
+            df, "grp", "key", "w", k=16
+        ).drop("grp")
+        glob = sketches.priority_sample_summary(df, "key", "w", k=16)
+        assert grouped.collect()[0].asDict() == glob.collect()[0].asDict()
