@@ -117,6 +117,11 @@ HEADLINE = (
     # distinct-users leg — the continuous-aggregate serving shape)
     "sketch_bloom_semijoin",
     "events_rollup_cascade",
+    # the grouped sketch forms (per-group CMS heavy hitters at ~3.3 s —
+    # the 4x depth explode over lineitem — and the sub-second
+    # stratified priority sampler), keyed-by-group plans throughout
+    "sketch_cms_grouped",
+    "sketch_priority_grouped",
 )
 
 

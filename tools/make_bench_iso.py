@@ -133,6 +133,13 @@ BATCHES = {
         "sketch_bloom_semijoin",
         "events_rollup_cascade",
     ],
+    # round-12 third pass: the grouped sketch forms (the grouped CMS
+    # pays its 4x depth explode over lineitem ~3.3 s; the stratified
+    # sampler is sub-second)
+    "round12_grouped_sketches": [
+        "sketch_cms_grouped",
+        "sketch_priority_grouped",
+    ],
 }
 
 
