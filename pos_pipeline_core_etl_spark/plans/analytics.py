@@ -2104,3 +2104,147 @@ QUERIES["events_rollup_cascade"] = (
     events_rollup_cascade,
     _rollup_cascade_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# MAD anomalies, histogram-sketch twin (round 12)
+
+MAD_HIST_BUCKETS = 256
+
+
+def events_mad_anomalies_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin ``events_mad_anomalies``'s docstring promised:
+    median and MAD from per-group HISTOGRAM SKETCHES instead of exact
+    percentiles (round 12).  The exact twin's two grouped ``percentile``
+    aggs buffer each group's values; this form's state is
+    groups × 256 integer counters — mergeable, bounded, and (unlike the
+    ``percentile_approx`` swap the docstring originally named) BIT-EXACT
+    cross-engine, so the oracle checks values, not a tolerance envelope.
+
+    Two chained sketches: per-type median of ``value``, then per-type
+    median of ``|value − med_est|`` — the composition a 100 TB robust
+    scorer runs.  ``med_est``/``mad_est`` are bucket-boundary estimates
+    (reported per row, the honesty convention), so the flagged set is
+    the sketch's OWN decision, oracle-checked — not an approximation of
+    the exact twin's set; both twins stay registered side by side.
+    The per-type broadcast hints are bounded by the events data model
+    (enum event_type), as in the exact twin; the MAD=0 guard carries
+    over unchanged."""
+    from pos_pipeline_core_etl_spark.operators.sketches import (
+        hist_quantiles_grouped,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    med = hist_quantiles_grouped(
+        events,
+        "event_type",
+        "value",
+        probs=(0.5,),
+        buckets=MAD_HIST_BUCKETS,
+        broadcast_bounds=True,
+    ).select("event_type", F.col("q_estimate").alias("med"))
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = hist_quantiles_grouped(
+        dev,
+        "event_type",
+        "adev",
+        probs=(0.5,),
+        buckets=MAD_HIST_BUCKETS,
+        broadcast_bounds=True,
+    ).select("event_type", F.col("q_estimate").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        hround(F.col("value"), 2).alias("value"),
+        F.col("med").alias("med_est"),
+        F.col("mad").alias("mad_est"),
+        hround(
+            F.when(
+                F.col("mad") != 0,
+                F.lit(MAD_CONSISTENCY)
+                * (F.col("value") - F.col("med"))
+                / F.col("mad"),
+            ),
+            6,
+        ).alias("robust_z"),
+    )
+    return scored.where(F.abs(F.col("robust_z")) > MAD_THRESHOLD)
+
+
+def _hist_grouped_median_cte(
+    tag: str, src: str, group_expr: str, val_expr: str
+) -> str:
+    """Per-group histogram-median CTE chain (mirrors
+    ``sketches.hist_quantiles_grouped`` at p = 0.5): emits CTE ``{tag}``
+    with (g, q) — used twice by the MAD oracle, once per sketch."""
+    B = MAD_HIST_BUCKETS
+    return f"""{tag}_vals AS (
+  SELECT {group_expr} AS g, CAST({val_expr} AS DOUBLE) AS v
+  FROM {src} WHERE {val_expr} IS NOT NULL AND {group_expr} IS NOT NULL
+),
+{tag}_bounds AS (
+  SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n
+  FROM {tag}_vals GROUP BY 1
+),
+{tag}_hist AS MATERIALIZED (
+  SELECT {tag}_vals.g AS g,
+         CASE WHEN mx = mn THEN 0
+              ELSE GREATEST(0, LEAST({B - 1},
+                         CAST(floor((v - mn) / (mx - mn)
+                                    * {float(B)}) AS BIGINT)))
+         END AS b,
+         mn, mx, n, count(*) AS cnt
+  FROM {tag}_vals JOIN {tag}_bounds ON {tag}_vals.g = {tag}_bounds.g
+  GROUP BY 1, 2, 3, 4, 5
+),
+{tag}_cum AS MATERIALIZED (
+  SELECT *, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cum
+  FROM {tag}_hist
+),
+{tag}_cut AS (
+  SELECT g, min(b) AS bucket
+  FROM {tag}_cum WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+  GROUP BY 1
+),
+{tag} AS (
+  SELECT c.g,
+         {hround_sql(f"mn + (c.bucket + 1) * (mx - mn) / {float(B)}", 6)} AS q
+  FROM {tag}_cut c
+  JOIN {tag}_cum m ON c.g = m.g AND c.bucket = m.b
+)"""
+
+
+def _mad_hist_oracle() -> str:
+    med = _hist_grouped_median_cte("med", "events", "event_type", "value")
+    dev_src = """dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.q AS med,
+         abs(e.value - m.q) AS adev
+  FROM events e JOIN med m ON m.g = e.event_type
+  WHERE e.value IS NOT NULL
+)"""
+    mad = _hist_grouped_median_cte("mad", "dev", "event_type", "adev")
+    z = f"{MAD_CONSISTENCY} * (d.value - d.med) / md.q"
+    return f"""
+WITH {med},
+{dev_src},
+{mad}
+SELECT d.event_id, d.event_type,
+       {hround_sql("d.value", 2)} AS value,
+       d.med AS med_est,
+       md.q AS mad_est,
+       {hround_sql(z, 6)} AS robust_z
+FROM dev d JOIN mad md ON md.g = d.event_type
+WHERE md.q <> 0 AND abs({hround_sql(z, 6)}) > {MAD_THRESHOLD}
+"""
+
+
+QUERIES["events_mad_anomalies_hist"] = (
+    events_mad_anomalies_hist,
+    _mad_hist_oracle(),
+)

@@ -46,7 +46,10 @@ heavy hitters, completing the grouped sketch forms; no forced
 broadcast of the group-scaled counter state) +
 ``sketch_priority_grouped`` (round 12 — the stratified weighted
 sampler: one DLT summary per group from a partitioned-window
-top-(k+1)).  Values-changed = empty: the round-12 kmv_setops
+top-(k+1)) + ``events_mad_anomalies_hist`` (round 12 — the
+histogram-sketch median/MAD robust scorer, closing the approx-swap
+promise in the exact twin's docstring with a bit-exact oracle instead
+of a tolerance envelope).  Values-changed = empty: the round-12 kmv_setops
 empty-input guard and the grouped-histogram broadcast-hint removal
 (VERDICT r11 #1, ADVICE r11 #1) change NO values on the registered
 domains — re-verified hash-identical at sf0.01 before composing this
@@ -72,6 +75,7 @@ _TIER_NEVER_CHECKED: tuple[str, ...] = (
     "events_rollup_cascade",
     "sketch_cms_grouped",
     "sketch_priority_grouped",
+    "events_mad_anomalies_hist",
 )
 
 # Queries whose VALUES changed since their last green driver row:
@@ -132,7 +136,6 @@ _TIER_SPILL_R8: tuple[str, ...] = (
     "corpus_drift_report",
     "corpus_mixture_plan",
     "corpus_prep_decisions",
-    "corpus_psi_drift",
 )
 
 _PRIORITY: tuple[str, ...] = (
