@@ -800,29 +800,70 @@ def semdedup(
     cap-and-audit treatment — the threshold here is measured against
     the synthetic near-orthogonal corpus (within-cluster p99.9 cosine
     ~0.41 at both SFs; 0.3 keeps real non-vacuous output) the way
-    embedding_neardup's 0.2 is."""
-    assigned = kmeans_lloyd(embeddings, k, iters, id_col, vec_col)
-    base = (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
-        )
-        .join(assigned, "vec_id")
-        .withColumn("norm", l2norm(F.col("vec")))
+    embedding_neardup's 0.2 is.
+
+    r12 optimization (guide §2.4/§5): the original vector rides through
+    the map-side k-means assignment (``with_vec`` — zero extra shuffle;
+    the centroid-update legs prune it), which deletes the
+    embeddings ⨝ assigned re-attach join, and the shared
+    (vec_id, cluster, vec, norm) frame is localCheckpoint'ed so the
+    training chain runs ONCE instead of once per side of the cluster
+    self-join (the before plan re-ran the whole Lloyd subtree on both
+    sides: 20 parquet scans of embeddings vs 2 after —
+    plans/r12/docs_semdedup_{before,after}.txt). At 100 TB this stage
+    boundary is a table write; same topology.  A single-file corpus
+    otherwise runs the per-pair interpreted cosines on ONE task
+    (measured 5.6 executor-seconds single-threaded at sf0.1) —
+    ``_ensure_parallelism`` spreads it across cores, a no-op on
+    multi-file inputs at real scale."""
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    embeddings = _ensure_parallelism(embeddings, id_col)
+    assigned = _kmeans_assignments(
+        embeddings, k, iters, id_col, vec_col, with_vec=True
     )
+    base = (
+        assigned.select(
+            "vec_id", F.col("cluster").cast("long").alias("cluster"), "vec"
+        )
+        .withColumn("norm", l2norm(F.col("vec")))
+        .localCheckpoint(eager=False)
+    )
+    # Join-cell salting (guide §2.5): hash(cluster) has only k distinct
+    # values, so the self-join's heavy per-pair cosine work lands on at
+    # most k tasks — and AQE's BYTE-based coalescing then merges those
+    # nearly-empty-by-bytes partitions into one, serializing a
+    # compute-bound stage (measured: the whole pair leg ran as a single
+    # 2.8 s task).  Split every cluster cell into n_blocks sub-cells by
+    # a DETERMINISTIC hash of the left id (guide §2.5 warns off rand()
+    # under retries); the right side replicates n_blocks×.  Scale-
+    # adaptive: n_blocks = parallelism // k, so a production run with
+    # k ~ sqrt(n) clusters (cells already ≪ tasks) gets n_blocks = 1 —
+    # no replication, the plan is exactly the unsalted one.
+    n_blocks = max(1, base.sparkSession.sparkContext.defaultParallelism // k)
     left = base.select(
         F.col("vec_id").alias("keep_cand"),
         F.col("cluster"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("blk"),
         F.col("vec").alias("lvec"),
         F.col("norm").alias("lnorm"),
     )
     right = base.select(
         F.col("vec_id").alias("dup_id"),
         F.col("cluster"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
         F.col("vec").alias("rvec"),
         F.col("norm").alias("rnorm"),
     )
+    # The rounded cosine is evaluated ONCE per pair, in this projection.
+    # The threshold deliberately lives in the aggregation below, NOT in
+    # a .where() here: a filter on cos_sim would be pushed into the
+    # join condition with the alias substituted, and hround's
+    # signum/floor legs already reference the fold twice — the before
+    # plan evaluated the 64-element interpreted fold 4× per pair
+    # (plans/r12/docs_semdedup_before.txt join condition).
     pairs = (
-        left.join(right, ["cluster"])
+        left.join(right, ["cluster", "blk"])
         .where(F.col("keep_cand") < F.col("dup_id"))
         .select(
             "dup_id",
@@ -835,12 +876,21 @@ def semdedup(
                 6,
             ).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= F.lit(threshold))
     )
-    return pairs.groupBy("dup_id", "cluster").agg(
-        F.min("keep_cand").alias("keep_id"),
-        F.max("cos_sim").alias("best_sim"),
-        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    # Threshold as conditional aggregates (same results: groups whose
+    # pairs all fail the threshold have n_matches = 0 and are dropped —
+    # exactly the groups the filter-then-agg form never created).  The
+    # partial agg runs in the join stage, so sub-threshold pairs still
+    # never cross a shuffle.
+    hit = F.col("cos_sim") >= F.lit(threshold)
+    return (
+        pairs.groupBy("dup_id", "cluster")
+        .agg(
+            F.min(F.when(hit, F.col("keep_cand"))).alias("keep_id"),
+            F.max(F.when(hit, F.col("cos_sim"))).alias("best_sim"),
+            F.count(F.when(hit, F.lit(1))).cast("long").alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
     )
 
 
@@ -852,8 +902,16 @@ def _kmeans_assignments(
     vec_col: str = "embedding",
     quant: int = KMEANS_QUANT,
     with_centroids: bool = False,
+    with_vec: bool = False,
 ) -> DataFrame:
     """Fully-distributed Lloyd k-means: every step is a DataFrame op.
+
+    ``with_vec=True`` additionally carries the ORIGINAL (double) vector
+    through to the returned assignment as ``vec`` — free, because the
+    assignment is a map-side broadcast fold (no shuffle touches the
+    row) and the centroid-update legs project it away; consumers that
+    need vector + cluster (semdedup's within-cluster cosine) skip the
+    embeddings ⨝ assignments re-attach join entirely (guide §2.4).
 
     Unlike :func:`ivf_centroids` (numpy Lloyd on a BOUNDED driver-side
     sample — the coarse-quantizer path), this trains on the ENTIRE
@@ -877,8 +935,13 @@ def _kmeans_assignments(
         # iters=0 would fall through the loop with assigned=None and
         # crash downstream in a confusing select (ADVICE r4)
         raise ValueError(f"iters must be >= 1, got {iters}")
+    carry = (
+        [_as_double(F.col(vec_col)).alias("vec")] if with_vec else []
+    )
     base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _quantize_vec(F.col(vec_col), quant).alias("vq")
+        F.col(id_col).alias("vec_id"),
+        _quantize_vec(F.col(vec_col), quant).alias("vq"),
+        *carry,
     )
     qf = float(quant)
 
@@ -903,34 +966,40 @@ def _kmeans_assignments(
         )
 
     def assign(packed: DataFrame) -> DataFrame:
-        """Map-side argmin over the broadcast centroid array."""
+        """Map-side argmin over the broadcast centroid array.
+
+        r12 (guide §1.2 per-task work + §7.3 driver planning): ONE
+        ``F.expr`` — ``array_min`` over per-centroid (d2, cluster)
+        structs — instead of a Column-API fold whose when-branch
+        duplicated the d2 subtree and whose ``best["cluster"]`` /
+        ``best["d2"]`` extractions each re-evaluated the whole fold.
+        d2 is now computed once per centroid and the struct once per
+        row (extractions read a materialized attribute in a separate
+        projection).  array_min's lexicographic struct ordering ==
+        the fold's strict-< with sorted cents: lowest d2, ties to the
+        lowest cluster id — bit-identical assignments (oracle-checked).
+        The SQL string also collapses ~2.6 s of per-call py4j lambda
+        construction into one parse (the dedup.py F.expr precedent)."""
         joined = base.crossJoin(F.broadcast(packed))
-        v = F.transform(F.col("vq"), lambda x: x / F.lit(qf))
-        best = F.aggregate(
-            F.col("cents"),
-            F.struct(
-                F.lit(float("inf")).alias("d2"),
-                F.lit(-1).cast("long").alias("cluster"),
-            ),
-            lambda acc, c: F.when(
-                F.aggregate(
-                    F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda s, d: s + d,
-                )
-                < acc["d2"],
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0),
-                        lambda s, d: s + d,
-                    ).alias("d2"),
-                    c["cluster"].alias("cluster"),
-                ),
-            ).otherwise(acc),
+        best = F.expr(
+            f"array_min(transform(cents, c -> named_struct("
+            f"'d2', aggregate(zip_with(transform(vq, x -> x / {qf}D),"
+            f" c.centroid, (x, y) -> (x - y) * (x - y)),"
+            f" 0.0D, (s, d) -> s + d),"
+            f"'cluster', c.cluster)))"
         )
-        return joined.select(
-            "vec_id", "vq", best["cluster"].alias("cluster"), best["d2"].alias("d2")
+        staged = joined.select(
+            "vec_id",
+            "vq",
+            *(["vec"] if with_vec else []),
+            best.alias("best"),
+        )
+        return staged.select(
+            "vec_id",
+            "vq",
+            *(["vec"] if with_vec else []),
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.d2").alias("d2"),
         )
 
     def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
@@ -1000,31 +1069,15 @@ def assign_to_centroids(
         )
     )
     joined = base.crossJoin(F.broadcast(packed))
-    v = F.transform(F.col("vq"), lambda x: x / F.lit(qf))
-    best = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(float("inf")).alias("d2"),
-            F.lit(-1).cast("long").alias("cluster"),
-        ),
-        lambda acc, c: F.when(
-            F.aggregate(
-                F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda s, d: s + d,
-            )
-            < acc["d2"],
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        v, c["centroid"], lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda s, d: s + d,
-                ).alias("d2"),
-                c["cluster"].alias("cluster"),
-            ),
-        ).otherwise(acc),
+    # same single-expr argmin as _kmeans_assignments.assign (r12):
+    # array_min over per-centroid structs — d2 once per centroid,
+    # lexicographic tie-break to the lowest cluster id, bit-identical
+    best = F.expr(
+        f"array_min(transform(cents, c -> named_struct("
+        f"'d2', aggregate(zip_with(transform(vq, x -> x / {qf}D),"
+        f" c.centroid, (x, y) -> (x - y) * (x - y)),"
+        f" 0.0D, (s, d) -> s + d),"
+        f"'cluster', c.cluster)))"
     )
     return joined.select("vec_id", best["cluster"].alias("cluster"))
 
@@ -1147,23 +1200,15 @@ def _pq_fit(
         )
 
     def assign(packed: DataFrame) -> DataFrame:
+        # same single-expr argmin as _kmeans_assignments.assign (r12):
+        # d2 once per codeword, ties to the lowest code id, bit-identical
         joined = base.join(F.broadcast(packed), "sub")
-        v = F.transform(F.col("svq"), lambda x: x / F.lit(qf))
-        d2 = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(v, c["centroid"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s, d: s + d,
-        )
-        best = F.aggregate(
-            F.col("cents"),
-            F.struct(
-                F.lit(float("inf")).alias("d2"),
-                F.lit(-1).cast("long").alias("cluster"),
-            ),
-            lambda acc, c: F.when(
-                d2(c) < acc["d2"],
-                F.struct(d2(c).alias("d2"), c["cluster"].alias("cluster")),
-            ).otherwise(acc),
+        best = F.expr(
+            f"array_min(transform(cents, c -> named_struct("
+            f"'d2', aggregate(zip_with(transform(svq, x -> x / {qf}D),"
+            f" c.centroid, (x, y) -> (x - y) * (x - y)),"
+            f" 0.0D, (s, d) -> s + d),"
+            f"'cluster', c.cluster)))"
         )
         return joined.select("vec_id", "sub", "svq", best["cluster"].alias("cluster"))
 

@@ -678,7 +678,18 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for pair and context counts, two equi-joins back on those keys, a
     broadcast of the 1-row V, one per-doc agg — all shuffles keyed,
     nothing quadratic.
+
+    r12 note (measured, guide §1): checkpointing ``pairs`` to avoid the
+    3× explode was TRIED and REVERTED — the explode fuses into each
+    consumer's partial agg under whole-stage codegen, so recomputing it
+    costs less than materializing the exploded rows (profile:
+    text_bigram_logprob 1.6 s recompute vs 4.9 s checkpointed).  The
+    r12 win here is parallelism: a single-file corpus otherwise runs
+    the tokenize+explode on ONE task (see ``_ensure_parallelism``).
     """
+    from pos_pipeline_core_etl_spark.operators.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(docs)
     t = tokens_col(F.lower(F.trim(F.col(text_col))))
     pairs = docs.select(
         "doc_id",
