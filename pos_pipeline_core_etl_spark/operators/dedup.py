@@ -506,19 +506,31 @@ def sparse_cosine_pairs(
     from pos_pipeline_core_etl_spark.functions.rounding import hround
 
     base = _ensure_parallelism(docs)
+    # r12 (guide §2.3 — shuffle keys, not payloads): grams are hashed
+    # ONCE to the repo's 60-bit signed-BIGINT ids (window_id) straight
+    # out of the explode, so the df count, the posting checkpoint, and
+    # the term-at-a-time self-join all key on an 8-byte long instead of
+    # a ~20-char word-3-gram string — fewer shuffle bytes and a fixed-
+    # width join key on the quadratic-ish leg.  Set semantics unchanged
+    # up to a ~2⁻⁶⁰ collision (the _sampled_postings contract; none on
+    # any fixture — every pair's cosine is oracle-checked).  Measured:
+    # dedup_sparse_cosine_staged 3.9 -> 2.2 s at sf0.1.
     grams = base.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("gram")
+        "doc_id",
+        F.explode(
+            F.transform(shingles_col(F.col(text_col)), window_id)
+        ).alias("sid"),
     )
-    df = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    df = grams.groupBy("sid").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n_corpus"))
     qf = float(quant)
     idf = F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0))
     posts = (
-        grams.join(df.where(F.col("df") <= max_df), "gram")
+        grams.join(df.where(F.col("df") <= max_df), "sid")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
-            "gram",
+            "sid",
             F.floor(idf * idf * F.lit(qf) + F.lit(0.5))
             .cast("long")
             .alias("w2q"),
@@ -531,7 +543,7 @@ def sparse_cosine_pairs(
     pairs = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -600,15 +612,22 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     # 60 per-bit aggs plus a 60-term signature sum assembled via py4j
     # cost ~0.5 s of DRIVER-side plan construction per invocation; the
     # parsed SQL forms compile to the identical plans in one call each.
+    #
+    # r12 (guide §1.2 per-task work): the per-bit aggregate is the
+    # BRANCH-FREE set-bit count c_j = SUM((h >> j) & 1) plus ONE shared
+    # token count m, instead of 60 SUM(CASE ... 1 ELSE -1) branches per
+    # token.  The old ±1 sum is s_j = c_j - (m - c_j) = 2·c_j - m, so
+    # the sign test s_j > 0 is exactly 2·c_j > m — integer arithmetic,
+    # bit-identical signatures (oracle-checked on every simhash query).
     bit_sums = [
-        F.expr(
-            f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
-        ).alias(f"s_{j}")
-        for j in range(bits)
+        F.expr(f"SUM((h >> {j}) & 1)").alias(f"c_{j}") for j in range(bits)
     ]
-    agg = tokens.groupBy("doc_id").agg(*bit_sums)
+    agg = tokens.groupBy("doc_id").agg(
+        F.expr("COUNT(1)").alias("m"), *bit_sums
+    )
     sig_sql = " + ".join(
-        f"CASE WHEN s_{j} > 0 THEN {1 << j}L ELSE 0L END" for j in range(bits)
+        f"CASE WHEN 2 * c_{j} > m THEN {1 << j}L ELSE 0L END"
+        for j in range(bits)
     )
     return agg.select(
         "doc_id", F.expr(f"CAST({sig_sql} AS BIGINT)").alias("simhash")
@@ -907,6 +926,18 @@ def connected_components(
     oriented = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # r12 (guide §2.4): the round's two directed joins (labels through
+    # a→b, then through b→a) are ONE join against the lazily
+    # symmetrized view.  The union is a map-side read of the SAME
+    # oriented checkpoint twice — the persisted footprint stays halved
+    # (the r11 memory shape) and the shuffled edge volume is identical
+    # (2E rows either way), but the round runs one join instead of two
+    # and the LABELS side crosses the exchange ONCE instead of twice —
+    # at 100 TB that is a node-sized shuffle saved per round, locally
+    # it is ~2 stages of fixed cost per round.
+    sym = oriented.unionByName(
+        oriented.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     labels = (
         oriented.select(F.col("a").alias("id"))
         .unionByName(oriented.select(F.col("b").alias("id")))
@@ -916,14 +947,8 @@ def connected_components(
     prev_sum: int | None = None
     converged = False
     for _ in range(max_iters):
-        msgs = (
-            oriented.join(labels, oriented.a == labels.id)
-            .select(F.col("b").alias("id"), "component_id")
-            .unionByName(
-                oriented.join(labels, oriented.b == labels.id).select(
-                    F.col("a").alias("id"), "component_id"
-                )
-            )
+        msgs = sym.join(labels, sym.a == labels.id).select(
+            F.col("b").alias("id"), "component_id"
         )
         prev_labels = labels
         labels = (

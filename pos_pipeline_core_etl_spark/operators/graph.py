@@ -235,6 +235,52 @@ def _pagerank_step(
     )
 
 
+def _pagerank_step_delta(
+    annotated: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping_pct: int,
+    scale: int,
+) -> DataFrame:
+    """:func:`_pagerank_step` fused with its own convergence probe
+    input: returns the lazily-checkpointed ``(node, prev_q, rank_q)``
+    iterate (r12, guide §2.4 — remove shuffles outright).
+
+    The convergence loops previously re-joined ``ranks`` against the
+    new iterate just to pair old and new rank per node — one extra
+    node-sized shuffle join PER ROUND whose only purpose was the
+    |delta| aggregate.  ``ranks`` carries exactly the node set (every
+    iterate is produced by a left join FROM the node frame), so joining
+    ``ranks`` (instead of ``nodes``) with the contribution sums yields
+    the same rank_q while the previous rank rides along as ``prev_q``
+    for free; the probe then aggregates the checkpointed frame with no
+    join at all.  Per round this deletes one join + two node-sized
+    exchange sides at ANY scale — the 100 TB win is proportional to
+    the node count, the local win is the per-round stage/planning
+    overhead (profile: graph_part_pagerank_tol was 90 jobs with 0.7
+    executor-seconds — pure per-round fixed cost)."""
+    base_q = ((100 - damping_pct) * scale) // (100 * n)
+    contrib = annotated.join(ranks, annotated.src == ranks.node).select(
+        F.col("dst").alias("node"),
+        F.expr("rank_q DIV outdeg").alias("c"),
+    )
+    sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+    return (
+        ranks.join(sums, "node", "left")
+        .select(
+            "node",
+            F.col("rank_q").alias("prev_q"),
+            (
+                F.lit(base_q)
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+            )
+            .cast("long")
+            .alias("rank_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def pagerank_converged(
     edges: DataFrame,
     tol_q: int = PAGERANK_TOL_Q,
@@ -269,17 +315,26 @@ def pagerank_converged(
             F.lit(0).cast("long").alias("rank_q"),
             F.lit(0).cast("long").alias("stop_iter"),
         )
+    from pos_pipeline_core_etl_spark.operators.dedup import _release_checkpoint
+
     ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
+    prev_ckpt: DataFrame | None = None
     stop = max_iters
     for i in range(1, max_iters + 1):
-        nxt = _pagerank_step(annotated, nodes, ranks, n, damping_pct, scale)
+        nxt = _pagerank_step_delta(annotated, ranks, n, damping_pct, scale)
+        # the probe materializes the checkpoint — one job per round,
+        # no join (prev_q rides in the iterate itself)
         delta = (
-            ranks.select("node", F.col("rank_q").alias("prev_q"))
-            .join(nxt, "node")
-            .agg(F.sum(F.abs(F.col("rank_q") - F.col("prev_q"))).alias("d"))
+            nxt.agg(F.sum(F.abs(F.col("rank_q") - F.col("prev_q"))).alias("d"))
             .collect()[0]["d"]
         )
-        ranks = nxt
+        # the previous round's blocks can never be read again
+        # (connected_components discipline — don't leak one node-sized
+        # frame per round for the life of the loop)
+        if prev_ckpt is not None:
+            _release_checkpoint(prev_ckpt)
+        prev_ckpt = nxt
+        ranks = nxt.select("node", "rank_q")
         if delta <= tol_q:
             stop = i
             break
@@ -539,17 +594,17 @@ def pagerank_l1_trajectory(
     ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
     out = None
     for i in range(1, iters + 1):
-        nxt = _pagerank_step(annotated, nodes, ranks, n, damping_pct, scale)
-        delta = (
-            ranks.select("node", F.col("rank_q").alias("prev_q"))
-            .join(nxt, "node")
-            .agg(
-                F.lit(i).cast("long").alias("iter"),
-                F.sum(F.abs(F.col("rank_q") - F.col("prev_q")))
-                .cast("long")
-                .alias("l1_delta_q"),
-            )
+        # fused iterate (r12): prev_q rides in the checkpointed frame,
+        # so the per-iteration L1 delta is a plain agg — the old
+        # ranks ⨝ nxt re-pair join (one node-sized shuffle per round)
+        # is gone; see _pagerank_step_delta
+        nxt = _pagerank_step_delta(annotated, ranks, n, damping_pct, scale)
+        delta = nxt.agg(
+            F.lit(i).cast("long").alias("iter"),
+            F.sum(F.abs(F.col("rank_q") - F.col("prev_q")))
+            .cast("long")
+            .alias("l1_delta_q"),
         )
         out = delta if out is None else out.unionByName(delta)
-        ranks = nxt
+        ranks = nxt.select("node", "rank_q")
     return out

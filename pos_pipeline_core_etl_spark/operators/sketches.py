@@ -596,8 +596,35 @@ def cms_estimates(
     both levels — never a single-partition sort over all distinct keys."""
     key = F.col(key_col).cast("string")
     df = df.where(F.col(key_col).isNotNull())
-    counters = cms_counters(df, key_col, depth, width)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # r12 (guide §2.3 — aggregate before you shuffle): the counter
+    # table is DERIVED from the exact per-key counts instead of
+    # re-scanning and 4×-exploding every input row (cms_counters —
+    # kept for the streaming maintainer, whose input is the raw batch):
+    # cnt(d, b) = Σ_{keys hashing to b} exact_cnt, bit-identical by
+    # construction.  The explode now runs over distinct keys (plan:
+    # the exact agg's exchange is reused across both legs, so the
+    # input is scanned ONCE — profile: sketch_cms_grouped
+    # 2.7 executor-sec → see OPTIMIZATION_r12.md).
+    counters = (
+        exact.select(
+            "exact_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            cms_bucket(key, d, width).alias("b"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("exact_cnt", "x.d", "x.b")
+        .groupBy("d", "b")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
     heads = two_level_rank(
         exact,
         [F.desc("exact_cnt"), F.col(key_col)],
@@ -685,11 +712,35 @@ def cms_estimates_grouped(
     :func:`cms_counters_grouped`)."""
     key = F.col(key_col).cast("string")
     df = df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
-    counters = cms_counters_grouped(df, group_col, key_col, depth, width)
     exact = (
         df.select(F.col(group_col).alias("g"), F.col(key_col))
         .groupBy("g", key_col)
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    # r12: counters derived from the exact (g, key) counts — the same
+    # aggregate-before-shuffle rewrite as :func:`cms_estimates`; the
+    # 4× explode runs over distinct (g, key) pairs, not input rows,
+    # and the input is scanned once (reused exchange).  cnt(g, d, b) is
+    # an integer sum of integer counts — bit-identical.
+    counters = (
+        exact.select(
+            "g",
+            "exact_cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            cms_bucket(key, d, width).alias("b"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("g", "exact_cnt", "x.d", "x.b")
+        .groupBy("g", "d", "b")
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
     w = Window.partitionBy("g").orderBy(F.desc("exact_cnt"), F.col(key_col))
     heads = (
