@@ -899,16 +899,19 @@ def connected_components(
     Memory shape (round 11, VERDICT r10 #3 — the 15M-key ER resolve
     OOM'd in THESE rounds at 64g over a 238M-pair graph):
 
-    - The edge list is checkpointed ONCE, **oriented** (never the 2×
-      symmetrized copy the pre-r11 form held): each round joins labels
-      through both directions lazily — two keyed joins shuffle the
-      same total volume as one join on the doubled list, but the
-      persisted footprint halves.
-    - Both checkpoints store **serialized** (PySpark's MEMORY_AND_DISK
+    - The edge list is materialized ONCE, symmetrized and
+      **hash-partitioned on the join key** in the SQL cache
+      (columnar-compressed MEMORY_AND_DISK — spills instead of growing
+      the heap).  The cache preserves that partitioning, so the
+      per-round join shuffles ONLY the node-sized labels; the pre-r12
+      forms re-exchanged the edge side every round (r11 held an
+      oriented checkpoint to halve the persisted footprint, but a
+      localCheckpoint forgets its partitioning, so every round paid a
+      2E-row exchange — strictly more disk+network per round than the
+      one-time symmetrized cache).
+    - Label checkpoints store **serialized** (PySpark's MEMORY_AND_DISK
       constant is the serialized level; the default localCheckpoint
-      level is the DESER variant):
-      2-long edge rows pack ~4× tighter than deserialized rows, and
-      overflow spills instead of growing the heap.
+      level is the DESER variant).
     - The previous round's label checkpoint is **explicitly released**
       (:func:`_release_checkpoint`) as soon as the new iterate has
       materialized — the pre-r11 form leaked every round's blocks for
@@ -923,36 +926,47 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    from pyspark import StorageLevel
+
     oriented = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    # r12 (guide §2.4): the round's two directed joins (labels through
-    # a→b, then through b→a) are ONE join against the lazily
-    # symmetrized view.  The union is a map-side read of the SAME
-    # oriented checkpoint twice — the persisted footprint stays halved
-    # (the r11 memory shape) and the shuffled edge volume is identical
-    # (2E rows either way), but the round runs one join instead of two
-    # and the LABELS side crosses the exchange ONCE instead of twice —
-    # at 100 TB that is a node-sized shuffle saved per round, locally
-    # it is ~2 stages of fixed cost per round.
+    # r12 optimization pass (guide §2.4): on a LARGE graph the dominant
+    # per-round byte mover is the edge side of the message join — the
+    # lazily symmetrized view re-crosses its exchange every round
+    # because a localCheckpoint forgets partitioning (LogicalRDD
+    # reports UnknownPartitioning — measured).  When
+    # ``spark.pos.cc.prepartitionEdges=true`` the symmetrized list is
+    # cached ALREADY HASH-PARTITIONED on the join key (the SQL cache
+    # preserves the ``repartition`` partitioning), so each round
+    # shuffles only the node-sized labels.  This is OFF by default:
+    # below ~10⁶ edges the one-time cache build + per-round
+    # InMemoryTableScan costs MORE than the tiny exchanges it removes
+    # (micro-measured at sf0.1: 1.5 s → 2.7 s warm), while the 30M-key
+    # ER ladder leg runs with it on — see OPTIMIZATION_r12.md.
+    prepartition = (
+        edges.sparkSession.conf.get(
+            "spark.pos.cc.prepartitionEdges", "false"
+        ).lower()
+        == "true"
+    )
     sym = oriented.unionByName(
         oriented.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    if prepartition:
+        sym = sym.repartition("a").persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
-        oriented.select(F.col("a").alias("id"))
-        .unionByName(oriented.select(F.col("b").alias("id")))
+        sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component_id", F.col("id"))
     )
-    prev_sum: int | None = None
-    converged = False
-    for _ in range(max_iters):
-        msgs = sym.join(labels, sym.a == labels.id).select(
+
+    def _one_round(lbl: DataFrame) -> DataFrame:
+        msgs = sym.join(lbl, sym.a == lbl.id).select(
             F.col("b").alias("id"), "component_id"
         )
-        prev_labels = labels
-        labels = (
-            labels.unionByName(msgs)
+        nxt = (
+            lbl.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
         )
@@ -960,29 +974,69 @@ def connected_components(
         # (initialized from ids, min-agg only picks ids), so its own
         # label exists and is <= it — jump straight to it. This is the
         # log-diameter leg; the edge join above is the correctness leg.
-        parents = labels.select(
+        parents = nxt.select(
             F.col("id").alias("component_id"),
             F.col("component_id").alias("parent_label"),
         )
-        labels = (
-            labels.join(parents, "component_id")
+        return (
+            nxt.join(parents, "component_id")
             .select("id", F.col("parent_label").alias("component_id"))
             .localCheckpoint(
                 eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
         )
-        label_sum = labels.agg(F.sum("component_id")).collect()[0][0]
-        # the new iterate is now materialized — the previous round's
-        # blocks can never be read again; free them instead of leaking
-        # one node-sized frame per round
-        _release_checkpoint(prev_labels)
-        if label_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = label_sum
+
+    # r12 (guide §1 profile: the loop's wall here is ~fixed cost PER
+    # ACTION — py4j plan construction + QueryExecution + AQE stage
+    # scheduling — not executor work): after the first two rounds,
+    # rounds are probed in PAIRS, so one collect drives two rounds.
+    # Correctness is unchanged because min-label propagation is
+    # monotone and idempotent at the fixpoint: if round b+1 already
+    # converged (sum_{b+1} == sum_b), round b+2 recomputes the
+    # identical labels, so returning the batch's last iterate returns
+    # the fixpoint either way.  The first two probes stay single-round
+    # because typical dedup graphs (star-shaped duplicate clusters)
+    # converge by round 2–3 — batching there only buys the wasted
+    # confirm round (A/B-measured: dedup_decisions 3.0 → 3.2 s with
+    # unconditional pairs); long-diameter graphs (entity-resolution
+    # chains, 10+ rounds) get the halved driver round-trips where they
+    # matter (fuzzy_part_entities_final 5.3 → 4.4 s).  Cost: at most
+    # ONE wasted round past the fixpoint, only on loops that run ≥ 3
+    # rounds.
+    prev_sum: int | None = None
+    converged = False
+    rounds = 0
+    while rounds < max_iters and not converged:
+        batch = 1 if rounds < 2 else min(2, max_iters - rounds)
+        iterates = []
+        lbl = labels
+        for _ in range(batch):
+            lbl = _one_round(lbl)
+            iterates.append(lbl)
+        rounds += batch
+        probe = iterates[0].agg(F.sum("component_id").alias("s"))
+        for it in iterates[1:]:
+            probe = probe.unionByName(it.agg(F.sum("component_id").alias("s")))
+        # ONE job: materializes every checkpoint in the batch and
+        # returns the per-round label sums in order
+        sums = [r["s"] for r in probe.collect()]
+        # all materialized — the previous iterates' blocks can never be
+        # read again; free them instead of leaking one node-sized frame
+        # per round
+        _release_checkpoint(labels)
+        for it in iterates[:-1]:
+            _release_checkpoint(it)
+        labels = iterates[-1]
+        for s in sums:
+            if s == prev_sum:
+                converged = True
+                break
+            prev_sum = s
     # the returned frame reads only its own checkpoint blocks — the
     # edge list is done serving the loop either way
     _release_checkpoint(oriented)
+    if prepartition:
+        sym.unpersist(False)
     if not converged:
         # Unconverged labels would silently diverge from the full-
         # reachability oracle (a long duplicate chain exceeds the round

@@ -189,7 +189,18 @@ def pagerank_fixedpoint(
 
 def _pagerank_setup(edges: DataFrame):
     """Shared iteration setup: symmetrized + degree-annotated edge list
-    (checkpointed once), the node set, and its bounded count."""
+    (checkpointed once), the node set, and its bounded count.
+
+    r12 note (measured, guide §1): caching the annotated list
+    HASH-PARTITIONED on ``src`` (SQL cache preserves partitioning, so
+    the probed loop's per-round edge exchange disappears) was TRIED
+    and REVERTED — the per-round InMemoryTableScan columnar decode of
+    the 2E-row cache cost far more than the small exchange it removed
+    (graph_part_pagerank_tol executor time 0.7 → 14.9 s, wall
+    3.5 → 4.9 s).  The checkpoint (serialized row blocks) stays the
+    cheapest per-round source at bench scale; at cluster scale the
+    lazy loops pay the exchange once per ACTION via ReuseExchange
+    anyway."""
     sym = (
         edges.select("src", "dst")
         .unionByName(
@@ -320,24 +331,55 @@ def pagerank_converged(
     ranks = nodes.withColumn("rank_q", F.lit(scale // n).cast("long"))
     prev_ckpt: DataFrame | None = None
     stop = max_iters
-    for i in range(1, max_iters + 1):
-        nxt = _pagerank_step_delta(annotated, ranks, n, damping_pct, scale)
-        # the probe materializes the checkpoint — one job per round,
-        # no join (prev_q rides in the iterate itself)
-        delta = (
-            nxt.agg(F.sum(F.abs(F.col("rank_q") - F.col("prev_q"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        # the previous round's blocks can never be read again
-        # (connected_components discipline — don't leak one node-sized
-        # frame per round for the life of the loop)
+    # r12 (guide §1 profile: 65 jobs, 0.57 executor-seconds — the loop's
+    # wall is per-ACTION driver overhead, not executor work): after the
+    # first two rounds, iterates are probed in PAIRS — one collect
+    # returns both rounds' L1 deltas (each iterate carries its own
+    # prev_q, so the probe is still join-free).  stop_iter stays
+    # bit-exact: the batch's per-round deltas are the same integers the
+    # one-probe-per-round loop computed, the first delta <= tol_q wins,
+    # and the RETURNED ranks are that round's iterate (both batch
+    # iterates are checkpointed; the loser is released).  Cost: at most
+    # one wasted round, only when the walk stops on the first round of
+    # a pair — against half the driver round-trips on the long tail of
+    # a converging walk.
+    delta_agg = lambda df: df.agg(  # noqa: E731
+        F.sum(F.abs(F.col("rank_q") - F.col("prev_q"))).alias("d")
+    )
+    i = 0
+    while i < max_iters:
+        batch = 1 if i < 2 else min(2, max_iters - i)
+        iterates = []
+        cur = ranks
+        for _ in range(batch):
+            nxt = _pagerank_step_delta(annotated, cur, n, damping_pct, scale)
+            iterates.append(nxt)
+            cur = nxt.select("node", "rank_q")
+        probe = delta_agg(iterates[0])
+        for it in iterates[1:]:
+            probe = probe.unionByName(delta_agg(it))
+        deltas = [r["d"] for r in probe.collect()]
+        # every iterate in the batch is now materialized — the previous
+        # round's blocks can never be read again (connected_components
+        # discipline — don't leak one node-sized frame per round)
         if prev_ckpt is not None:
             _release_checkpoint(prev_ckpt)
-        prev_ckpt = nxt
-        ranks = nxt.select("node", "rank_q")
-        if delta <= tol_q:
-            stop = i
-            break
+        hit = next(
+            (j for j, d in enumerate(deltas) if d <= tol_q), None
+        )
+        if hit is not None:
+            stop = i + hit + 1
+            keep = iterates[hit]
+            for it in iterates:
+                if it is not keep:
+                    _release_checkpoint(it)
+            ranks = keep.select("node", "rank_q")
+            return ranks.withColumn("stop_iter", F.lit(stop).cast("long"))
+        for it in iterates[:-1]:
+            _release_checkpoint(it)
+        prev_ckpt = iterates[-1]
+        ranks = prev_ckpt.select("node", "rank_q")
+        i += batch
     return ranks.withColumn("stop_iter", F.lit(stop).cast("long"))
 
 
