@@ -97,6 +97,13 @@ def fuzzy_key_pairs(
             "neighborhoods explode combinatorially; chain through a "
             "d<=2 pass or use the MinHash family instead)"
         )
+    # r12 note (measured): NO blanket ``_ensure_parallelism`` here —
+    # it wins only when ``df`` is a raw single-file scan (the explode
+    # otherwise runs on one task; callers like fuzzy_customer_pairs
+    # apply it at the query layer), but on COMPOSED inputs (the part
+    # name registry feeding resolve_entities) the inserted repartition
+    # broke downstream exchange reuse and cost more than it spread
+    # (fuzzy_part_entities_final executor time 7.6 → 12.9 s).
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(key_col).alias("k"),
@@ -343,7 +350,10 @@ def phonetic_pairs(
     One map-side key expression, ONE keyed shuffle, JVM levenshtein on
     in-bucket candidates only; no explode at all (the cheapest blocking
     of the three families — its recall profile, not its cost, is the
-    trade, and fuzzy_family_recall_compare measures it)."""
+    trade, and fuzzy_family_recall_compare measures it).  No
+    ``_ensure_parallelism`` guard here, deliberately (r12, measured):
+    with zero explode the map side is trivial, and the repartition the
+    guard inserts costs more than the parallelism it buys."""
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(key_col).alias("k"),
@@ -603,7 +613,8 @@ def fuzzy_key_overflow(
     """(variant, n_keys) for every depth-``depth`` deletion variant
     shared by more than ``max_bucket_size`` keys — the stop-variant
     population the blocking stage refuses to expand (observability twin
-    of ``minhash_lsh_overflow``)."""
+    of ``minhash_lsh_overflow``; same query-layer parallelism note as
+    :func:`fuzzy_key_pairs`)."""
     v = df.select(
         F.col(id_col).alias("id"),
         F.explode(deletion_variants_col(key_col, depth=depth)).alias("variant"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
+from pos_pipeline_core_etl_spark.operators import dedup as dedup_ops
 from pos_pipeline_core_etl_spark.sources.tables import load_table
 
 
@@ -700,7 +701,17 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits, so the fixture is dense in true typo-pairs."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # r12 (guide §2.5/§1): the raw single-file customer scan otherwise
+    # runs the ~L-per-key variant explode on ONE task (measured: 12
+    # tasks / 6.7 executor-seconds on 32 cores); the guard spreads the
+    # scan before the explode.  Applied at the query layer, not inside
+    # fuzzy_key_pairs — on composed inputs the inserted repartition
+    # broke exchange reuse and cost more than it spread (measured on
+    # fuzzy_part_entities_final: executor time 7.6 -> 12.9 s).
+    cust = dedup_ops._ensure_parallelism(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        key="c_custkey",
+    )
     return fuzzy.fuzzy_key_pairs(cust, "c_custkey", "c_name", max_distance=1)
 
 
@@ -731,7 +742,10 @@ def fuzzy_customer_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by more keys than the bucket cap."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = dedup_ops._ensure_parallelism(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        key="c_custkey",
+    )  # r12: single-file-scan explode guard, see fuzzy_customer_pairs
     df = fuzzy.fuzzy_key_overflow(cust, "c_custkey", "c_name")
     return df.select("variant", F.col("n_keys").cast("long").alias("n_keys"))
 
@@ -951,7 +965,10 @@ def fuzzy_customer_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant, JVM levenshtein on candidates only."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = dedup_ops._ensure_parallelism(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        key="c_custkey",
+    )  # r12: single-file-scan explode guard, see fuzzy_customer_pairs
     return fuzzy.fuzzy_key_pairs(
         cust,
         "c_custkey",
@@ -992,7 +1009,10 @@ def fuzzy_customer_overflow_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets fuzzy_customer_pairs_d2 skipped."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = dedup_ops._ensure_parallelism(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        key="c_custkey",
+    )  # r12: single-file-scan explode guard, see fuzzy_customer_pairs
     df = fuzzy.fuzzy_key_overflow(
         cust,
         "c_custkey",
