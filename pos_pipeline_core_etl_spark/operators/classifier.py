@@ -86,52 +86,69 @@ def logistic_gd(
     rate: float = LR_RATE,
     quant: int = LR_QUANT,
 ) -> DataFrame:
-    """Full-batch GD -> ONE row (w0..w4), fully relational.
+    """Full-batch GD -> ONE row (w0..w4).
 
     Weights start at exactly 0.0 (sigmoid(0) = 0.5 — the first
     gradient is pure rational arithmetic, so engines agree exactly
-    from step one). Each iteration: broadcast the 1-row weight frame,
-    compute quantized per-doc gradient contributions map-side, one
-    global agg (grouped BY the constant weight columns so the previous
-    weights ride through the agg deterministically), then the update
-    ``w <- w - rate * sum_q / (n * Q)``.
+    from step one). Each iteration computes quantized per-doc gradient
+    contributions map-side and ONE global agg (d+1 longs), then the
+    update ``w <- w - rate * sum_q / (n * Q)``.
+
+    r13 (guide §1.2/§7.3 — the profile showed 9 jobs / 0.35
+    executor-seconds: pure driver fixed cost): the weight vector is now
+    carried as PYTHON DOUBLES and embedded as literals in the next
+    iteration's gradient expressions, with one bounded collect of the
+    d+1 aggregate longs per epoch — the same scalar-probe idiom as the
+    components / pagerank convergence loops.  The previous form chained
+    ``crossJoin(F.broadcast(w))`` per epoch, so every epoch's agg plan
+    NESTED the previous epoch's as a broadcast child: the action paid
+    one broadcast-exchange job per epoch and re-planned the whole
+    chain each time.  Bit-exactness is unchanged: the collected sums
+    are the identical order-free integer aggregates, and the driver
+    update ``w - rate * (s / (n * Q))`` is the same IEEE-double
+    expression the in-plan projection evaluated (Python floats ARE
+    doubles; int->double conversions round-to-nearest in both).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = feats.sparkSession
     base = feats.localCheckpoint(eager=False)
     qf = float(quant)
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{j}") for j in range(N_FEATURES)]
-    )
-    wcols = [f"w{j}" for j in range(N_FEATURES)]
+    weights = [0.0] * N_FEATURES
     for _ in range(iters):
-        j = base.crossJoin(F.broadcast(w))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin()))
+        margin = reduce(
+            lambda acc, t: acc + t,
+            [F.lit(weights[j]) * F.col(f"x{j}") for j in range(N_FEATURES)],
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
         grads = [
             F.floor((p - F.col("y")) * F.col(f"x{k}") * F.lit(qf) + F.lit(0.5))
             .cast("long")
             .alias(f"g{k}")
             for k in range(N_FEATURES)
         ]
-        agg = (
-            j.select(*wcols, *grads)
-            .groupBy(*wcols)
+        row = (
+            base.select(*grads)
             .agg(
                 *[F.sum(f"g{k}").alias(f"s{k}") for k in range(N_FEATURES)],
                 F.count(F.lit(1)).alias("n"),
             )
+            .collect()[0]
         )
-        w = agg.select(
-            *[
-                (
-                    F.col(f"w{k}")
-                    - F.lit(rate) * (F.col(f"s{k}") / (F.col("n") * F.lit(qf)))
-                ).alias(f"w{k}")
-                for k in range(N_FEATURES)
-            ]
-        )
-    return w
+        n = row["n"]
+        if n == 0:
+            # empty corpus: the pre-r13 broadcast-chain form yielded an
+            # EMPTY weight frame (zero groups) — preserve that contract
+            return spark.range(0).select(
+                *[F.lit(0.0).alias(f"w{j}") for j in range(N_FEATURES)]
+            )
+        weights = [
+            weights[k] - rate * (row[f"s{k}"] / (n * qf))
+            for k in range(N_FEATURES)
+        ]
+    return spark.range(1).select(
+        *[F.lit(weights[j]).alias(f"w{j}") for j in range(N_FEATURES)]
+    )
 
 
 def lr_scores(feats: DataFrame, weights: DataFrame) -> DataFrame:

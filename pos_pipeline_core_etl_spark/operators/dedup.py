@@ -91,18 +91,12 @@ def shingle_id(sh: Column) -> Column:
 SHINGLE_ID_SQL = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
 
 
-def _ensure_parallelism(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Repartition when the source has too few input files for CPU-bound
-    per-row work (a single-row-group parquet file arrives as ONE task —
-    shingling + hashing would run single-threaded). Uses ``inputFiles()``
-    — no plan→RDD conversion (VERDICT r1). At real scale the input
-    already has thousands of files/partitions and this is a no-op; for
-    non-file-backed frames (tests) the planner's own parallelism stands."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < max(2, target // 2):
-        return df.repartition(target, key)
-    return df
+# promoted to operators.common (ADVICE r12: the query layer imported a
+# dedup module-private); the underscore alias keeps in-module callers
+# and existing importers working
+from pos_pipeline_core_etl_spark.operators.common import (  # noqa: E402
+    ensure_parallelism as _ensure_parallelism,
+)
 
 
 def exact_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -926,8 +920,6 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    from pyspark import StorageLevel
-
     oriented = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
@@ -1014,12 +1006,23 @@ def connected_components(
             lbl = _one_round(lbl)
             iterates.append(lbl)
         rounds += batch
-        probe = iterates[0].agg(F.sum("component_id").alias("s"))
-        for it in iterates[1:]:
-            probe = probe.unionByName(it.agg(F.sum("component_id").alias("s")))
+        # each per-round aggregate carries an explicit round-index
+        # literal (ADVICE r12): reading sums by index instead of row
+        # order removes the implicit dependency on Union preserving
+        # child partition order
+        probe = iterates[0].agg(F.sum("component_id").alias("s")).select(
+            F.lit(0).alias("j"), "s"
+        )
+        for jdx, it in enumerate(iterates[1:], 1):
+            probe = probe.unionByName(
+                it.agg(F.sum("component_id").alias("s")).select(
+                    F.lit(jdx).alias("j"), "s"
+                )
+            )
         # ONE job: materializes every checkpoint in the batch and
-        # returns the per-round label sums in order
-        sums = [r["s"] for r in probe.collect()]
+        # returns the per-round label sums (keyed by round index)
+        by_j = {r["j"]: r["s"] for r in probe.collect()}
+        sums = [by_j[j] for j in range(len(iterates))]
         # all materialized — the previous iterates' blocks can never be
         # read again; free them instead of leaking one node-sized frame
         # per round

@@ -355,10 +355,15 @@ def pagerank_converged(
             nxt = _pagerank_step_delta(annotated, cur, n, damping_pct, scale)
             iterates.append(nxt)
             cur = nxt.select("node", "rank_q")
-        probe = delta_agg(iterates[0])
-        for it in iterates[1:]:
-            probe = probe.unionByName(delta_agg(it))
-        deltas = [r["d"] for r in probe.collect()]
+        # explicit round-index literal per aggregate (ADVICE r12): the
+        # deltas are read by index, not by Union child order
+        probe = delta_agg(iterates[0]).select(F.lit(0).alias("j"), "d")
+        for jdx, it in enumerate(iterates[1:], 1):
+            probe = probe.unionByName(
+                delta_agg(it).select(F.lit(jdx).alias("j"), "d")
+            )
+        by_j = {r["j"]: r["d"] for r in probe.collect()}
+        deltas = [by_j[j] for j in range(len(iterates))]
         # every iterate in the batch is now materialized — the previous
         # round's blocks can never be read again (connected_components
         # discipline — don't leak one node-sized frame per round)

@@ -94,24 +94,46 @@ def build_sales_by_ticket(fact: DataFrame) -> DataFrame:
     driver-side plan-construction latency per invocation (measured at
     sf0.1; the executed plan is unchanged). ``0.0D`` keeps the COALESCE
     fallback a double — a bare ``0.0`` parses as DECIMAL in Spark SQL.
+
+    r13 per-row work (guide §1.2 step 2): the 50 conditional sums used
+    to each re-compare the 8-char ``group`` string per input row (100
+    string equalities/row), and min/max each re-parsed
+    ``captured_time`` through a DateTimeFormatter (2 parses/row).  A
+    pre-aggregation projection now computes ONE group→index CASE and
+    ONE ``unix_timestamp`` parse per row; the agg cells compare a
+    4-byte int.  The summed subsets (and so every output value) are
+    identical — the index is a bijection of the group universe.
     """
     from pos_pipeline_core_etl_spark.functions.rounding import hround_sql
 
-    def cell(group: str, src: str, suffix: str) -> Column:
+    gidx_sql = "CASE `group` " + " ".join(
+        f"WHEN '{g}' THEN {i}" for i, g in enumerate(SALES_GROUPS)
+    ) + " ELSE -1 END"
+    pre = fact.select(
+        "sucursal",
+        "operating_date",
+        "order_id",
+        "subtotal_item",
+        "total_item",
+        F.expr(gidx_sql).alias("_gidx"),
+        # min/max over the STRING time column would force SortAggregate
+        # (variable-length agg buffer → no hash aggregation → a full
+        # sort of the fact). Aggregating the numeric seconds-of-day
+        # keeps the whole mart in codegen'd HashAggregate; the string
+        # form is restored after.
+        F.expr("unix_timestamp(captured_time, 'HH:mm:ss')").alias("_secs"),
+    )
+
+    def cell(i: int, group: str, src: str, suffix: str) -> Column:
         name = f"{sanitize_group_name(group)}_{suffix}"
-        x = f"COALESCE(SUM(CASE WHEN `group` = '{group}' THEN {src} END), 0.0D)"
+        x = f"COALESCE(SUM(CASE WHEN _gidx = {i} THEN {src} END), 0.0D)"
         return F.expr(hround_sql(x, 2)).alias(name)
 
-    # min/max over the STRING time column would force SortAggregate
-    # (variable-length agg buffer → no hash aggregation → a full sort of
-    # the fact). Aggregating the numeric seconds-of-day keeps the whole
-    # mart in codegen'd HashAggregate; the string form is restored after.
-    secs = F.expr("unix_timestamp(captured_time, 'HH:mm:ss')")
-    agged = fact.groupBy("sucursal", "operating_date", "order_id").agg(
-        *[cell(g, "subtotal_item", "subtotal") for g in SALES_GROUPS],
-        *[cell(g, "total_item", "total") for g in SALES_GROUPS],
-        F.min(secs).alias("_min_secs"),
-        F.max(secs).alias("_max_secs"),
+    agged = pre.groupBy("sucursal", "operating_date", "order_id").agg(
+        *[cell(i, g, "subtotal_item", "subtotal") for i, g in enumerate(SALES_GROUPS)],
+        *[cell(i, g, "total_item", "total") for i, g in enumerate(SALES_GROUPS)],
+        F.min("_secs").alias("_min_secs"),
+        F.max("_secs").alias("_max_secs"),
         F.count(F.lit(1)).alias("n_lines"),
         F.expr(hround_sql("SUM(total_item)", 2)).alias("total_ticket_cost"),
     )

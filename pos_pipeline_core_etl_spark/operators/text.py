@@ -879,7 +879,13 @@ def bpe_train_fast(
     oracle); per-merge cost is O(words containing the pair), so 32K
     merges take seconds, not hours.
     """
+    from pos_pipeline_core_etl_spark.operators.common import release_checkpoint
+
     spark = docs.sparkSession
+    # checkpoint the vocabulary agg so the guard count and the collect
+    # read ONE materialization — the pre-r13 form ran the corpus-sized
+    # explode+agg TWICE (count job + collect job), guide §1.2 "don't
+    # compute things you throw away"; blocks are freed after the collect
     words = (
         docs.select(
             F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias(
@@ -889,14 +895,17 @@ def bpe_train_fast(
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
     )
     n_vocab = words.count()
     if n_vocab > max_vocab:
+        release_checkpoint(words)
         raise ValueError(
             f"vocabulary has {n_vocab} words > max_vocab={max_vocab}; "
             "raise the cap or pre-truncate the long tail"
         )
     vocab = [(tuple(r["w"]) + ("</w>",), int(r["freq"])) for r in words.collect()]
+    release_checkpoint(words)
     out = _bpe_merge_loop_inmem(vocab, merges)
     return spark.createDataFrame(
         out, "merge_rank int, pair string, merged string, n long"

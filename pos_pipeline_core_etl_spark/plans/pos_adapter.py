@@ -138,7 +138,22 @@ def fact_sales_item_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``etl/staging/__init__.py:327-331``); ``group`` plays the role of the
     sales category feeding the by-ticket / by-group marts.
     """
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    from pos_pipeline_core_etl_spark.operators.common import ensure_parallelism
+
+    # r13 (guide §2.5/§6): the sf bench ships lineitem as ONE parquet
+    # file, so the scan — and everything fused into its stage: the
+    # broadcast join, the per-row projection, and the ticket mart's
+    # 50-cell conditional partial aggregate — ran as ONE task on 32
+    # cores (isolated profile: sales_by_ticket_mart 39.8 executor-s
+    # over 27 tasks, map side single-threaded).  Spreading the scan on
+    # l_orderkey is exchange-reusable downstream: the ticket mart
+    # groups by (sucursal, operating_date, order_id = l_orderkey), and
+    # hash partitioning on a subset of the grouping key satisfies its
+    # clustered distribution, so the mart's own exchange disappears
+    # (plan: 2 Exchange → 1).  No-op at real scale (many input files).
+    lineitem = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)

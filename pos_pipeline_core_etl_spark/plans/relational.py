@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pos_pipeline_core_etl_spark.functions.rounding import hround, hround_sql
+from pos_pipeline_core_etl_spark.operators.common import ensure_parallelism
 from pos_pipeline_core_etl_spark.operators import dedup as dedup_ops
 from pos_pipeline_core_etl_spark.sources.tables import load_table
 
@@ -708,7 +709,7 @@ def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuzzy_key_pairs — on composed inputs the inserted repartition
     # broke exchange reuse and cost more than it spread (measured on
     # fuzzy_part_entities_final: executor time 7.6 -> 12.9 s).
-    cust = dedup_ops._ensure_parallelism(
+    cust = ensure_parallelism(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
         key="c_custkey",
     )
@@ -742,7 +743,7 @@ def fuzzy_customer_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by more keys than the bucket cap."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
-    cust = dedup_ops._ensure_parallelism(
+    cust = ensure_parallelism(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
         key="c_custkey",
     )  # r12: single-file-scan explode guard, see fuzzy_customer_pairs
@@ -965,7 +966,7 @@ def fuzzy_customer_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant, JVM levenshtein on candidates only."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
-    cust = dedup_ops._ensure_parallelism(
+    cust = ensure_parallelism(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
         key="c_custkey",
     )  # r12: single-file-scan explode guard, see fuzzy_customer_pairs
@@ -1009,7 +1010,7 @@ def fuzzy_customer_overflow_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets fuzzy_customer_pairs_d2 skipped."""
     from pos_pipeline_core_etl_spark.operators import fuzzy
 
-    cust = dedup_ops._ensure_parallelism(
+    cust = ensure_parallelism(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
         key="c_custkey",
     )  # r12: single-file-scan explode guard, see fuzzy_customer_pairs
