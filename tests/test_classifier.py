@@ -4,8 +4,9 @@ Three layers: (1) the relational GD reproduces a plain-numpy
 implementation of the SAME quantized full-batch iteration exactly;
 (2) on separable data the GD actually learns (the registry corpus has
 no signal, so the oracle-parity tests alone can't prove learning);
-(3) plan shape — one data-sized hash-agg per iteration, weight frames
-broadcast, no extra corpus shuffles.
+(3) plan shape — training collects one bounded d+1-long aggregate per
+epoch and returns a literal weight projection (r13): no corpus-vs-
+weights join, no exchange in the returned frame.
 """
 
 from __future__ import annotations
@@ -85,8 +86,11 @@ def test_eval_counts_consistent(spark):
 
 
 def test_train_plan_shape(spark):
-    """Per iteration: exactly one data-sized hash-agg; weight frames are
-    broadcast (no shuffled join of the corpus against weights)."""
+    """r13 contract: training collects only the d+1 aggregate longs per
+    epoch and inlines the weights as literals, so the RETURNED weight
+    frame is a pure literal projection over a 1-row Range — no join of
+    the corpus against weights anywhere, no exchange, and every
+    downstream consumer (scoring, stacking) starts from literals."""
     rng = np.random.RandomState(3)
     rows = [
         (int(rng.randint(0, 2)), *[float(x) for x in rng.uniform(-1, 1, 4).round(6)])
@@ -95,17 +99,41 @@ def test_train_plan_shape(spark):
     feats = _feats_df(spark, rows)
     w = classifier.logistic_gd(feats, iters=3, rate=0.5)
     plan = w._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
-    # iters data-sized aggs -> iters shuffle Exchanges (partial+final
-    # HashAggregate pairs); broadcast exchanges excluded
-    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange SinglePartition"
-    )
-    assert n_shuffles <= 3 * 2
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Range" in plan
+    # the literal-weights rewrite must reproduce the broadcast-chain
+    # form's arithmetic bit-for-bit: same aggregates collected, same
+    # IEEE update expression — re-derive one epoch by hand and compare
+    one = classifier.logistic_gd(feats, iters=1, rate=0.5)
+    row = feats.selectExpr(
+        *[
+            f"CAST(floor((1.0 / (1.0 + exp(-(0.0D * x0 + 0.0D * x1 + 0.0D * x2 "
+            f"+ 0.0D * x3 + 0.0D * x4))) - y) * x{k} * {float(classifier.LR_QUANT)} "
+            f"+ 0.5D) AS BIGINT) AS g{k}"
+            for k in range(classifier.N_FEATURES)
+        ]
+    ).groupBy().sum().collect()[0]
+    n = len(rows)
+    expected = [
+        0.0 - 0.5 * (row[k] / (n * float(classifier.LR_QUANT)))
+        for k in range(classifier.N_FEATURES)
+    ]
+    got = one.collect()[0]
+    assert [got[f"w{k}"] for k in range(classifier.N_FEATURES)] == expected
 
     with pytest.raises(ValueError):
         classifier.logistic_gd(feats, iters=0)
+
+
+def test_train_empty_corpus_yields_empty_weights(spark):
+    """The pre-r13 broadcast-chain form produced an EMPTY weight frame
+    on an empty corpus (zero agg groups); the literal form preserves
+    that contract instead of dividing by n=0."""
+    feats = _feats_df(spark, []).where("y > 1")  # provably empty
+    w = classifier.logistic_gd(feats, iters=2, rate=0.5)
+    assert w.count() == 0
+    assert sorted(w.columns) == [f"w{j}" for j in range(classifier.N_FEATURES)]
 
 
 class TestCalibrationBins:
