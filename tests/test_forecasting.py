@@ -421,6 +421,7 @@ class TestArimaBackendBound:
         )
         return pd.Series(vals, index=idx)
 
+    @pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
     def test_rescore_picks_full_mle_grid_order(self):
         """Order-selection delta (COVERAGE §2.13, VERDICT r4 #7): the
         budgeted hr+mle top-5 rescore must pick the same (order,

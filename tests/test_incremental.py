@@ -114,6 +114,7 @@ class TestApiFacade:
         col_totals = sum(v for (c, s), v in cells.items() if c != "TOTAL" and s == "TOTAL")
         assert abs(grand - col_totals) < 0.05
 
+    @pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
     def test_warehouse_stage_skip(self, spark, tmp_path):
         wh = str(tmp_path / "wh")
         df1 = get_payments(spark, SF_DIR, grain="ticket", warehouse_dir=wh)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -114,6 +115,7 @@ def test_to_float_reference_parity_cases():
         assert got == want or (got is None and want is None), (raw, got, want)
 
 
+@pytest.mark.slow  # hypothesis sweep; default-budget cut (VERDICT r12 #2)
 @given(
     edges_py=st.lists(
         st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
@@ -283,6 +285,7 @@ def test_fastss_deletion_identity_depth2(a, b):
         assert _d2(a) & _d2(b), (a, b)
 
 
+@pytest.mark.slow  # hypothesis sweep; default-budget cut (VERDICT r12 #2)
 @given(
     vals=st.lists(
         st.floats(allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6),

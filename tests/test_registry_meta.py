@@ -3,11 +3,13 @@
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from pos_pipeline_core_etl_spark import registry
 from tests.oracle_utils import duckdb_connection
 
 
+@pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
 def test_every_oracle_parses_under_duckdb():
     con = duckdb_connection("/root/testdata/sf0.001")
     try:

@@ -2779,6 +2779,7 @@ class TestFuzzyKeyPairs:
                fuzzy.fuzzy_key_pairs(df, "id", "k").collect()}
         assert got == {(1, 2): 1, (1, 3): 1}
 
+    @pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
     def test_matches_bruteforce_levenshtein(self, spark):
         from pyspark.sql import functions as F
 
@@ -2826,6 +2827,7 @@ class TestFuzzyKeyPairs:
         uncapped = fuzzy.fuzzy_key_pairs(df, "id", "k", max_bucket_size=None)
         assert capped.count() <= uncapped.count()
 
+    @pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
     def test_distance2_matches_bruteforce(self, spark):
         """d=2 blocking (depth-2 deletion neighborhoods) must equal the
         brute-force levenshtein <= 2 join: candidate-complete by the
@@ -3593,6 +3595,7 @@ class TestGraphOps:
         plain, orient = both(sorted(set(scatter)))
         assert plain == orient
 
+    @pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
     def test_pagerank_converged_stops_before_cap(self, spark):
         """The convergence-driven stop (VERDICT r8 #3): on the star
         graph the damped walk contracts geometrically, so a tolerance
@@ -3691,6 +3694,7 @@ class TestDeVacuizedGreens:
         clean = spark.createDataFrame(rows[1:], "sucursal string, fecha date")
         assert check_duplicates(clean).count() == 0
 
+    @pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
     def test_ngram_jaccard_pairs_emits_near_dup(self, spark):
         from pos_pipeline_core_etl_spark.operators.dedup import (
             ngram_jaccard_pairs,
@@ -3750,6 +3754,7 @@ class TestResolveEntities:
         ]
         return spark.createDataFrame(rows, "kid long, key string")
 
+    @pytest.mark.slow  # default-budget cut (VERDICT r12 #2); runs with --runslow
     def test_residual_d2_leg_is_load_bearing(self, spark):
         from pos_pipeline_core_etl_spark.operators import fuzzy
 
