@@ -944,104 +944,103 @@ def _kmeans_assignments(
         *carry,
     )
     qf = float(quant)
-    spark = embeddings.sparkSession
-
-    # r13 (guide §1.2/§7.3 — the logistic_gd treatment applied to
-    # Lloyd): centroids are carried as PYTHON doubles and embedded as a
-    # constant-folded literal array inside the assignment expression,
-    # with ONE bounded collect of the k×dim exact integer component
-    # sums per update.  The pre-r13 form chained
-    # pack-agg → broadcast → assign → update per iteration inside one
-    # lazy plan, so the consumer's action paid one broadcast-exchange
-    # job per iteration, re-planned the whole nested chain each time,
-    # and re-scanned the source once per iteration.  Training now runs
-    # over a narrow checkpointed (vec_id, vq) frame materialized once;
-    # the RETURNED assignment is a flat map-side fold over literal
-    # centroids — no join, no broadcast, one source scan.
-    # Bit-exactness is unchanged: seed/update arithmetic is the same
-    # IEEE expression the in-plan projections evaluated (x/qf on exact
-    # ints; s/(n·qf) on exact integer sums — Python floats ARE
-    # doubles), and the argmin expr is byte-identical with the literal
-    # spliced where the broadcast column was (oracle-checked on every
-    # kmeans/ivfpq/semdedup query).
-    tbase = base.select("vec_id", "vq").localCheckpoint(eager=False)
 
     # seed centroids: the k lowest-id vectors. The seed's vec_id IS the
     # cluster label (labels need only be distinct + ordered for the
-    # tie-break).
-    cents = [
-        (int(r["vec_id"]), [x / qf for x in r["vq"]])
-        for r in tbase.orderBy("vec_id").limit(k).collect()
-    ]
-
-    def best_expr(cs: list) -> F.Column:
-        """array_min over per-centroid (d2, cluster) structs — the r12
-        single-parse argmin with the sorted centroid array spliced in
-        as a constant-folded literal (``1.5D`` double literals: parsed
-        round-to-nearest, the exact repr round-trip)."""
-        entries = ", ".join(
-            "named_struct('cluster', {c}L, 'centroid', array({v}))".format(
-                c=c, v=", ".join(f"{x!r}D" for x in vec)
-            )
-            for c, vec in sorted(cs)
+    # tie-break; avoids a row_number over an unpartitioned window).
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.transform(F.col("vq"), lambda x: x / F.lit(qf)).alias("centroid"),
         )
-        return F.expr(
-            f"array_min(transform(array({entries}), c -> named_struct("
+    )
+
+    def pack(centroids: DataFrame) -> DataFrame:
+        """k rows -> ONE row holding the sorted centroid array."""
+        return centroids.groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "centroid"))
+            ).alias("cents")
+        )
+
+    def assign(packed: DataFrame) -> DataFrame:
+        """Map-side argmin over the broadcast centroid array.
+
+        r12 (guide §1.2 per-task work + §7.3 driver planning): ONE
+        ``F.expr`` — ``array_min`` over per-centroid (d2, cluster)
+        structs — instead of a Column-API fold whose when-branch
+        duplicated the d2 subtree and whose ``best["cluster"]`` /
+        ``best["d2"]`` extractions each re-evaluated the whole fold.
+        d2 is now computed once per centroid and the struct once per
+        row (extractions read a materialized attribute in a separate
+        projection).  array_min's lexicographic struct ordering ==
+        the fold's strict-< with sorted cents: lowest d2, ties to the
+        lowest cluster id — bit-identical assignments (oracle-checked).
+        The SQL string also collapses ~2.6 s of per-call py4j lambda
+        construction into one parse (the dedup.py F.expr precedent)."""
+        joined = base.crossJoin(F.broadcast(packed))
+        best = F.expr(
+            f"array_min(transform(cents, c -> named_struct("
             f"'d2', aggregate(zip_with(transform(vq, x -> x / {qf}D),"
             f" c.centroid, (x, y) -> (x - y) * (x - y)),"
             f" 0.0D, (s, d) -> s + d),"
             f"'cluster', c.cluster)))"
         )
+        staged = joined.select(
+            "vec_id",
+            "vq",
+            *(["vec"] if with_vec else []),
+            best.alias("best"),
+        )
+        return staged.select(
+            "vec_id",
+            "vq",
+            *(["vec"] if with_vec else []),
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.d2").alias("d2"),
+        )
 
-    for _ in range(iters - 1):
-        staged = tbase.select(best_expr(cents).alias("best"), "vq")
-        rows = (
-            staged.select(
-                F.col("best.cluster").alias("cluster"),
-                F.posexplode(F.col("vq")).alias("comp", "val"),
+    def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+        """Exact integer component sums -> new centroids; empty clusters
+        inherit the previous centroid."""
+        comp = assigned.select(
+            "cluster", F.posexplode(F.col("vq")).alias("comp", "val")
+        )
+        sums = comp.groupBy("cluster", "comp").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        fresh = (
+            sums.withColumn("mean", F.col("s") / (F.col("n") * F.lit(qf)))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("comp", "mean"))),
+                    lambda st: st["mean"],
+                ).alias("centroid")
             )
-            .groupBy("cluster", "comp")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
         )
-        means: dict[int, dict[int, float]] = {}
-        for r in rows:
-            means.setdefault(int(r["cluster"]), {})[int(r["comp"])] = r[
-                "s"
-            ] / (r["n"] * qf)
-        # empty clusters inherit the previous centroid (same left-join
-        # coalesce the in-plan update applied)
-        cents = [
-            (c, [means[c][j] for j in range(len(vec))] if c in means else vec)
-            for c, vec in cents
-        ]
+        return (
+            prev.select("cluster", F.col("centroid").alias("prev_centroid"))
+            .join(fresh, "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce("centroid", "prev_centroid").alias("centroid"),
+            )
+        )
 
-    if cents:
-        best = best_expr(cents)
-    else:  # empty corpus: zero rows either way; keep the schema
-        best = F.expr(
-            "named_struct('d2', CAST(NULL AS DOUBLE),"
-            " 'cluster', CAST(NULL AS BIGINT))"
-        )
-    staged = base.select(
-        "vec_id", "vq", *(["vec"] if with_vec else []), best.alias("best")
-    )
-    assigned = staged.select(
-        "vec_id",
-        "vq",
-        *(["vec"] if with_vec else []),
-        F.col("best.cluster").alias("cluster"),
-        F.col("best.d2").alias("d2"),
-    )
+    centroids = seeds
+    assigned = None
+    for _ in range(iters):
+        last_centroids = centroids
+        assigned = assign(pack(centroids))
+        centroids = update(assigned, centroids)
     if with_centroids:
         # the centroids the FINAL assignment was computed against —
-        # what an IVF index stores alongside its lists; a local literal
-        # frame, so consumer joins against it broadcast for free
-        cent_df = spark.createDataFrame(
-            [(c, list(vec)) for c, vec in sorted(cents)],
-            "cluster long, centroid array<double>",
-        )
-        return assigned, cent_df
+        # what an IVF index stores alongside its lists (the post-loop
+        # update is never seen by any assignment)
+        return assigned, last_centroids
     return assigned
 
 
@@ -1183,105 +1182,72 @@ def _pq_fit(
         ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.svq").alias("svq"))
     )
 
-    # r13 (guide §1.2/§7.3 — the _kmeans_assignments literal-codebook
-    # treatment, see its comment for the full argument): codebooks are
-    # carried as PYTHON doubles and spliced into the assignment expr as
-    # a constant-folded array-of-codebooks indexed by ``sub``; each
-    # update is ONE bounded collect of the m×k×sub_d exact integer
-    # component sums.  The pre-r13 form chained pack-agg → broadcast →
-    # assign-join → update per iteration in one nested lazy plan.
-    # Arithmetic is the identical IEEE sequence; assignments stay
-    # bit-exact (oracle-checked on every PQ/IVF-PQ query).
-
     # seed codebooks: the k lowest-id vectors' subvectors (TakeOrdered +
     # broadcast join — no per-subspace window sort over the corpus)
     seed_ids = embeddings.select(F.col(id_col).alias("vec_id")).orderBy("vec_id").limit(k)
-    cbs: dict[int, list] = {}
-    for r in (
-        base.join(F.broadcast(seed_ids), "vec_id")
-        .select("sub", F.col("vec_id").alias("cluster"), "svq")
-        .collect()
-    ):
-        cbs.setdefault(int(r["sub"]), []).append(
-            (int(r["cluster"]), [x / qf for x in r["svq"]])
+    seeds = base.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub",
+        F.col("vec_id").alias("cluster"),
+        F.transform(F.col("svq"), lambda x: x / F.lit(qf)).alias("centroid"),
+    )
+
+    def pack(centroids: DataFrame) -> DataFrame:
+        """m rows, one per subspace, each holding its sorted codebook."""
+        return centroids.groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "centroid"))).alias(
+                "cents"
+            )
         )
 
-    def best_expr(cbs_map: dict) -> F.Column:
-        """Per-row argmin over the row's subspace codebook:
-        ``element_at(<literal array of m sorted codebooks>, sub + 1)``
-        then the shared (d2, cluster) array_min — d2 once per codeword,
-        ties to the lowest code id, bit-identical."""
-        per_sub = []
-        for s in range(m):
-            entries = ", ".join(
-                "named_struct('cluster', {c}L, 'centroid', array({v}))".format(
-                    c=c, v=", ".join(f"{x!r}D" for x in vec)
-                )
-                for c, vec in sorted(cbs_map.get(s, []))
-            )
-            per_sub.append(f"array({entries})")
-        return F.expr(
-            f"array_min(transform("
-            f"element_at(array({', '.join(per_sub)}), sub + 1),"
-            f" c -> named_struct("
+    def assign(packed: DataFrame) -> DataFrame:
+        # same single-expr argmin as _kmeans_assignments.assign (r12):
+        # d2 once per codeword, ties to the lowest code id, bit-identical
+        joined = base.join(F.broadcast(packed), "sub")
+        best = F.expr(
+            f"array_min(transform(cents, c -> named_struct("
             f"'d2', aggregate(zip_with(transform(svq, x -> x / {qf}D),"
             f" c.centroid, (x, y) -> (x - y) * (x - y)),"
             f" 0.0D, (s, d) -> s + d),"
             f"'cluster', c.cluster)))"
         )
+        return joined.select("vec_id", "sub", "svq", best["cluster"].alias("cluster"))
 
-    empty = not any(cbs.get(s) for s in range(m))
-    for _ in range(iters - 1):
-        if empty:
-            break
-        staged = base.select("sub", best_expr(cbs).alias("best"), "svq")
-        rows = (
-            staged.select(
-                "sub",
-                F.col("best.cluster").alias("cluster"),
-                F.posexplode(F.col("svq")).alias("comp", "val"),
-            )
-            .groupBy("sub", "cluster", "comp")
+    def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+        comp = assigned.select(
+            "sub", "cluster", F.posexplode(F.col("svq")).alias("comp", "val")
+        )
+        fresh = (
+            comp.groupBy("sub", "cluster", "comp")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
+            .withColumn("mean", F.col("s") / (F.col("n") * F.lit(qf)))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("comp", "mean"))),
+                    lambda st: st["mean"],
+                ).alias("centroid")
+            )
         )
-        means: dict[tuple[int, int], dict[int, float]] = {}
-        for r in rows:
-            means.setdefault((int(r["sub"]), int(r["cluster"])), {})[
-                int(r["comp"])
-            ] = r["s"] / (r["n"] * qf)
-        cbs = {
-            s: [
-                (
-                    c,
-                    [means[(s, c)][j] for j in range(len(vec))]
-                    if (s, c) in means
-                    else vec,
-                )
-                for c, vec in codebook
-            ]
-            for s, codebook in cbs.items()
-        }
+        return (
+            prev.select("sub", "cluster", F.col("centroid").alias("prev_centroid"))
+            .join(fresh, ["sub", "cluster"], "left")
+            .select(
+                "sub",
+                "cluster",
+                F.coalesce("centroid", "prev_centroid").alias("centroid"),
+            )
+        )
 
-    if empty:  # zero-row corpus: keep schema, no codebook to score
-        best = F.expr(
-            "named_struct('d2', CAST(NULL AS DOUBLE),"
-            " 'cluster', CAST(NULL AS BIGINT))"
-        )
-    else:
-        best = best_expr(cbs)
-    assigned = base.select(
-        "vec_id", "sub", "svq", best["cluster"].alias("cluster")
-    )
-    cent_rows = [
-        (s, c, list(vec))
-        for s, codebook in sorted(cbs.items())
-        for c, vec in sorted(codebook)
-    ]
-    centroids = embeddings.sparkSession.createDataFrame(
-        cent_rows, "sub int, cluster long, centroid array<double>"
-    )
-    return base, ckpt(assigned), centroids
+    centroids = seeds
+    assigned = None
+    for _ in range(iters):
+        # under reuse, the m×k-row centroid checkpoint collapses the
+        # per-iteration plan nesting so consumers of (assigned,
+        # centroids) don't re-run the whole training chain per reference
+        at_assign = ckpt(centroids)
+        assigned = assign(pack(at_assign))
+        centroids = update(assigned, at_assign)
+    return base, ckpt(assigned), at_assign
 
 
 def pq_adc_topk(
